@@ -1,0 +1,59 @@
+"""Benchmark harness: runs the headline query catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock for one sequential pass over all
+queries (each executed to completion via a count-style action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY
+from dnsflow_clickhouse_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else None
+    spark = get_spark(app_name="dnsflow-bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch JIT/metadata costs
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, (fn, _) in QUERY_REGISTRY.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution of the plan
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

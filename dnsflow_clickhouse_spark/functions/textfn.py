@@ -1,0 +1,79 @@
+"""Text-analysis column expressions (engine extension for training-data
+pipelines: language ID, quality scoring, token stats, fingerprinting).
+
+Everything here is a pure Catalyst expression (higher-order array
+functions, regexes) — no Python UDFs — so the operators built on top
+(dedup, quality filtering) stay JVM-side at 100 TB scale.
+
+``poly_hash`` is the engine's *portable* deterministic hash: a modular
+polynomial rolling hash over the character codes. It is reproducible in
+any SQL engine (the DuckDB oracles replay it with list_reduce), unlike
+Spark's xxhash64/murmur, and is the basis for MinHash signatures,
+SimHash and document fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_MULT = 31
+
+# Tiny multilingual stopword sets for the heuristic language scorer.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _chars(c: Column) -> Column:
+    # split on the empty pattern yields one element per character, but an
+    # empty input yields [""] — filter empties so "" hashes to the seed.
+    return F.filter(F.split(c, ""), lambda x: x != "")
+
+
+def poly_hash(s: Column | str, seed: int = 0, mult: int = POLY_MULT, mod: int = POLY_MOD) -> Column:
+    """Modular polynomial hash: fold h = (h*mult + ascii(ch)) % mod.
+
+    Deterministic, engine-portable, stays within int64 (mult*mod < 2^63).
+    """
+    c = _col(s)
+    return F.aggregate(
+        _chars(c),
+        F.lit(seed).cast("long"),
+        lambda acc, ch: (acc * F.lit(mult) + F.ascii(ch)) % F.lit(mod),
+    )
+
+
+def tokens(s: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank input -> empty array."""
+    c = F.trim(_col(s))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+
+
+def token_count(s: Column | str) -> Column:
+    return F.size(tokens(s))
+
+
+def stopword_ratio(s: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords (0.0 for empty)."""
+    sw = stopwords or STOPWORDS_EN
+    toks = tokens(s)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def non_alnum_ratio(s: Column | str) -> Column:
+    """Fraction of characters that are not [a-zA-Z0-9 ] (0.0 for empty)."""
+    c = _col(s)
+    total = F.length(c)
+    kept = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9 ]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        (total - kept).cast("double") / total.cast("double")
+    )

@@ -1,0 +1,125 @@
+"""Unit tests for the scalar function library (SURVEY §5.1): ip<->long,
+authority-domain extraction (incl. last-match and fallback), token and
+text stats. Semantics pinned against the reference implementations
+(Utils.scala:62-99, Constant.scala:10-18, DNSUtils.scala:39)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.domains import (
+    authority_domain,
+    is_junk_domain,
+    strip_scheme,
+)
+from dnsflow_clickhouse_spark.functions.net import first_octet, ip_to_long, long_to_ip
+from dnsflow_clickhouse_spark.functions.textfn import (
+    non_alnum_ratio,
+    poly_hash,
+    stopword_ratio,
+    token_count,
+)
+
+
+def _eval(spark, col, values, in_type="string"):
+    df = spark.createDataFrame([(v,) for v in values], f"v {in_type}")
+    return [r[0] for r in df.select(col).collect()]
+
+
+# --- reference parity: ipToLong (Utils.scala:82-99) ---
+
+
+def test_ip_to_long(spark):
+    vals = ["1.2.3.4", "0.0.0.0", "255.255.255.255", "10.0.0.1", "bogus", "1.2.3", "", "1.2.3.x"]
+    out = _eval(spark, ip_to_long(F.col("v")), vals)
+    assert out == [
+        (1 << 24) + (2 << 16) + (3 << 8) + 4,
+        0,
+        (1 << 32) - 1,
+        (10 << 24) + 1,
+        0,
+        0,
+        0,
+        0,
+    ]
+
+
+def test_long_to_ip_roundtrip(spark):
+    vals = ["1.2.3.4", "255.0.255.1", "0.0.0.0", "192.168.1.254"]
+    out = _eval(spark, long_to_ip(ip_to_long(F.col("v"))), vals)
+    assert out == vals
+
+
+def test_first_octet(spark):
+    assert _eval(spark, first_octet(F.col("v")), ["223.5.5.5", "8.8.8.8"]) == [223, 8]
+
+
+# --- reference parity: domian2Authority (Utils.scala:62-77) ---
+
+
+def test_authority_domain_basic(spark):
+    cases = {
+        "www.baidu.com": "baidu.com",
+        "a.b.qq.com": "qq.com",
+        "foo.example.org.cn": "example.org.cn",
+        "x.co": "x.co",
+        "service.gov.cn": "service.gov.cn",
+        "nomatch.zzz": "nomatch.zzz",  # fallback: whole domain
+        "plain": "plain",
+    }
+    out = _eval(spark, authority_domain(F.col("v")), list(cases))
+    assert out == list(cases.values())
+
+
+def test_authority_domain_last_match(spark):
+    # the reference keeps the LAST regex match (while find() loop,
+    # Utils.scala:67-71): for a domain embedding two candidate matches the
+    # later one must win.
+    out = _eval(spark, authority_domain(F.col("v")), ["a.com.cn.b.com.cn"])
+    # token chars include '.'-separated labels only; last match is "b.com.cn"
+    assert out == ["b.com.cn"]
+
+
+def test_strip_scheme(spark):
+    out = _eval(
+        spark, strip_scheme(F.col("v")), ["http://a.com", "https://b.net", "c.org"]
+    )
+    assert out == ["a.com", "b.net", "c.org"]
+
+
+def test_junk_domain_filter(spark):
+    junk = ["", "master01.local", "host.localdomain", "a b.com", "xDHCP", "myHOST", "Relteak1", "getCached2", "BlinkAP3"]
+    ok = ["www.baidu.com", "qq.com"]
+    out = _eval(spark, is_junk_domain(F.col("v")), junk + ok)
+    assert out == [True] * len(junk) + [False] * len(ok)
+
+
+# --- text stats ---
+
+
+def test_token_count(spark):
+    out = _eval(spark, token_count(F.col("v")), ["a b  c", "", "   ", "one"])
+    assert out == [3, 0, 0, 1]
+
+
+def test_stopword_ratio(spark):
+    out = _eval(spark, stopword_ratio(F.col("v")), ["the cat sat", "dog", ""])
+    assert out[0] == 1 / 3 and out[1] == 0.0 and out[2] == 0.0
+
+
+def test_non_alnum_ratio(spark):
+    out = _eval(spark, non_alnum_ratio(F.col("v")), ["ab!!", "", "abcd"])
+    assert out == [0.5, 0.0, 0.0]
+
+
+def test_poly_hash_deterministic_and_portable(spark):
+    # matches a pure-python replay of the same fold
+    def py_poly(s, seed=0, mult=31, mod=1_000_000_007):
+        h = seed
+        for ch in s:
+            h = (h * mult + ord(ch)) % mod
+        return h
+
+    vals = ["", "a", "hello world", "Zürich"[:4]]
+    out = _eval(spark, poly_hash(F.col("v")), vals)
+    assert out == [py_poly(v) for v in vals]

@@ -1,0 +1,106 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same sf directory, then compares row count, column names
+and an order-insensitive value hash (columns sorted by name, rows sorted
+by their stringified tuple). This is the tight feedback loop used while
+developing — run before every commit:
+
+    python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+from dnsflow_clickhouse_spark.schemas import TESTDATA_TABLES
+from dnsflow_clickhouse_spark.session import get_spark
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    return str(v)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), sorted_cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    spark = get_spark(app_name="verify-oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        s_n, s_c, s_h = frame_fingerprint(scols, srows)
+        status = []
+        if name in oracles:
+            res = con.sql(oracles[name])
+            orows = [tuple(r) for r in res.fetchall()]
+            ocols = list(res.columns)
+            o_n, o_c, o_h = frame_fingerprint(ocols, orows)
+            if s_n != o_n:
+                status.append(f"ROWS {s_n} != {o_n}")
+            if s_c != o_c:
+                status.append(f"COLS {s_c} != {o_c}")
+            if s_h != o_h:
+                status.append(f"HASH {s_h} != {o_h}")
+        else:
+            status.append("(rows-only)") if s_n >= 0 else None
+        ok = not any(x for x in status if not x.startswith("("))
+        dt = time.time() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name:28s} rows={s_n:<7d} {dt:5.1f}s {' '.join(status)}")
+        if not ok:
+            failures.append(name)
+            # dump a few mismatching lines for debugging
+            if name in oracles and s_n and o_n:
+                sset = {tuple(map(_norm, r)) for r in srows}
+                oset = {tuple(map(_norm, r)) for r in orows}
+                for x in list(sset - oset)[:3]:
+                    print("   spark-only:", x)
+                for x in list(oset - sset)[:3]:
+                    print("   oracle-only:", x)
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
