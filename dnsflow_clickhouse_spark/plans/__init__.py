@@ -1,0 +1,31 @@
+"""Plan-inspection helpers: assert that the physical plan has the shape
+we designed for (pushdown reached the scan, dims broadcast, codegen
+spans). Used by tests and by the bench notes — at 100 TB the plan shape
+IS the performance model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan and fragment in plan, (
+        f"expected pushed filter containing {fragment!r}; plan:\n{plan}"
+    )
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "Broadcast" in plan, f"expected a broadcast join; plan:\n{plan}"
+
+
+def count_exchanges(df: DataFrame) -> int:
+    return physical_plan(df).count("Exchange")
