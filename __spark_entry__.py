@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY
+from dnsflow_clickhouse_spark.queries import QUERY_REGISTRY
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

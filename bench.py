@@ -18,7 +18,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY
+from dnsflow_clickhouse_spark.queries import QUERY_REGISTRY
 from dnsflow_clickhouse_spark.session import get_spark
 
 
@@ -36,11 +36,13 @@ def main() -> None:
     for name, (fn, _) in QUERY_REGISTRY.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()  # forces full execution of the plan
+        # noop sink evaluates EVERY column (count() would let Catalyst
+        # prune the expensive ones and time a lie)
+        df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(

@@ -1,0 +1,115 @@
+"""Text-analysis operators (engine extension): heuristic language ID,
+document fingerprinting, quality filtering. All in-row Catalyst
+expressions over the shared textfn primitives — zero shuffle until the
+final aggregation a caller adds.
+
+Expression-shape rule (see operators/dedup.py): higher-order lambdas run
+interpreted and nested Columns re-inline their children, so
+``analyze_documents`` stages the token array once and derives every
+feature from the staged column; Column-level helpers remain for
+composition and tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import (
+    non_alnum_ratio,
+    poly_hash,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+_LANG_ORDER = ["de", "en", "es", "fr", "zh"]  # tie-break: alphabetical
+
+
+def _hits_from_tokens(toks: Column, lang: str) -> Column:
+    sw = LANG_STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    """Count of tokens belonging to ``lang``'s stopword list."""
+    return _hits_from_tokens(tokens(text), lang)
+
+
+def _guess_from_hits(hits: dict[str, Column]) -> Column:
+    best = F.greatest(*hits.values())
+    guess = F.lit("unknown")
+    # build right-to-left so earlier languages win ties
+    for lg in reversed(_LANG_ORDER):
+        guess = F.when((best > 0) & (hits[lg] == best), F.lit(lg)).otherwise(guess)
+    return guess
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax over language stopword hits; 'unknown' when all zero.
+    Ties resolve to the alphabetically-first language (deterministic)."""
+    return _guess_from_hits({lg: lang_hits(text, lg) for lg in _LANG_ORDER})
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 2-part document fingerprint: polynomial rolling hash
+    of the whole text combined with the token count — a cheap stable
+    identity for shard-level dedup bookkeeping."""
+    return F.concat_ws(
+        "-",
+        poly_hash(text).cast("string"),
+        token_count(text).cast("string"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length, alnum-ness, stopword-ness. The
+    expression shape is fixed so cross-engine doubles agree."""
+    toks = token_count(text).cast("double")
+    return F.round(
+        F.lit(0.3) * F.least(F.lit(1.0), toks / F.lit(200.0))
+        + F.lit(0.4) * (F.lit(1.0) - non_alnum_ratio(text))
+        + F.lit(0.3) * stopword_ratio(text),
+        6,
+    )
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family (toks, lang_guess,
+    quality, fp), with the token array staged once per row and every
+    feature derived from the staged columns."""
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    n_toks = F.col("toks")
+    hits = {lg: _hits_from_tokens(toks, lg) for lg in _LANG_ORDER}
+    from dnsflow_clickhouse_spark.functions.textfn import STOPWORDS_EN
+
+    sw_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS_EN)))
+    quality = F.round(
+        F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / F.lit(200.0))
+        + F.lit(0.4) * (F.lit(1.0) - non_alnum_ratio(t))
+        + F.lit(0.3)
+        * F.when(n_toks == 0, F.lit(0.0)).otherwise(
+            sw_hits.cast("double") / n_toks.cast("double")
+        ),
+        6,
+    )
+    return (
+        df.withColumn("__toks", tokens(t))
+        .withColumn("toks", F.size(toks).cast("long"))
+        .withColumn("lang_guess", _guess_from_hits(hits))
+        .withColumn("quality", quality)
+        .withColumn(
+            "fp",
+            F.concat_ws("-", poly_hash(t).cast("string"), n_toks.cast("string")),
+        )
+        .drop("__toks")
+    )

@@ -587,19 +587,14 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring (text-analysis extension): length,
     punctuation and stopword components combined with fixed expression
     shape so the double arithmetic is engine-identical."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import analyze_documents
+
     d = load_table(spark, sf_dir, "documents")
-    toks = token_count("text").cast("double")
-    score = F.round(
-        F.lit(0.3) * F.least(F.lit(1.0), toks / F.lit(200.0))
-        + F.lit(0.4) * (F.lit(1.0) - non_alnum_ratio("text"))
-        + F.lit(0.3) * stopword_ratio("text"),
-        6,
+    return (
+        analyze_documents(d.repartition(F.col("doc_id")))
+        .select("doc_id", "toks", "quality")
+        .orderBy("doc_id")
     )
-    return d.select(
-        "doc_id",
-        token_count("text").cast("long").alias("toks"),
-        score.alias("quality"),
-    ).orderBy("doc_id")
 
 
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)

@@ -1,0 +1,316 @@
+"""Training-data-pipeline queries (dedup / similarity / text analysis)
+with DuckDB oracles.
+
+The oracles replay the engine's *portable* primitives in SQL:
+- ``poly_hash`` -> list_reduce over character codes (same fold)
+- MinHash/SimHash/fingerprints -> same integer arithmetic
+- embedding math -> integer-quantized vectors; dot products stay exact
+  (< 2^53) so double conversion is deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD
+from dnsflow_clickhouse_spark.operators.dedup import (
+    _perm_consts,
+    lsh_candidate_pairs,
+    minhash_bands_df,
+    ngram_jaccard_pairs,
+    simhash_df,
+    embedding_near_dups,
+)
+from dnsflow_clickhouse_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+)
+from dnsflow_clickhouse_spark.operators.text_analysis import (
+    LANG_STOPWORDS,
+    _LANG_ORDER,
+    analyze_documents,
+)
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# SQL builders replaying the portable primitives
+# ---------------------------------------------------------------------------
+
+
+def _sql_poly(expr: str, seed: int = 0) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {POLY_MOD})"
+    )
+
+
+_SQL_TOKS = r"""CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(text), '\s+') END"""
+
+# distinct token trigrams, mirroring operators.dedup.token_ngrams(n=3)
+_SQL_GRAMS = """CASE
+  WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+        generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+  ELSE CAST([] AS VARCHAR[]) END"""
+
+
+def _sql_quant(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES, N_BANDS, ROWS_PER_BAND = 8, 4, 2
+
+
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash band buckets (the LSH index content):
+    staged in-row signatures -> banded hashes, no shuffle after the
+    parallelizing repartition."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_bands_df(d, "doc_id", "text", N_HASHES, N_BANDS, 3).select(
+        F.col("id").alias("doc_id"), "band", "band_hash"
+    )
+
+
+def _sql_minhash_sig() -> str:
+    base = f"list_transform(grams, g -> {_sql_poly('g')})"
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(base, h -> ({a} * h + {b}) % {POLY_MOD})), {POLY_MOD})"
+        for a, b in _perm_consts(N_HASHES)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM t),
+b AS (SELECT doc_id, {base} AS base FROM g),
+s AS (SELECT doc_id, [{mins}] AS sig FROM b)
+"""
+
+
+def _sql_band_hash(b: int) -> str:
+    concat = " || ':' || ".join(
+        f"CAST(sig[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
+    )
+    return _sql_poly(f"({concat})", seed=b + 1)
+
+
+_MINHASH_BANDS_SQL = _sql_minhash_sig() + f"""
+SELECT doc_id, band, band_hash FROM (
+  {' UNION ALL '.join(f"SELECT doc_id, CAST({b} AS INT) AS band, {_sql_band_hash(b)} AS band_hash FROM s" for b in range(N_BANDS))}
+) ORDER BY doc_id, band
+"""
+
+
+def lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate near-duplicate pairs (equi-join on band
+    buckets — the 100 TB-safe all-pairs replacement)."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "doc_id", "text", N_HASHES, N_BANDS, 3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_LSH_PAIRS_SQL = _sql_minhash_sig() + f"""
+, bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_hash(b)} AS band_hash FROM s" for b in range(N_BANDS))}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs at threshold 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM t),
+e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, inter, round(inter / (na + nb - inter), 6) AS jaccard
+FROM p WHERE round(inter / (na + nb - inter), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit portable SimHash per document (64-bit xxhash64 variant is
+    the production default in operators.dedup.simhash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_df(d, "doc_id", "text", 16).select(
+        F.col("id").alias("doc_id"), F.col("simhash").alias("simhash16")
+    ).orderBy("doc_id")
+
+
+def _sql_simhash16() -> str:
+    hs = f"list_transform(toks, t -> {_sql_poly('t')})"
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs) THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {hs} AS hs FROM t)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM h ORDER BY doc_id
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang: confusion counts."""
+    d = analyze_documents(load_table(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _sql_langid() -> str:
+    hit = {
+        lg: f"len(list_filter(toks, t -> lower(t) IN ({', '.join(repr(w) for w in LANG_STOPWORDS[lg])})))"
+        for lg in _LANG_ORDER
+    }
+    best = f"greatest({', '.join(hit.values())})"
+    case = " ".join(
+        f"WHEN best > 0 AND {hit[lg]} = best THEN '{lg}'" for lg in _LANG_ORDER
+    )
+    return f"""
+WITH t AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT lang, toks, {best} AS best FROM t),
+g AS (SELECT lang, CASE {case} ELSE 'unknown' END AS lang_guess FROM s)
+SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable rolling-hash document fingerprints."""
+    d = analyze_documents(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fp").orderBy("doc_id")
+
+
+_FP_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST({_sql_poly('text')} AS VARCHAR) || '-' || CAST(len(toks) AS VARCHAR) AS fp
+FROM t ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+KNN_QUERIES, KNN_K = 20, 3
+
+
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-3 for the first 20 query vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding", KNN_K
+    ).orderBy("query_id", "rnk")
+
+
+_KNN_SQL = f"""
+WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+  FROM q a JOIN q b ON a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
+"""
+
+N_PLANES = 8
+_C = 2654435761 % 1_000_003
+
+
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-3 (the scale path: equi-join on
+    bucket instead of all-pairs; recall < 1 by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding",
+        KNN_K, N_PLANES,
+    ).orderBy("query_id", "rnk")
+
+
+def _sql_bucket(vcol: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        x = f"(CAST(i + 1 AS BIGINT) * {_C} + {p * 97 + 13})"
+        proj = (
+            f"list_sum(list_transform(generate_series(0, len({vcol}) - 1), "
+            f"i -> {vcol}[i + 1] * (({x} * {x}) % 1009 - 504)))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_ANN_SQL = f"""
+WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
+bq AS (SELECT vec_id, qv, {_sql_bucket('qv')} AS bucket FROM q),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+  FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding-cosine near-duplicates at threshold 0.4."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, "vec_id", "embedding", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_NEARDUP_SQL = f"""
+WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.qv, b.qv)
+             / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.qv, b.qv)
+            / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+MLOPS_REGISTRY = {
+    "minhash_band_buckets": (minhash_band_buckets, _MINHASH_BANDS_SQL),
+    "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
+    "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
+    "simhash_docs": (simhash_docs, _sql_simhash16()),
+    "lang_id_confusion": (lang_id_confusion, _sql_langid()),
+    "doc_fingerprints": (doc_fingerprints, _FP_SQL),
+    "embedding_knn": (embedding_knn, _KNN_SQL),
+    "embedding_lsh_ann": (embedding_lsh_ann, _LSH_ANN_SQL),
+    "embedding_neardup": (embedding_neardup, _NEARDUP_SQL),
+}

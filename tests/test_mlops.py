@@ -1,0 +1,184 @@
+"""Tests for the training-data-pipeline operator family: dedup
+(exact/MinHash-LSH/SimHash/Jaccard), embedding similarity, text
+analysis, and the multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_band_hashes,
+    minhash_bands_df,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_df,
+    token_ngrams,
+)
+from dnsflow_clickhouse_spark.operators.multimodal import extract_features
+from dnsflow_clickhouse_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+    int_dot,
+    int_dot_pandas,
+    quantize,
+)
+from dnsflow_clickhouse_spark.operators.text_analysis import analyze_documents
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 0
+    (2, "the quick brown fox jumps over the lazy dog again and AGAIN!"),  # near-dup
+    (3, "completely different words about spark catalyst tungsten engine"),
+    (4, ""),
+    (5, "one two"),  # fewer tokens than the trigram width
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_token_ngrams_edges(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], ["t"])
+    out = [r[0] for r in df.select(token_ngrams(F.col("t"), 3)).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == ["a b"]  # short doc -> single joined gram
+    assert out[2] == []
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, ["text"], "doc_id").select("doc_id", "keep_id", "is_dup")
+    got = {r.doc_id: (r.keep_id, r.is_dup) for r in out.collect()}
+    assert got[0] == (0, 0) and got[1] == (0, 1)  # 1 is dup of 0
+    assert got[2] == (2, 0) and got[3] == (3, 0)
+
+
+def test_minhash_bands_df_matches_column_form(docs):
+    """The staged bulk pipeline must equal banding the Column-form sig."""
+    sig = minhash_signature(F.col("text"), 8, ngram=3)
+    expected = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(minhash_band_hashes(sig, 4, 2)).alias("bh"),
+        )
+        .select("id", "bh.band", "bh.band_hash")
+    )
+    staged = minhash_bands_df(docs, "doc_id", "text", 8, 4, 3)
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_lsh_finds_duplicates(docs):
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (0, 1) in pairs  # exact dups always collide in every band
+    for a, b in pairs:  # no pair may involve the unrelated doc 3
+        assert 3 not in (a, b)
+
+
+def test_jaccard_pairs(docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert (0, 3) not in out
+
+
+def test_simhash_df_matches_column_form(docs):
+    col_form = {
+        r.doc_id: r.s for r in docs.select("doc_id", simhash(F.col("text"), 16).alias("s")).collect()
+    }
+    staged = {r.id: r.simhash for r in simhash_df(docs, "doc_id", "text", 16).collect()}
+    assert staged == col_form
+    assert staged[0] == staged[1]  # identical docs -> identical simhash
+
+
+def test_int_dot_pandas_matches_expression(spark):
+    df = spark.createDataFrame(
+        [(list(range(10)), list(range(10, 20))), ([1, 2], [3, 4])], ["a", "b"]
+    ).select(
+        F.col("a").cast("array<long>").alias("a"), F.col("b").cast("array<long>").alias("b")
+    )
+    got = df.select(
+        int_dot_pandas(F.col("a"), F.col("b")).alias("p"),
+        int_dot(F.col("a"), F.col("b")).alias("e"),
+    ).collect()
+    for r in got:
+        assert r.p == r.e
+
+
+def test_cosine_topk(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),  # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    out = cosine_topk(vecs, vecs, "vec_id", "embedding", k=2).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id))
+    assert sorted(by_query[0])[0] == (1, 1)  # rank-1 neighbor of 0 is 1
+    for q, lst in by_query.items():
+        assert all(n != q for _, n in lst)  # self excluded
+        assert [rk for rk, _ in sorted(lst)] == [1, 2]
+
+
+def test_hyperplane_lsh_subset_of_exact(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    ann = hyperplane_lsh_topk(vecs, vecs, "vec_id", "embedding", k=3, n_planes=4)
+    got = ann.collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.query_id != r.neighbor_id
+        assert -1.0 <= r.cosine <= 1.0
+
+
+def test_analyze_documents_columns(docs):
+    out = analyze_documents(docs)
+    row = {r.doc_id: r for r in out.collect()}
+    assert row[0].toks == 12 and row[4].toks == 0
+    assert row[0].lang_guess == "en"
+    assert row[3].quality > 0
+    assert row[0].fp == row[1].fp  # identical docs -> identical fingerprint
+    assert row[0].fp != row[2].fp
+
+
+def test_multimodal_plumbing(spark):
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, kind="image", payload=bytearray(b"\x89PNG fake bytes")),
+            Row(asset_id=2, kind="video", payload=bytearray(b"\x00\x00ftyp fake")),
+            Row(asset_id=3, kind="audio", payload=None),
+        ]
+    )
+    out = extract_features(assets, decode_stub=True).collect()
+    by_id = {r.asset_id: r for r in out}
+    assert by_id[1].byte_len == 15 and by_id[3].byte_len == 0
+    assert len(by_id[1].content_sha) == 64
+    assert 1 <= by_id[2].frames_sampled <= 4
+    # the stub is deterministic: same payload -> same features
+    out2 = extract_features(assets, decode_stub=True).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_multimodal_real_decode_raises(spark):
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, kind="image", payload=bytearray(b"x"))]
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        extract_features(assets, decode_stub=False).collect()
