@@ -36,10 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD, poly_hash, tokens
-from dnsflow_clickhouse_spark.operators.similarity import (
-    int_dot_pandas,
-    quantize,
-)
+from dnsflow_clickhouse_spark.operators.similarity import quantize
 
 # Fixed affine permutation constants for MinHash: h_i(x) = (a_i*x + b_i) % P.
 # Deterministic, odd multipliers, engine-portable.
@@ -163,11 +160,18 @@ def minhash_bands_df(
     (n_bands rows/doc); no shuffle besides the initial repartition.
     """
     rows = n_hashes // n_bands
-    staged = (
+    sigs = (
         staged_grams(df, id_col, text_col, ngram)
         .select("id", _base_hashes(F.col("grams"), hash_fn).alias("__base"))
         .select("id", _sig_from_base(F.col("__base"), n_hashes).alias("sig"))
-        .select("id", F.explode(minhash_band_hashes(F.col("sig"), n_bands, rows)).alias("bh"))
+        # plan-truncating barrier: Generate re-evaluates its input
+        # expression per emitted row, so explode over the live signature
+        # pipeline would redo the hash work n_bands times; checkpointing
+        # the compact (id, sig) rows makes the explode read attributes
+        .localCheckpoint(eager=True)
+    )
+    staged = sigs.select(
+        "id", F.explode(minhash_band_hashes(F.col("sig"), n_bands, rows)).alias("bh")
     )
     return staged.select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
@@ -276,18 +280,40 @@ def ngram_jaccard_pairs(
     first and verify only candidates with this."""
     grams = (
         staged_grams(df, id_col, text_col, ngram)
+        # same Generate-input barrier as minhash_bands_df: explode over
+        # the live gram pipeline re-evaluates it per emitted gram
+        .localCheckpoint(eager=True)
         .select("id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
     )
-    a = grams.alias("a")
-    b = grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_grams").alias("na"),
-            F.col("b.n_grams").alias("nb"),
+    # group each shingle's postings and expand (a < b) pairs in-row: the
+    # gram pipeline runs ONCE (a self-join would recompute it per side)
+    buckets = (
+        grams.groupBy("g")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("n_grams")))
+            ).alias("xs")
         )
+        .filter(F.size("xs") > 1)
+    )
+    xs = F.col("xs")
+    pair_arr = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + F.lit(2), F.size(xs)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n_grams"].alias("na"),
+                    y["n_grams"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.id_a", "p.id_b", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
@@ -306,33 +332,61 @@ def embedding_near_dups(
     scale: int = 10000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via exact quantized integer
-    dot products (deterministic across engines; the dot runs in a
-    vectorized Arrow/numpy pandas UDF). All-pairs — use the LSH route in
-    similarity.py at scale."""
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
-        .repartition(F.col("id"))
-        .select(
-            "id",
-            quantize(F.col("__v"), scale).alias("q"),
-        )
-        .withColumn(
-            "nrm",
-            F.sqrt(
-                F.aggregate(
-                    F.col("q"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
-                ).cast("double")
-            ),
-        )
+    dot products (deterministic across engines).
+
+    Plan: the quantized corpus matrix is collected once and broadcast
+    (ids + int64 matrix + norms — 3 compact numpy arrays); each
+    ``mapInPandas`` batch then runs ONE exact int64 block-matmul
+    ``A_batch @ M.T`` and emits only the (id_a < id_b, cosine >=
+    threshold) survivors. No pair rows ever cross the wire — versus a
+    self-join this removes the O(n²) Arrow pair traffic entirely.
+
+    Scale note: all-pairs work is inherently O(n²); this operator is the
+    exact-verification kernel. At 100 TB, bucket first (hyperplane LSH in
+    similarity.py) and run this per bucket, or shard the broadcast matrix
+    by bucket. The broadcast holds n·d int64 (~1 GB per 1M×128 vectors) —
+    fine for the verification side, not for a raw 100 TB corpus.
+    """
+    return _block_neardup(df, id_col, vec_col, threshold, scale)
+
+
+def _block_neardup(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, scale: int
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q"))
+    rows = base.collect()
+    ids = np.array([r.id for r in rows], dtype=np.int64)
+    mat = np.array([r.q for r in rows], dtype=np.int64)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.round(
-            int_dot_pandas(F.col("a.q"), F.col("b.q")).cast("double")
-            / (F.col("a.nrm") * F.col("b.nrm")),
-            6,
-        ).alias("cosine"),
-    )
-    return pairs.filter(F.col("cosine") >= threshold)
+
+    def block(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            a_norms = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat).astype(np.float64))
+            dots = a_mat @ b_mat.T  # exact int64
+            cos = np.round(dots / np.outer(a_norms, b_norms), 6)
+            keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bj], "cosine": cos[ai, bj]}
+            )
+
+    return base.repartition(F.col("id")).mapInPandas(block, schema=out_schema)

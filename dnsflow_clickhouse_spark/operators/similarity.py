@@ -114,22 +114,53 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (brute force baseline).
 
+    Plan: the query matrix (small by construction) is collected and
+    broadcast; each corpus block computes one exact int64 matmul
+    ``Q @ C_block.T`` and emits compact (query_id, neighbor_id, cosine)
+    scalars; a window rank keeps the global top-k. Per-executor work is
+    a BLAS-shaped kernel; nothing O(|Q|·|C|) crosses the wire as arrays.
+
     Output: query_id, neighbor_id, cosine (rounded to 6), rnk.
     """
-    q = _staged(queries, id_col, vec_col, "query_id").withColumnRenamed("q", "qv").withColumnRenamed("nrm", "qn")
-    c = _staged(corpus, id_col, vec_col, "neighbor_id").withColumnRenamed("q", "cv").withColumnRenamed("nrm", "cn")
-    pairs = q.crossJoin(c)
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            int_dot_pandas(F.col("qv"), F.col("cv")).cast("double")
-            / (F.col("qn") * F.col("cn")),
-            6,
-        ).alias("cosine"),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q")
+    ).collect()
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q for r in q_rows], dtype=np.int64)
+    q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def block(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            c_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            c_norms = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64))
+            cos = np.round((mat @ c_mat.T) / np.outer(norms, c_norms), 6)
+            qi, cj = np.nonzero(np.ones_like(cos, dtype=bool))
+            yield pd.DataFrame(
+                {"query_id": ids[qi], "neighbor_id": c_ids[cj], "cosine": cos[qi, cj]}
+            )
+
+    c = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    scored = c.repartition(F.col("id")).mapInPandas(block, schema=out_schema)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     return _rank_topk(scored, k)
 
 
