@@ -303,6 +303,55 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset feature extraction through the mapInPandas plumbing:
+    documents become opaque binary payloads (utf-8 bytes) with a typed
+    ``kind``, then flow through the Arrow-batched decode/resize/
+    frame-sample stage (deterministic stub decoder — see
+    operators.multimodal)."""
+    from dnsflow_clickhouse_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).repartition(F.col("asset_id"))
+    return extract_features(assets, decode_stub=True).orderBy("asset_id")
+
+
+def _hexpair(i: int) -> str:
+    d = "0123456789abcdef"
+    return (
+        f"((strpos('{d}', substr(sha, {i}, 1)) - 1) * 16"
+        f" + (strpos('{d}', substr(sha, {i + 1}, 1)) - 1))"
+    )
+
+
+_MULTIMODAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS asset_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS byte_len,
+         sha256(text) AS sha
+  FROM documents
+)
+SELECT asset_id, kind, byte_len, sha AS content_sha,
+       CAST(least(16 + {_hexpair(1)} % 64, 32) AS INT) AS feat_width,
+       CAST(least(16 + {_hexpair(3)} % 64, 32) AS INT) AS feat_height,
+       CAST((1 + {_hexpair(5)} % 8 + 1) // 2 AS INT) AS frames_sampled
+FROM t ORDER BY asset_id
+"""
+
+
 MLOPS_REGISTRY = {
     "minhash_band_buckets": (minhash_band_buckets, _MINHASH_BANDS_SQL),
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
@@ -313,4 +362,5 @@ MLOPS_REGISTRY = {
     "embedding_knn": (embedding_knn, _KNN_SQL),
     "embedding_lsh_ann": (embedding_lsh_ann, _LSH_ANN_SQL),
     "embedding_neardup": (embedding_neardup, _NEARDUP_SQL),
+    "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
 }

@@ -1,0 +1,114 @@
+"""Streaming §2.10 coverage: file-source Structured Stream with
+foreachBatch must produce the same reports as the plain batch path, and
+the backfill loop must replay windows. (The reference achieves streaming
+with a DStream clock hack — DnsRptCH.scala:1213-1219; behavior parity,
+not mechanism parity, is the contract.)"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from tests.fixtures_dns import APP_TIME, WINDOW, build_dims, raw_lines
+
+from dnsflow_clickhouse_spark.streaming.pipeline import (
+    process_batch,
+    run_backfill,
+    run_batch_from_lines,
+    start_stream,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    dims = build_dims(spark)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "chunk-000.txt").write_text("\n".join(raw_lines()), encoding="utf-8")
+
+    got: dict[str, list] = {}
+
+    def sink(name, df, t):
+        got[name] = _rows(df)
+        got.setdefault("__times", []).append(t)
+
+    q = start_stream(
+        spark,
+        str(inp),
+        dims,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+        deterministic=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert got, "stream produced no reports"
+    assert set(got["__times"]) == {APP_TIME}
+
+    lines_df = spark.createDataFrame([(l,) for l in raw_lines()], "value string")
+    expected = run_batch_from_lines(lines_df, dims, APP_TIME, deterministic=True)
+    for name in ("dns_flow_qps", "dns_flow_response_code", "dns_flow_trend"):
+        assert got[name] == _rows(expected[name]), f"stream != batch for {name}"
+
+
+def test_stream_late_file_triggers_same_window(spark, tmp_path):
+    """A second file with more of the SAME window's data reprocesses that
+    window (the reference's fixed late allowance)."""
+    dims = build_dims(spark)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    lines = raw_lines(corrupt=False)
+    # the APP_TIME+WINDOW edge event closes the window so the handler
+    # selects [APP_TIME, APP_TIME+300) as the most recent finished one
+    closer = next(l for l in lines if f'"Timestamp": {APP_TIME + WINDOW}' in l)
+    (inp / "a.txt").write_text("\n".join(lines[:100] + [closer]), encoding="utf-8")
+
+    calls: list[tuple[int, int]] = []
+
+    def sink(name, df, t):
+        if name == "dns_flow_qps":
+            calls.append((t, df.count()))
+
+    q = start_stream(
+        spark, str(inp), dims, sink,
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_seconds=1,
+        deterministic=True,
+    )
+    try:
+        q.processAllAvailable()
+        n_first = len(calls)
+        (inp / "b.txt").write_text("\n".join(lines[100:200] + [closer]), encoding="utf-8")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert n_first >= 1
+    assert len(calls) > n_first, "late file did not trigger a new batch"
+    assert all(t == APP_TIME for t, _ in calls)
+
+
+def test_backfill_replays_windows(spark):
+    dims = build_dims(spark)
+    lines_df = spark.createDataFrame([(l,) for l in raw_lines()], "value string")
+    from dnsflow_clickhouse_spark.sources.events import parse_raw_lines
+
+    events = parse_raw_lines(lines_df)
+
+    seen: dict[tuple[str, int], int] = {}
+
+    def sink(name, df, t):
+        seen[(name, t)] = df.count()
+
+    run_backfill(
+        spark, events, dims, APP_TIME, APP_TIME + 2 * WINDOW, sink, deterministic=True
+    )
+    # window 1 holds the bulk; window 2 sees only the single event pinned
+    # at APP_TIME+WINDOW (qps emits the all-clients sentinel + 1 client)
+    assert seen[("dns_flow_qps", APP_TIME)] > 2
+    assert seen[("dns_flow_qps", APP_TIME + WINDOW)] == 2
