@@ -8,13 +8,64 @@ sources.dims.write_jdbc as an optional backend.
 from __future__ import annotations
 
 import os
+from datetime import datetime, timedelta, timezone
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_report(df: DataFrame, base_dir: str, table: str, mode: str = "append") -> None:
     """Append-only report sink, one directory per report table."""
     df.write.mode(mode).parquet(os.path.join(base_dir, table))
+
+
+def write_events_partitioned(events: DataFrame, path: str, mode: str = "append") -> None:
+    """S2 scale layout: events land in a (date, hour)-partitioned parquet
+    table instead of the reference's flat 10-second HDFS files
+    (DnsRptCH.scala:983-1011 enumerates paths by hand to fake partition
+    pruning). With a partitioned table, Catalyst prunes for free."""
+    (
+        events.withColumn("date", F.date_format("ts", "yyyyMMdd"))
+        .withColumn("hour", F.date_format("ts", "HH"))
+        .write.partitionBy("date", "hour")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_events_window(
+    spark: SparkSession, path: str, start_s: int, end_s: int
+) -> DataFrame:
+    """Window scan over the partitioned events table.
+
+    The (date, hour) membership predicate hits only partition columns, so
+    it resolves at planning time (PartitionFilters in the scan — zero
+    data files touched outside the window's hours); the ``ts`` bounds
+    then cut row-exactly inside the edge hours. This replaces the
+    reference's driver-side path existence probe with the same pruning,
+    engine-side.
+    """
+    hours: set[tuple[str, str]] = set()
+    t = start_s - (start_s % 3600)
+    while t < end_s:
+        d = datetime.fromtimestamp(t, tz=timezone.utc)
+        hours.add((d.strftime("%Y%m%d"), d.strftime("%H")))
+        t += 3600
+    df = spark.read.parquet(path)
+    # OR of plain (date =, hour =) conjuncts: predicates over raw
+    # partition columns, guaranteed to resolve at planning time
+    prune = None
+    for d, h in sorted(hours):
+        c = (F.col("date") == d) & (F.col("hour") == h)
+        prune = c if prune is None else (prune | c)
+    return (
+        df.filter(prune)
+        .filter(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(start_s)))
+            & (F.col("ts") < F.timestamp_seconds(F.lit(end_s)))
+        )
+        .drop("date", "hour")
+    )
 
 
 def write_middle_data(df: DataFrame, path: str, partitions: int = 12) -> None:

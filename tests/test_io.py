@@ -1,0 +1,73 @@
+"""Sink/source tests: partitioned events table with Catalyst partition
+pruning (S2), report parquet sink (K1 default), middle-data text sink
+(K2)."""
+
+from __future__ import annotations
+
+from tests.fixtures_dns import APP_TIME, WINDOW, raw_lines
+
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.io import (
+    read_events_window,
+    write_events_partitioned,
+    write_middle_data,
+    write_report,
+)
+from dnsflow_clickhouse_spark.sources.events import derive_events, parse_raw_lines
+
+
+def _events(spark):
+    lines = spark.createDataFrame([(l,) for l in raw_lines()], "value string")
+    return derive_events(parse_raw_lines(lines), deterministic_aip=True)
+
+
+def test_partitioned_events_roundtrip_and_pruning(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "events_table")
+    write_events_partitioned(ev, path)
+
+    win = read_events_window(spark, path, APP_TIME, APP_TIME + WINDOW)
+    expected = ev.filter(
+        (F.col("ts") >= F.timestamp_seconds(F.lit(APP_TIME)))
+        & (F.col("ts") < F.timestamp_seconds(F.lit(APP_TIME + WINDOW)))
+    )
+    assert win.count() == expected.count() > 0
+
+    # partition pruning must be visible in the physical plan: the scan
+    # carries PartitionFilters and the ts bound is pushed to parquet
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_window_read_excludes_other_hours(spark, tmp_path):
+    ev = _events(spark)
+    path = str(tmp_path / "events_table")
+    write_events_partitioned(ev, path)
+    # a window one day later must read zero rows (and zero partitions)
+    empty = read_events_window(
+        spark, path, APP_TIME + 86400, APP_TIME + 86400 + WINDOW
+    )
+    assert empty.count() == 0
+
+
+def test_report_sink_appends(spark, tmp_path):
+    df = spark.range(5).withColumnRenamed("id", "v")
+    write_report(df, str(tmp_path), "dns_flow_qps")
+    write_report(df, str(tmp_path), "dns_flow_qps")
+    back = spark.read.parquet(str(tmp_path / "dns_flow_qps"))
+    assert back.count() == 10
+
+
+def test_middle_data_sink_sep_and_files(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("alice", "www.baidu.com", 3), ("bob", "www.qq.com", 5)],
+        "userName string, domain string, cnt long",
+    )
+    out = tmp_path / "middle"
+    write_middle_data(df, str(out), partitions=2)
+    files = [p for p in out.iterdir() if p.name.startswith("part-")]
+    assert 1 <= len(files) <= 2
+    body = "".join(p.read_text() for p in files)
+    assert "\x01" in body and "alice" in body
