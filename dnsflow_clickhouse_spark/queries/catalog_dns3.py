@@ -1,0 +1,213 @@
+"""Third query batch: the geo range-join scale path (prefix-bucketed
+equi-join, reference IpSearch.java:63-74 / SURVEY §2.1 S7), full
+window-function breadth, the A22 tag-profile pattern, and keep-first
+record dedup.
+
+Oracle stance: the SQL expresses the *semantics* (DuckDB can compute the
+synthetic geo labels arithmetically); the Spark side must produce the
+same result through the operator under test (broadcast hash range join,
+window rank, broadcast dim join + array ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.operators.range_join import prefix_bucketed_range_join
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- S7/J5 scale path: prefix-bucketed broadcast range join -------------
+# Synthetic geo rules: every first octet o in [1, 223] splits into a low
+# and a high half-range, labeled region R{o%7} / tier {half}. 446
+# disjoint rules — enough that a naive BNLJ probe scans all of them while
+# the bucketed plan probes ~2.
+
+_OCTETS = range(1, 224)
+_HALF = 1 << 23
+
+
+def _geo_rules(spark: SparkSession) -> DataFrame:
+    rows = []
+    for o in _OCTETS:
+        base = o << 24
+        rows.append((base, base + _HALF - 1, f"R{o % 7}", 0))
+        rows.append((base + _HALF, base + (1 << 24) - 1, f"R{o % 7}", 1))
+    return spark.createDataFrame(
+        rows, "min_long_ip long, max_long_ip long, region string, tier int"
+    )
+
+
+def _synth_ip_long() -> F.Column:
+    e = F.col("event_id")
+    return (
+        (e % 223 + 1) * 16777216
+        + ((e * 37) % 256) * 65536
+        + ((e * 53) % 256) * 256
+        + ((e * 71) % 256)
+    ).cast("long")
+
+
+def geo_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(region, tier) event counts via the prefix-bucketed broadcast
+    range join — the reference's binary-search geo lookup re-expressed as
+    an equi-join on the first octet plus a residual range predicate."""
+    ev = _ev(spark, sf_dir).select(_synth_ip_long().alias("ip_long"))
+    joined = prefix_bucketed_range_join(
+        ev,
+        _geo_rules(spark),
+        "ip_long",
+        fact_bucket=(F.col("ip_long") / F.lit(16777216)).cast("long"),
+        defaults={"region": "unknown", "tier": -1},
+    )
+    return (
+        joined.groupBy("region", "tier")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("ip_long").alias("ip_sum"))
+        .orderBy("region", "tier")
+    )
+
+
+_GEO_ROLLUP_SQL = """
+WITH ips AS (
+  SELECT (event_id % 223 + 1) * 16777216 + ((event_id * 37) % 256) * 65536
+         + ((event_id * 53) % 256) * 256 + ((event_id * 71) % 256) AS ip_long
+  FROM events
+)
+SELECT 'R' || CAST((ip_long // 16777216) % 7 AS VARCHAR) AS region,
+       CAST((ip_long % 16777216) // 8388608 AS INT) AS tier,
+       count(*) AS cnt, sum(ip_long) AS ip_sum
+FROM ips GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- window-function breadth: lead / dense_rank / ntile / percent_rank --
+
+
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lead("event_id", 1).over(w).alias("next_event_id"),
+            F.dense_rank().over(Window.partitionBy("user_id").orderBy("event_type")).alias("type_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(
+                F.avg(cents).over(w.rowsBetween(-2, 0)) / 100.0, 2
+            ).alias("moving_avg3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_WINDOW_SUITE_SQL = """
+SELECT user_id, event_id,
+       lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event_id,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS type_rank,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS quartile,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY event_id), 6) AS pct_rank,
+       round(avg(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 2) AS moving_avg3
+FROM events WHERE user_id < 10
+ORDER BY user_id, event_id
+"""
+
+
+# --- A22 tag profiles: distinct pairs -> broadcast tag dim -> flattened
+#     distinct tag array (UserRpt.scala:141-191), exploded to scalars ---
+
+_TAG_DIM = [
+    ("click", "engage", "ui", "web"),
+    ("view", "engage", "passive", "web"),
+    ("purchase", "convert", "money", "web"),
+    ("signup", "convert", "identity", "web"),
+    # 'error' intentionally unmapped -> all-unknown, dropped like the
+    # reference's 未知|未知|未知 filter
+]
+
+
+def user_tag_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).filter(F.col("user_id") < 50)
+    dim = spark.createDataFrame(
+        _TAG_DIM, "event_type string, tag1 string, tag2 string, tag3 string"
+    )
+    pairs = ev.select("user_id", "event_type").dropDuplicates()
+    tagged = pairs.join(F.broadcast(dim), "event_type", "left").select(
+        "user_id",
+        F.array(
+            F.coalesce("tag1", F.lit("unknown")),
+            F.coalesce("tag2", F.lit("unknown")),
+            F.coalesce("tag3", F.lit("unknown")),
+        ).alias("tags3"),
+    )
+    known = tagged.filter(~F.array_contains("tags3", "unknown"))
+    profiles = known.groupBy("user_id").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("tags3")))).alias("tags")
+    )
+    return (
+        profiles.select("user_id", F.explode("tags").alias("tag"))
+        .orderBy("user_id", "tag")
+    )
+
+
+_USER_TAGS_SQL = """
+WITH dim(event_type, tag1, tag2, tag3) AS (
+  VALUES ('click','engage','ui','web'), ('view','engage','passive','web'),
+         ('purchase','convert','money','web'), ('signup','convert','identity','web')
+),
+pairs AS (SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 50),
+tagged AS (
+  SELECT p.user_id, d.tag1, d.tag2, d.tag3
+  FROM pairs p JOIN dim d USING (event_type)
+),
+flat AS (
+  SELECT DISTINCT user_id, tag FROM (
+    SELECT user_id, tag1 AS tag FROM tagged
+    UNION ALL SELECT user_id, tag2 FROM tagged
+    UNION ALL SELECT user_id, tag3 FROM tagged
+  )
+)
+SELECT user_id, tag FROM flat ORDER BY user_id, tag
+"""
+
+
+# --- keep-first dedup (canonical-record selection) ----------------------
+
+
+def dedup_keep_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical (earliest) event per (user_id, event_type): the
+    window-rank keep-first pattern every ingest pipeline needs."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    )
+
+
+_DEDUP_FIRST_SQL = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+DNS3_REGISTRY = {
+    "geo_region_rollup": (geo_region_rollup, _GEO_ROLLUP_SQL),
+    "window_suite": (window_suite, _WINDOW_SUITE_SQL),
+    "user_tag_profiles": (user_tag_profiles, _USER_TAGS_SQL),
+    "dedup_keep_first_events": (dedup_keep_first_events, _DEDUP_FIRST_SQL),
+}
