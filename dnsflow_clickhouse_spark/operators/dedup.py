@@ -266,6 +266,78 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at hamming distance <= ``max_hamming``.
+
+    Scale shape: banding the signature into ``n_bands`` bit-slices
+    guarantees any pair within ``n_bands - 1`` bit flips shares at least
+    one band (pigeonhole), so candidates come from an equi-group on
+    (band, slice-value) — no all-pairs — and the exact hamming filter
+    runs only inside buckets. Same groupBy + in-bucket expansion plan as
+    MinHash-LSH.
+    """
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash_df(df, id_col, text_col, n_bits, hash_fn)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(mask)
+                        .alias("nib"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "simhash", "bh.band", "bh.nib")
+    buckets = (
+        bands.groupBy("band", "nib")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    xs = F.col("xs")
+    pair_arr = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + F.lit(2), F.size(xs)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("ha"),
+                    y["simhash"].alias("hb"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

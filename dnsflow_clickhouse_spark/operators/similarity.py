@@ -188,6 +188,103 @@ def hyperplane_signature(vec_q: Column, n_planes: int = 8) -> Column:
     return sig
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to its
+    nearest centroid cell; search probes only the query's cell.
+
+    The quantizer here is deliberately model-free and deterministic —
+    the centroids are the ``n_cells`` lowest-id corpus vectors (a real
+    deployment would train k-means offline and broadcast the same way).
+    Assignment = one GEMM against the broadcast centroid matrix per
+    Arrow batch; the search join is an equi-join on ``cell``, so the
+    corpus side shuffles/partitions by cell and recall < 1 by
+    construction (nprobe=1).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    cents = sorted(
+        corpus.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+        .collect(),
+        key=lambda r: r.id,
+    )
+    c_mat = np.array([r.q for r in cents], dtype=np.int64)
+    c_norms = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64))
+    bc = spark.sparkContext.broadcast((c_mat, c_norms))
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("q", T.ArrayType(T.LongType())),
+            T.StructField("nrm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        cm, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
+            cos = np.round((mat @ cm.T) / np.outer(norms, cn), 6)
+            # argmax with lowest-centroid tie-break (np.argmax takes the
+            # first max — same order as the SQL row_number tie-break)
+            cells = np.argmax(cos, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "q": pdf["q"],
+                    "nrm": norms,
+                    "cell": cells,
+                }
+            )
+
+    def assigned(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+        return (
+            base.repartition(F.col("id"))
+            .mapInPandas(assign, schema=assign_schema)
+            .withColumnRenamed("id", out_id)
+        )
+
+    qa = (
+        assigned(queries, "query_id")
+        .withColumnRenamed("q", "qv")
+        .withColumnRenamed("nrm", "qn")
+    )
+    ca = (
+        assigned(corpus, "neighbor_id")
+        .withColumnRenamed("q", "cv")
+        .withColumnRenamed("nrm", "cn")
+    )
+    pairs = qa.join(ca, "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            int_dot_pandas(F.col("qv"), F.col("cv")).cast("double")
+            / (F.col("qn") * F.col("cn")),
+            6,
+        ).alias("cosine"),
+    )
+    return _rank_topk(scored, k)
+
+
 def hyperplane_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

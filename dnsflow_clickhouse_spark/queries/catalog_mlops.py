@@ -20,11 +20,13 @@ from dnsflow_clickhouse_spark.operators.dedup import (
     minhash_bands_df,
     ngram_jaccard_pairs,
     simhash_df,
+    simhash_near_pairs,
     embedding_near_dups,
 )
 from dnsflow_clickhouse_spark.operators.similarity import (
     cosine_topk,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 from dnsflow_clickhouse_spark.operators.text_analysis import (
     LANG_STOPWORDS,
@@ -173,6 +175,42 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM h ORDER BY doc_id
 """
 
 
+def simhash_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-SimHash near-duplicate pairs (hamming <= 1 over 32 bits,
+    2 bands of 16 — pigeonhole-complete for distance 1): banding ->
+    bucket groupBy -> exact hamming verify. 32 portable bits keep the
+    random-collision floor low on vocabulary-heavy corpora (production
+    default is 63-bit xxhash64 via ``hash_fn``)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", 32, 2, 1).orderBy("id_a", "id_b")
+
+
+def _sql_simhash_pairs() -> str:
+    hs = f"list_transform(toks, t -> {_sql_poly('t')})"
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, (sh >> {b * 16}) & 65535 AS nib FROM s"
+        for b in range(2)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {hs} AS hs FROM t),
+s AS (SELECT doc_id, CAST({bits} AS BIGINT) AS sh FROM h),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS ha, b.sh AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled lang: confusion counts."""
     d = analyze_documents(load_table(spark, sf_dir, "documents"))
@@ -283,6 +321,47 @@ FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
 """
 
 
+N_IVF_CELLS = 8
+
+
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-3: coarse-quantizer cell assignment (GEMM
+    against broadcast centroids), then an equi-join probe of the query's
+    cell only (nprobe=1; recall < 1 by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding",
+        KNN_K, N_IVF_CELLS,
+    ).orderBy("query_id", "rnk")
+
+
+_IVF_ANN_SQL = f"""
+WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
+n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+c AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_IVF_CELLS}),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round(list_dot_product(n.qv, c.cv) / (n.nrm * c.cnrm), 6) DESC, c.cid
+           ) AS rn
+    FROM n CROSS JOIN c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(an.qv, bn.qv) / (an.nrm * bn.nrm), 6) AS cosine
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
+  JOIN n an ON an.vec_id = a.vec_id
+  JOIN n bn ON bn.vec_id = b.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
+"""
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding-cosine near-duplicates at threshold 0.4."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -357,6 +436,8 @@ MLOPS_REGISTRY = {
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
     "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
     "simhash_docs": (simhash_docs, _sql_simhash16()),
+    "simhash_near_docs": (simhash_near_docs, _sql_simhash_pairs()),
+    "embedding_ivf_ann": (embedding_ivf_ann, _IVF_ANN_SQL),
     "lang_id_confusion": (lang_id_confusion, _sql_langid()),
     "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "embedding_knn": (embedding_knn, _KNN_SQL),

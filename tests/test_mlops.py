@@ -19,12 +19,14 @@ from dnsflow_clickhouse_spark.operators.dedup import (
     simhash_df,
     token_ngrams,
 )
+from dnsflow_clickhouse_spark.operators.dedup import simhash_near_pairs
 from dnsflow_clickhouse_spark.operators.multimodal import extract_features
 from dnsflow_clickhouse_spark.operators.similarity import (
     cosine_topk,
     hyperplane_lsh_topk,
     int_dot,
     int_dot_pandas,
+    ivf_topk,
     quantize,
 )
 from dnsflow_clickhouse_spark.operators.text_analysis import analyze_documents
@@ -146,6 +148,35 @@ def test_hyperplane_lsh_subset_of_exact(spark):
     for r in got:
         assert r.query_id != r.neighbor_id
         assert -1.0 <= r.cosine <= 1.0
+
+
+def test_simhash_near_pairs_finds_exact_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(docs, "doc_id", "text", 16, 2, 1).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical docs -> hamming 0
+    for a, b in pairs:
+        assert 3 not in (a, b)  # unrelated doc never pairs
+
+
+def test_ivf_topk_shape(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = ivf_topk(vecs.filter(F.col("vec_id") < 5), vecs, "vec_id", "embedding", k=3, n_cells=4)
+    got = out.collect()
+    assert got
+    by_q = {}
+    for r in got:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
 def test_analyze_documents_columns(docs):
