@@ -89,7 +89,10 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks = F.col("__toks")
     n_toks = F.col("toks")
-    hits = {lg: _hits_from_tokens(toks, lg) for lg in _LANG_ORDER}
+    # per-language hit counts staged as columns: the guess expression
+    # references each count twice (argmax + tie chain), so attributes
+    # keep the scan count at one per language and the codegen tree small
+    hits = {lg: F.col(f"__hit_{lg}") for lg in _LANG_ORDER}
     from dnsflow_clickhouse_spark.functions.textfn import STOPWORDS_EN
 
     sw_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS_EN)))
@@ -102,14 +105,17 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         6,
     )
+    out = df.withColumn("__toks", tokens(t)).withColumn(
+        "toks", F.size(toks).cast("long")
+    )
+    for lg in _LANG_ORDER:
+        out = out.withColumn(f"__hit_{lg}", _hits_from_tokens(toks, lg))
     return (
-        df.withColumn("__toks", tokens(t))
-        .withColumn("toks", F.size(toks).cast("long"))
-        .withColumn("lang_guess", _guess_from_hits(hits))
+        out.withColumn("lang_guess", _guess_from_hits(hits))
         .withColumn("quality", quality)
         .withColumn(
             "fp",
             F.concat_ws("-", poly_hash(t).cast("string"), n_toks.cast("string")),
         )
-        .drop("__toks")
+        .drop("__toks", *[f"__hit_{lg}" for lg in _LANG_ORDER])
     )
