@@ -161,6 +161,52 @@ def flow_report(
     return enrich_business(top, dims)
 
 
+# --- A11: top-N authority-domain slice (DnsRptCH.scala:63-105) ---
+
+# default membership list mirrors the reference's hardcoded top-20
+# suffix set (DnsRptCH.scala:64-85) in spirit; callers pass their own
+TOP_AUTHORITY_SUFFIXES = [
+    "qq.com",
+    "baidu.com",
+    "taobao.com",
+    "jd.com",
+    "163.com",
+    "sina.com.cn",
+    "weibo.com",
+    "sohu.com",
+    "aliyun.com",
+    "bilibili.com",
+]
+
+
+def top_authority_slice(
+    base: DataFrame,
+    dims: EnrichDims,
+    suffixes: list[str] | None = None,
+    having_min: int = 100,
+) -> DataFrame:
+    """A11 (reference Top20AuthorityDomain, DnsRptCH.scala:63-105): keep
+    only events whose domain contains one of the tracked authority
+    suffixes (P5, :64-85), aggregate the 4-dim key, HAVING > 100 (P4,
+    :88), enrich with business resources (J2, :95-101).
+
+    The membership filter is a single rlike over an alternation — one
+    regex evaluated JVM-side inside codegen, no join, no shuffle beyond
+    the aggregation's own exchange. At 100 TB the predicate sits
+    directly above the scan, so column pruning + predicate evaluation
+    happen before the (drastically smaller) shuffle.
+    """
+    pats = suffixes if suffixes is not None else TOP_AUTHORITY_SUFFIXES
+    rx = "(" + "|".join(p.replace(".", "\\.") for p in pats) + ")"
+    sliced = base.filter(F.col("domain").rlike(rx))
+    agg = (
+        sliced.groupBy("clientName", "domain", "dnsIp", "aip")
+        .agg(F.sum("resolver").alias("resolver"), F.sum("error").alias("error"))
+        .filter(F.col("resolver") > having_min)
+    )
+    return enrich_business(agg, dims)
+
+
 # --- A13: trend rollup over the enriched top frame (DnsRptCH.scala:46-57) ---
 
 

@@ -62,7 +62,35 @@ ORDER BY dow, event_type
 """
 
 
+def authority_slice_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 shape (reference Top20AuthorityDomain, DnsRptCH.scala:63-105):
+    regex-membership filter (P5) ahead of the aggregation, then HAVING.
+    The rlike is one codegen'd predicate directly above the scan — the
+    shuffle only ever sees surviving rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike("(data|model|spark|query)"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .filter(F.col("n_docs") > 3)
+        .orderBy("lang", "source")
+    )
+
+
+_AUTH_SLICE_SQL = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS chars
+FROM documents
+WHERE regexp_matches(text, '(data|model|spark|query)')
+GROUP BY lang, source HAVING count(*) > 3
+ORDER BY lang, source
+"""
+
+
 DNS4_REGISTRY = {
     "distinct_agg_users": (distinct_agg_users, _DISTINCT_AGG_SQL),
     "cube_day_type": (cube_day_type, _CUBE_SQL),
+    "authority_slice_docs": (authority_slice_docs, _AUTH_SLICE_SQL),
 }

@@ -126,6 +126,28 @@ def test_enrich_top_fields(spark, base_df):
     assert qq and all(r["companyName"] == "腾讯" for r in qq)
 
 
+def test_top_authority_slice(spark, base_df):
+    """A11: only domains matching the tracked suffix set survive, the
+    HAVING threshold applies, and groups match a python recount."""
+    dims = FX.build_dims(spark)
+    out = R.top_authority_slice(
+        base_df, dims, suffixes=["baidu.com", "qq.com"], having_min=5
+    ).collect()
+    assert out, "authority slice empty"
+    exp = Counter(
+        (e["clientName"], e["domain"], e["dnsIp"], e["aip"])
+        for e in FX.py_base_events()
+        if "baidu.com" in e["domain"] or "qq.com" in e["domain"]
+    )
+    exp = {k: n for k, n in exp.items() if n > 5}
+    got = {
+        (r["clientName"], r["domain"], r["dnsIp"], r["aip"]): r["resolver"]
+        for r in out
+    }
+    assert got == exp
+    assert all("taobao" not in r["domain"] for r in out)
+
+
 def test_user_report_shape(spark, base_df):
     dims = FX.build_dims(spark)
     out = R.user_report(base_df, dims, having_min=0).collect()
