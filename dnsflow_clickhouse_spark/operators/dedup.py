@@ -287,53 +287,50 @@ def simhash_near_pairs(
     width = n_bits // n_bands
     mask = (1 << width) - 1
     sh = simhash_df(df, id_col, text_col, n_bits, hash_fn)
-    bands = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(mask)
-                        .alias("nib"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", "simhash", "bh.band", "bh.nib")
-    buckets = (
-        bands.groupBy("band", "nib")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs")
+    bands = (
+        sh.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("simhash"), b * width)
+                            .bitwiseAND(mask)
+                            .alias("nib"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bh"),
         )
-        .filter(F.size("xs") > 1)
+        .select("id", "simhash", F.col("bh.band").alias("band"), F.col("bh.nib").alias("nib"))
+        # barrier: the join below must read these 4 compact columns, not
+        # re-run the signature pipeline once per side
+        .localCheckpoint(eager=True)
     )
-    xs = F.col("xs")
-    pair_arr = F.flatten(
-        F.transform(
-            xs,
-            lambda x, i: F.transform(
-                F.slice(xs, i + F.lit(2), F.size(xs)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["simhash"].alias("ha"),
-                    y["simhash"].alias("hb"),
-                ),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.ha", "p.hb")
-        .dropDuplicates(["id_a", "id_b"])
+    # Pair candidates via a self-equi-join on the bucket key rather than
+    # collect_list + in-row expansion: a hot bucket (near-dup cluster of
+    # m docs) makes the array plan build an m^2/2 struct array inside ONE
+    # interpreted expression on ONE task, while the join form is
+    # whole-stage-codegen'd, spreads across shuffle partitions, and AQE
+    # splits the skewed key. The hamming cut runs codegen-side before the
+    # pair dedup, so only qualifying pairs reach the distinct's exchange.
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.nib") == F.col("b.nib"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        hamming64(F.col("a.simhash"), F.col("b.simhash")).cast("int").alias("hamming"),
     )
     return (
-        cand.withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
+        cand.filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -352,40 +349,29 @@ def ngram_jaccard_pairs(
     first and verify only candidates with this."""
     grams = (
         staged_grams(df, id_col, text_col, ngram)
-        # same Generate-input barrier as minhash_bands_df: explode over
-        # the live gram pipeline re-evaluates it per emitted gram
+        # Generate-input barrier as in minhash_bands_df: explode over the
+        # live gram pipeline re-evaluates it per emitted gram, and the
+        # self-join below must read these compact rows, not re-run the
+        # gram pipeline once per side
         .localCheckpoint(eager=True)
         .select("id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
     )
-    # group each shingle's postings and expand (a < b) pairs in-row: the
-    # gram pipeline runs ONCE (a self-join would recompute it per side)
-    buckets = (
-        grams.groupBy("g")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("id"), F.col("n_grams")))
-            ).alias("xs")
-        )
-        .filter(F.size("xs") > 1)
-    )
-    xs = F.col("xs")
-    pair_arr = F.flatten(
-        F.transform(
-            xs,
-            lambda x, i: F.transform(
-                F.slice(xs, i + F.lit(2), F.size(xs)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["n_grams"].alias("na"),
-                    y["n_grams"].alias("nb"),
-                ),
-            ),
-        )
-    )
+    # Candidate pairs via self-equi-join on the shingle: pair generation
+    # and the (a < b) cut run inside whole-stage codegen spread over the
+    # join's shuffle partitions (the postings-list alternative builds
+    # quadratic struct arrays inside one interpreted expression per gram;
+    # AQE skew-split also caps hot shingles here). The per-pair match
+    # count IS the intersection size |A ∩ B| because grams are distinct
+    # within each doc.
+    a, b = grams.alias("a"), grams.alias("b")
     inter = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .groupBy("p.id_a", "p.id_b", "p.na", "p.nb")
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))

@@ -203,10 +203,14 @@ def ivf_topk(
     The quantizer here is deliberately model-free and deterministic —
     the centroids are the ``n_cells`` lowest-id corpus vectors (a real
     deployment would train k-means offline and broadcast the same way).
-    Assignment = one GEMM against the broadcast centroid matrix per
-    Arrow batch; the search join is an equi-join on ``cell``, so the
-    corpus side shuffles/partitions by cell and recall < 1 by
-    construction (nprobe=1).
+
+    Plan shape (same broadcast-GEMM kernel as :func:`cosine_topk`): the
+    query matrix is small by construction, so its vectors AND cell
+    assignments are computed driver-side and broadcast; each corpus
+    Arrow batch then runs one centroid GEMM (assignment) + one query
+    GEMM (scores), masks pairs to matching cells (nprobe=1; recall < 1
+    by construction), and emits only compact scalar rows. No per-pair
+    array traffic, one Python stage over the corpus.
     """
     import numpy as np
     import pandas as pd
@@ -221,67 +225,52 @@ def ivf_topk(
     )
     c_mat = np.array([r.q for r in cents], dtype=np.int64)
     c_norms = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64))
-    bc = spark.sparkContext.broadcast((c_mat, c_norms))
 
-    assign_schema = T.StructType(
+    def _assign(mat: "np.ndarray", norms: "np.ndarray", cm, cn) -> "np.ndarray":
+        cos = np.round((mat @ cm.T) / np.outer(norms, cn), 6)
+        # argmax with lowest-centroid tie-break (np.argmax takes the
+        # first max — same order as the SQL row_number tie-break)
+        return np.argmax(cos, axis=1).astype(np.int32)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q")
+    ).collect()
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q for r in q_rows], dtype=np.int64)
+    q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64))
+    q_cells = _assign(q_mat, q_norms, c_mat, c_norms)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, q_norms, q_cells, c_mat, c_norms)
+    )
+
+    out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
-            T.StructField("q", T.ArrayType(T.LongType())),
-            T.StructField("nrm", T.DoubleType()),
-            T.StructField("cell", T.IntegerType()),
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
         ]
     )
 
-    def assign(batches):
-        cm, cn = bc.value
+    def block(batches):
+        ids, mat, norms, cells, cm, cn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
-            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
-            cos = np.round((mat @ cm.T) / np.outer(norms, cn), 6)
-            # argmax with lowest-centroid tie-break (np.argmax takes the
-            # first max — same order as the SQL row_number tie-break)
-            cells = np.argmax(cos, axis=1).astype(np.int32)
+            b_ids = pdf["id"].to_numpy(dtype=np.int64)
+            b_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            b_norms = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat).astype(np.float64))
+            b_cells = _assign(b_mat, b_norms, cm, cn)
+            cos = np.round((mat @ b_mat.T) / np.outer(norms, b_norms), 6)
+            keep = cells[:, None] == b_cells[None, :]
+            if exclude_self:
+                keep &= ids[:, None] != b_ids[None, :]
+            qi, bj = np.nonzero(keep)
             yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(dtype=np.int64),
-                    "q": pdf["q"],
-                    "nrm": norms,
-                    "cell": cells,
-                }
+                {"query_id": ids[qi], "neighbor_id": b_ids[bj], "cosine": cos[qi, bj]}
             )
 
-    def assigned(df: DataFrame, out_id: str) -> DataFrame:
-        base = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
-        return (
-            base.repartition(F.col("id"))
-            .mapInPandas(assign, schema=assign_schema)
-            .withColumnRenamed("id", out_id)
-        )
-
-    qa = (
-        assigned(queries, "query_id")
-        .withColumnRenamed("q", "qv")
-        .withColumnRenamed("nrm", "qn")
-    )
-    ca = (
-        assigned(corpus, "neighbor_id")
-        .withColumnRenamed("q", "cv")
-        .withColumnRenamed("nrm", "cn")
-    )
-    pairs = qa.join(ca, "cell")
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            int_dot_pandas(F.col("qv"), F.col("cv")).cast("double")
-            / (F.col("qn") * F.col("cn")),
-            6,
-        ).alias("cosine"),
-    )
+    c = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    scored = c.repartition(F.col("id")).mapInPandas(block, schema=out_schema)
     return _rank_topk(scored, k)
 
 
