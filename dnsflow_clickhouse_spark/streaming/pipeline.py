@@ -124,6 +124,51 @@ def run_backfill(
             sink(name, df, t)
 
 
+def windowed_qps_stream(
+    raw_lines: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window QPS aggregation with a watermark — the
+    Structured-Streaming-native form of the reference's window semantics
+    (5-min tumbling + fixed 5-min late allowance, DnsRptCH.scala:888,
+    988-994).
+
+    Where ``start_stream`` reproduces the reference's *mechanism* (a
+    clock firing a stateless batch over a window's files), this is the
+    engine-native *declaration*: the watermark finalizes a window once
+    max(event time) − allowance passes its end, accepts any in-allowance
+    late record into open state, and drops later ones — no hand-rolled
+    path math. In append output mode each window row emits exactly once,
+    so the sink is idempotent-append like the reference's report tables.
+
+    Works on a streaming OR batch frame of raw JSON lines (one shared
+    code path, SURVEY §3.2); aggregation state is per-window counts
+    only, so executor memory is bounded by open windows, not events.
+    """
+    parsed = parse_raw_lines(raw_lines)
+    ev = (
+        parsed.withColumn("ts", F.timestamp_seconds(F.col("Timestamp")))
+        .filter(F.col("QR"))
+        .withColumn(
+            "error",
+            ((F.col("ResponseCode") != 0) | (F.size(F.col("Answers")) == 0))
+            .cast("long"),
+        )
+        .withWatermark("ts", watermark)
+    )
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("dnsNum"), F.sum("error").alias("errNum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "dnsNum",
+            "errNum",
+        )
+    )
+
+
 def start_stream(
     spark: SparkSession,
     input_path: str,

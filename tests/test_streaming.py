@@ -112,3 +112,63 @@ def test_backfill_replays_windows(spark):
     # at APP_TIME+WINDOW (qps emits the all-clients sentinel + 1 client)
     assert seen[("dns_flow_qps", APP_TIME)] > 2
     assert seen[("dns_flow_qps", APP_TIME + WINDOW)] == 2
+
+
+def test_windowed_watermark_stream(spark, tmp_path):
+    """Native withWatermark + window(): a window finalizes (append-mode
+    emit) once the watermark passes its end; records later than the
+    allowance are dropped by the engine."""
+    import json
+
+    from dnsflow_clickhouse_spark.streaming.pipeline import windowed_qps_stream
+
+    def line(ts, rc=0):
+        return json.dumps(
+            {
+                "Timestamp": ts, "ServerIP": "1.1.1.1", "ClientIP": "10.0.0.1",
+                "Domain": "www.baidu.com", "Type": "A", "ResponseCode": rc,
+                "QR": True,
+                "Answers": [{"Type": "A", "Value": "8.8.8.8"}],
+            }
+        )
+
+    w0 = APP_TIME  # window [w0, w0+300)
+    inp = tmp_path / "win_in"
+    inp.mkdir()
+    (inp / "f1.txt").write_text(
+        "\n".join([line(w0 + 10), line(w0 + 20, rc=3), line(w0 + 30)]),
+        encoding="utf-8",
+    )
+    raw = spark.readStream.format("text").load(str(inp))
+    q = (
+        windowed_qps_stream(raw, window="5 minutes", watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("win_qps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing finalized yet: watermark = (w0+30) - 300 < window end
+        assert spark.sql("SELECT * FROM win_qps").count() == 0
+        # advance event time past w0+300+allowance -> first window closes
+        (inp / "f2.txt").write_text(line(w0 + 700), encoding="utf-8")
+        q.processAllAvailable()
+        rows = {
+            int(r.window_start.timestamp()): (r.dnsNum, r.errNum)
+            for r in spark.sql("SELECT * FROM win_qps").collect()
+        }
+        assert rows == {w0: (3, 1)}
+        # a record older than the watermark is dropped, not re-emitted
+        (inp / "f3.txt").write_text(
+            "\n".join([line(w0 + 40), line(w0 + 1300)]), encoding="utf-8"
+        )
+        q.processAllAvailable()
+        rows = {
+            int(r.window_start.timestamp()): (r.dnsNum, r.errNum)
+            for r in spark.sql("SELECT * FROM win_qps").collect()
+        }
+        assert rows[w0] == (3, 1), "late record leaked into a closed window"
+    finally:
+        q.stop()
