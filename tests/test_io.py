@@ -71,3 +71,18 @@ def test_middle_data_sink_sep_and_files(spark, tmp_path):
     assert 1 <= len(files) <= 2
     body = "".join(p.read_text() for p in files)
     assert "\x01" in body and "alice" in body
+
+
+def test_read_event_files_multi_path_union(spark, tmp_path):
+    """S1: a list of text files scans as one frame (UNION ALL of file
+    scans — the reference's comma-joined textFile paths)."""
+    from dnsflow_clickhouse_spark.sources.events import read_event_files
+
+    lines = raw_lines(corrupt=False)
+    p1, p2 = tmp_path / "000010.txt", tmp_path / "000020.txt"
+    p1.write_text("\n".join(lines[:50]), encoding="utf-8")
+    p2.write_text("\n".join(lines[50:100]), encoding="utf-8")
+    df = read_event_files(spark, [str(p1), str(p2)])
+    assert df.count() == 100
+    parsed = parse_raw_lines(df)
+    assert parsed.count() == 100
