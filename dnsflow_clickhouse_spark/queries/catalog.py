@@ -499,10 +499,18 @@ def authority_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain = F.concat(
         F.lit("svc"), (F.col("user_id") % 7).cast("string"), F.lit("."), suffix
     )
+    # two-phase: count by the raw domain first (distinct domains ≪
+    # events — here 35 vs 1M, and at 100 TB still only the DNS
+    # namespace), then run the expensive last-match regex on the compact
+    # keys and re-aggregate. The regex evaluates once per domain, not
+    # once per event.
     return (
-        ev.select(authority_domain(domain).alias("authority_domain"))
+        ev.select(domain.alias("__domain"))
+        .groupBy("__domain")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(authority_domain(F.col("__domain")).alias("authority_domain"), "__cnt")
         .groupBy("authority_domain")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__cnt").alias("cnt"))
         .orderBy("authority_domain")
     )
 
