@@ -77,3 +77,26 @@ def non_alnum_ratio(s: Column | str) -> Column:
     return F.when(total == 0, F.lit(0.0)).otherwise(
         (total - kept).cast("double") / total.cast("double")
     )
+
+
+# GPT-2-flavored pretokenizer pattern, restricted to syntax shared by
+# Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
+# letter/digit runs, punctuation runs, whitespace runs. No lookahead
+# (RE2 has none). Both engines produce identical splits — fixture-tested.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def bpe_like_tokens(s: Column | str) -> Column:
+    """BPE-ish subword pretokenization (engine extension): the regex
+    split a byte-pair tokenizer applies before merges. Whitespace-run
+    matches are dropped; leading spaces stay attached to word tokens
+    (GPT-2 convention)."""
+    c = _col(s)
+    return F.filter(
+        F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0),
+        lambda t: F.trim(t) != "",
+    )
+
+
+def bpe_token_count(s: Column | str) -> Column:
+    return F.size(bpe_like_tokens(s))

@@ -1,0 +1,165 @@
+"""Fifth query batch: event-sequence operators (sessionization, as-of
+join) and BPE-ish token counting — engine extensions with exact DuckDB
+oracles (window-function SQL / correlated point-in-time subquery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import (
+    BPE_SPLIT_PATTERN,
+    bpe_token_count,
+    token_count,
+)
+from dnsflow_clickhouse_spark.operators.sessions import asof_join, sessionize
+from dnsflow_clickhouse_spark.queries.catalog import _cents
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+SESSION_GAP_S = 1800
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) rolled up per user:
+    one window shuffle assigns sessions, a two-level aggregate computes
+    per-session then per-user stats."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", SESSION_GAP_S, tiebreak_cols=["event_id"])
+    per_session = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+            F.max("n_ev").alias("max_session_events"),
+            F.round(F.sum("span_us") / 1e6, 3).alias("active_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), per_session AS (
+  SELECT user_id, sid, count(*) AS n_ev,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
+       max(n_ev) AS max_session_events,
+       round(sum(span_us) / 1e6, 3) AS active_seconds
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event picks the value of the
+    user's latest strictly-prior click (the classic leakage-safe feature
+    join). Spark side is the tagged-union window composition (one
+    shuffle, no join node); the oracle is the equivalent correlated
+    LIMIT-1 subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key_col="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        value_cols=["c_value"],
+        right_tiebreak="c_id",
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("asof_c_value").alias("n_with_prior_click"),
+            (F.sum(_cents(F.coalesce(F.col("asof_c_value"), F.lit(0.0)))) / 100.0).alias(
+                "prior_click_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ASOF_SQL = """
+WITH p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.event_id,
+         (SELECT c.value FROM c
+          WHERE c.user_id = p.user_id AND c.ts < p.ts
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click
+  FROM p
+)
+SELECT user_id, count(*) AS n_purchases,
+       count(last_click) AS n_with_prior_click,
+       sum(CAST(round(coalesce(last_click, 0.0) * 100) AS BIGINT)) / 100.0 AS prior_click_value
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the BPE-ish pretokenizer regex alongside
+    whitespace tokens, per language (the subword/word ratio is a cheap
+    quality signal for training corpora)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            bpe_token_count("text").cast("long").alias("bpe"),
+            token_count("text").cast("long").alias("ws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("ws").alias("ws_tokens"),
+            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("subword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BPE_SQL_PATTERN = BPE_SPLIT_PATTERN.replace("'", "''")
+
+_BPE_SQL = rf"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'),
+                         x -> trim(x) != '')) AS bpe,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws
+  FROM documents
+)
+SELECT lang, sum(bpe) AS bpe_tokens, sum(ws) AS ws_tokens,
+       round(sum(bpe) / sum(ws), 6) AS subword_ratio
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+DNS5_REGISTRY = {
+    "session_stats": (session_stats, _SESSION_SQL),
+    "asof_last_click": (asof_last_click, _ASOF_SQL),
+    "doc_bpe_tokens": (doc_bpe_tokens, _BPE_SQL),
+}

@@ -1,0 +1,68 @@
+"""Sessionization / as-of join / BPE tokenizer boundary semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import bpe_like_tokens, bpe_token_count
+from dnsflow_clickhouse_spark.operators.sessions import asof_join, sessionize
+
+UTC = dt.timezone.utc
+
+
+def _ts(s):
+    return dt.datetime.fromtimestamp(1_700_000_000 + s, tz=UTC)
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap == gap_seconds stays in-session; gap > gap_seconds splits."""
+    rows = [
+        ("u1", 1, _ts(0)),
+        ("u1", 2, _ts(60)),     # exactly 60s after -> same session
+        ("u1", 3, _ts(121)),    # 61s after -> new session
+        ("u2", 4, _ts(0)),      # other key independent
+    ]
+    df = spark.createDataFrame(rows, "user string, event_id long, ts timestamp")
+    out = {
+        (r.user, r.event_id): r.session_idx
+        for r in sessionize(df, "user", "ts", 60, ["event_id"]).collect()
+    }
+    assert out == {("u1", 1): 1, ("u1", 2): 1, ("u1", 3): 2, ("u2", 4): 1}
+
+
+def test_asof_join_strict_and_ties(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, _ts(100)), ("u1", 11, _ts(200)), ("u2", 12, _ts(50))],
+        "user string, pid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 1, _ts(100), 1.0),   # same ts as pid=10 -> excluded (strict)
+            ("u1", 2, _ts(150), 2.0),
+            ("u1", 3, _ts(150), 3.0),   # tie at ts=150 -> greatest rid wins
+        ],
+        "user string, rid long, r_ts timestamp, val double",
+    )
+    out = {
+        r.pid: r.asof_val
+        for r in asof_join(
+            left, right, "user", "ts", "r_ts", ["val"], right_tiebreak="rid"
+        ).collect()
+    }
+    assert out[10] is None, "same-timestamp right row leaked into strict as-of"
+    assert out[11] == 3.0, "tie should resolve to greatest tiebreak"
+    assert out[12] is None, "key with no right rows must get null"
+
+
+def test_bpe_tokens(spark):
+    df = spark.createDataFrame(
+        [("I've seen 42 models!",), ("   ",), ("",)], "text string"
+    )
+    got = df.select(
+        bpe_like_tokens("text").alias("t"), bpe_token_count("text").alias("n")
+    ).collect()
+    assert got[0].t == ["I", "'ve", " seen", " 42", " models", "!"]
+    assert got[0].n == 6
+    assert got[1].n == 0 and got[2].n == 0
