@@ -1,0 +1,97 @@
+"""Iterative graph operators (engine extension): connected components
+for duplicate-cluster canonicalization.
+
+Near-dup mining (MinHash-LSH / SimHash / Jaccard in operators/dedup.py)
+emits PAIRS; deduplication needs CLUSTERS — the transitive closure of
+the pair relation — so each cluster can elect one canonical survivor.
+Connected components is the smallest iterative algorithm this engine
+ships, and the template for any fixpoint loop on DataFrames.
+
+Scale shape (min-label propagation):
+- each iteration is one equi-join (labels ⋈ symmetric edges) + one
+  min-aggregate — both shuffle on the node id, so the partitioning is
+  reused and AQE handles skewed hub nodes;
+- ``localCheckpoint`` after every iteration truncates the lineage (an
+  unbounded iterative plan otherwise grows until the optimizer chokes —
+  the standard Spark fixpoint pitfall);
+- convergence is detected from the monotone label sum (labels only
+  ever decrease), costing one tiny aggregate per iteration instead of a
+  join-based diff;
+- iterations needed = graph diameter, fine for near-dup clusters. For
+  web-scale graphs swap in the large-star/small-star variant; the loop
+  scaffolding stays the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, comp) for every node appearing in ``edges``; ``comp`` is the
+    smallest node id reachable from ``id`` (deterministic canonical
+    label). Undirected: edges are symmetrized internally.
+
+    ``num_partitions`` sizes every shuffle inside the loop. The node set
+    is usually orders smaller than the corpus that produced the edges
+    (only near-dup members appear), so a small explicit value avoids
+    paying per-iteration task overhead on hundreds of near-empty
+    partitions; leave None to inherit the session default for
+    genuinely large graphs.
+    """
+    nparts = num_partitions
+    # materialize the (often expensive) edge pipeline ONCE — nodes, sym
+    # and the first labels frame all derive from it, and without the
+    # barrier each derivation re-runs the full upstream plan
+    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    if nparts:
+        sym = sym.repartition(nparts, "a")
+        nodes = nodes.repartition(nparts, "id")
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["a"] == labels["id"]).select(
+            F.col("b").alias("id"), F.col("comp")
+        )
+        labels = (
+            labels.select("id", "comp")
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cluster rollup over a near-dup pair list: (comp, n_members) with
+    ``comp`` = the cluster's canonical (minimum) member id."""
+    cc = connected_components(pairs, id_a, id_b, num_partitions=num_partitions)
+    return cc.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))

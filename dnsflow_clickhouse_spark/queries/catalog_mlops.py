@@ -137,8 +137,7 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+_JACCARD_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM t),
 e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
 p AS (
@@ -146,10 +145,45 @@ p AS (
          CAST(count(*) AS BIGINT) AS inter
   FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
-)
+)"""
+
+_JACCARD_SQL = f"""
+WITH {_JACCARD_CTES}
 SELECT id_a, id_b, inter, round(inter / (na + nb - inter), 6) AS jaccard
 FROM p WHERE round(inter / (na + nb - inter), 6) >= 0.5
 ORDER BY id_a, id_b
+"""
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: exact trigram-Jaccard pairs at
+    0.5 -> connected components (iterative min-label propagation) ->
+    (canonical id, cluster size). The oracle computes the same closure
+    with a recursive CTE, so the fixpoint loop is hash-verified."""
+    from dnsflow_clickhouse_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    # near-dup members ≪ corpus: size the loop's shuffles accordingly
+    return dedup_clusters(pairs, num_partitions=8).orderBy("comp")
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a, id_b FROM p
+  WHERE round(inter / (na + nb - inter), 6) >= 0.5
+),
+nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+SELECT comp, count(*) AS n_members FROM cc GROUP BY comp ORDER BY comp
 """
 
 
@@ -435,6 +469,7 @@ MLOPS_REGISTRY = {
     "minhash_band_buckets": (minhash_band_buckets, _MINHASH_BANDS_SQL),
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
     "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
+    "neardup_components": (neardup_components, _COMPONENTS_SQL),
     "simhash_docs": (simhash_docs, _sql_simhash16()),
     "simhash_near_docs": (simhash_near_docs, _sql_simhash_pairs()),
     "embedding_ivf_ann": (embedding_ivf_ann, _IVF_ANN_SQL),

@@ -66,3 +66,20 @@ def test_bpe_tokens(spark):
     assert got[0].t == ["I", "'ve", " seen", " 42", " models", "!"]
     assert got[0].n == 6
     assert got[1].n == 0 and got[2].n == 0
+
+
+def test_connected_components_chain(spark):
+    """A 5-node chain needs label propagation across multiple iterations
+    (min label travels one hop per iteration); isolated pair unaffected."""
+    from dnsflow_clickhouse_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11)], "src long, dst long"
+    )
+    cc = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    sizes = {r.comp: r.n_members for r in dedup_clusters(edges, "src", "dst").collect()}
+    assert sizes == {1: 5, 10: 2}
