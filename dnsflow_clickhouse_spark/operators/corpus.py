@@ -1,0 +1,135 @@
+"""Corpus-level text operators (engine extension for training-data
+pipelines): TF-IDF term scoring, quantile-gated quality filtering, and
+benchmark decontamination. Unlike `operators/text_analysis.py` (pure
+in-row expressions), every operator here aggregates *across* the corpus,
+so the design notes are about shuffle shape.
+
+Scale shapes (100 TB):
+- TF-IDF: one explode + two hash aggregations (term frequency per doc,
+  document frequency per term) + one equi-join on the term. The df side
+  is vocabulary-sized — orders smaller than the corpus — so AQE picks a
+  broadcast join when it fits and a shuffle join otherwise; the final
+  per-doc top-k is the window row_number plan (grouped top-K family,
+  SURVEY §2.6).
+- Quantile filter: thresholds are computed per stratum with an ordered
+  window (discrete percentile = element at ceil(q*n)), producing a
+  strata-sized threshold table that broadcasts back onto the corpus.
+  Integer score micro-units throughout — no float interpolation, so any
+  engine replays the thresholds bit-exactly.
+- Decontamination: n-gram equi-join where the build side is the
+  *benchmark* corpus (eval sets are tiny relative to training data), so
+  it broadcasts; the training side never shuffles its text, only the
+  exploded (gram, id) pairs that survive the join reach the aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import tokens
+from dnsflow_clickhouse_spark.operators.dedup import ngrams_from_tokens
+
+SCORE_MICRO = 1_000_000
+
+
+def tf_idf_top_terms(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` most document-specific terms per document.
+
+    Specificity score = tf / df (term frequency over corpus document
+    frequency) — monotone in classic tf·idf for a fixed corpus size but
+    computed as a single IEEE double division of two small integers, so
+    the ordering is engine-exact (a transcendental ``ln`` would not be).
+    Ties break on the term string; the per-doc ordering is total.
+    """
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+def quantile_quality_filter(
+    scored: DataFrame,
+    strata_col: str,
+    score_col: str,
+    id_col: str,
+    q: float = 0.25,
+) -> DataFrame:
+    """Per-stratum quality gate: keep rows whose score reaches their
+    stratum's ``q``-quantile. Returns one row per stratum:
+    (stratum, threshold_micro, n_total, n_kept).
+
+    The threshold is the *discrete* percentile — the actual score held by
+    the row at ordered position ceil(q*n) — on integer micro-unit scores.
+    No interpolation, no float aggregation: every output column is exact
+    integer arithmetic, which is what makes the gate auditable and
+    replayable on any engine.
+    """
+    si = F.round(F.col(score_col) * SCORE_MICRO).cast("long")
+    base = scored.select(
+        F.col(strata_col).alias("stratum"), si.alias("si"), F.col(id_col).alias("id")
+    )
+    w = Window.partitionBy("stratum")
+    ordered = Window.partitionBy("stratum").orderBy("si", "id")
+    thr = (
+        base.withColumn("rn", F.row_number().over(ordered))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"))
+        .select("stratum", F.col("si").alias("thr"))
+    )
+    return (
+        base.join(F.broadcast(thr), "stratum")
+        .groupBy("stratum")
+        .agg(
+            F.max("thr").alias("threshold_micro"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("si") >= F.col("thr")).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document sharing at
+    least one distinct token ``ngram``-gram with any benchmark document,
+    report (doc_id, n_shared_grams, n_bench_docs).
+
+    The benchmark side builds the (gram, bench_id) set and broadcasts —
+    eval suites are tiny next to a training corpus. Distinct grams per
+    document are computed in-row (no explode before the distinct), the
+    explode feeds the join directly.
+    """
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id), tokens(F.col(text_col)).alias("__toks")
+            )
+            .select(out_id, F.explode(ngrams_from_tokens(F.col("__toks"), ngram)).alias("gram"))
+        )
+
+    hits = grams(train, "doc_id").join(
+        F.broadcast(grams(bench, "bench_id")), "gram"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_shared_grams"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )

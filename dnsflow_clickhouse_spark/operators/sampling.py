@@ -1,0 +1,92 @@
+"""Deterministic sampling operators (engine extension for training-data
+pipelines): hash-gated Bernoulli, stratified, and per-key reservoir
+sampling.
+
+Why hash-gated instead of ``rand()``: Spark seeds ``rand()`` per
+partition, so the sample changes whenever the partitioning does, and no
+external engine can replay it. Gating on a stable content key makes the
+sample a *pure function of the data*: reproducible across runs, cluster
+sizes and engines (the DuckDB oracles replay ``poly_hash``), and stable
+under incremental reruns — a row's membership never depends on which
+other rows are present. That last property is what training pipelines
+need for consistent train/holdout splits as a corpus grows.
+
+Scale shape: Bernoulli/stratified sampling is a pure filter — no
+shuffle, fully pushed into the scan stage; the reference's analogue is
+its per-record sampled `aip` pick (DnsRptCH.scala:950), made
+deterministic here per SURVEY §7.4. Per-key reservoir sampling is one
+window shuffle on the key (same plan family as grouped top-K,
+SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD, poly_hash
+
+PPM = 1_000_000
+# Knuth-style multiplicative mix: a short id string's polynomial hash is
+# bounded by 31^len(str) — tiny for small ids — which would put every
+# small-id row under any ppm gate. One multiply-mod round spreads those
+# low hashes across the full modulus. MIX * (POLY_MOD-1) < 2^63.
+MIX_MULT = 2_654_435_761
+
+
+def sample_key(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, 1e6) from the row id: the portable
+    polynomial hash of the id's decimal string, multiplicatively mixed so
+    short strings still spread uniformly. Engine-replayable (unlike
+    xxhash64)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = poly_hash(c.cast("string"), seed=seed)
+    return (h * F.lit(MIX_MULT)) % F.lit(POLY_MOD) % F.lit(PPM)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket falls
+    below ``rate`` (ppm resolution). A pure filter — no shuffle."""
+    return df.filter(sample_key(id_col, seed) < int(round(rate * PPM)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. rebalance languages
+    in a corpus). The rate table is inherently tiny, so it rides along as
+    a broadcast join — never a driver-side closure capture (SURVEY §2.1
+    S5's rebuild rule)."""
+    spark = df.sparkSession
+    rate_rows = [(k, int(round(v * PPM))) for k, v in sorted(rates.items())]
+    rates_df = spark.createDataFrame(rate_rows, f"{strata_col} string, __ppm int")
+    return (
+        df.join(F.broadcast(rates_df), strata_col, "left")
+        .withColumn("__ppm", F.coalesce("__ppm", F.lit(int(round(default_rate * PPM)))))
+        .filter(sample_key(id_col, seed) < F.col("__ppm"))
+        .drop("__ppm")
+    )
+
+
+def per_key_sample(
+    df: DataFrame, key_col: str, id_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic size-``k`` uniform sample per key ("reservoir
+    sampling" with a replayable reservoir): rank rows inside each key by
+    their hash bucket and keep the ``k`` smallest. One window shuffle on
+    the key; ties broken by id so the ordering is total."""
+    w = Window.partitionBy(key_col).orderBy(
+        sample_key(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,89 @@
+"""Unit tests for the corpus-curation operators (sampling, TF-IDF,
+quantile gate, decontamination) on handcrafted inputs with known
+answers; the sf-scale hash parity is covered by the DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.operators.corpus import (
+    contamination_report,
+    quantile_quality_filter,
+    tf_idf_top_terms,
+)
+from dnsflow_clickhouse_spark.operators.sampling import (
+    hash_sample,
+    per_key_sample,
+    stratified_sample,
+)
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in hash_sample(df, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in hash_sample(df, "doc_id", 0.3).collect()}
+    assert s1 == s2  # pure function of the data
+    assert 0.2 < len(s1) / 2000 < 0.4  # mixing actually spreads short ids
+    # nested property: a lower-rate sample is a subset of a higher-rate one
+    s_small = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+
+
+def test_stratified_sample_rates_and_default(spark):
+    rows = [(i, "en" if i % 2 == 0 else "xx") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, "lang", {"en": 1.0}, "doc_id", default_rate=0.0)
+    langs = {r.lang for r in got.collect()}
+    assert langs == {"en"} and got.count() == 500  # rate 1.0 keeps all, default drops
+
+
+def test_per_key_sample_bound_and_determinism(spark):
+    rows = [(u, u * 100 + i) for u in range(5) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long")
+    got = per_key_sample(df, "user_id", "event_id", k=3)
+    per_user = got.groupBy("user_id").count().collect()
+    assert all(r["count"] == 3 for r in per_user) and len(per_user) == 5
+    again = per_key_sample(df, "user_id", "event_id", k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple common"), (2, "banana common"), (3, "common common")],
+        "doc_id long, text string",
+    )
+    top = {
+        r.doc_id: (r.term, r.tf, r.df)
+        for r in tf_idf_top_terms(docs, "doc_id", "text", k=1).collect()
+    }
+    # 'apple': tf=2, df=1 -> 2.0 beats 'common' (tf=1, df=3)
+    assert top[1] == ("apple", 2, 1)
+    assert top[2] == ("banana", 1, 1)
+    assert top[3] == ("common", 2, 3)  # only term present
+
+
+def test_quantile_gate_discrete_threshold(spark):
+    # scores 0.1..1.0 in one stratum: p25 over n=10 -> element at
+    # ceil(2.5)=3 -> 0.3; survivors are 0.3..1.0 = 8 rows
+    rows = [(i, "en", i / 10.0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+    got = quantile_quality_filter(df, "lang", "quality", "doc_id", q=0.25).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.stratum, r.threshold_micro, r.n_total, r.n_kept) == ("en", 300000, 10, 8)
+
+
+def test_contamination_counts_grams_and_bench_docs(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w q")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d zz"), (101, "b c d e zz")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shared_grams, r.n_bench_docs)
+        for r in contamination_report(train, bench, "doc_id", "text", ngram=4).collect()
+    }
+    # doc 1 grams: {a b c d, b c d e}; bench 100 shares the first,
+    # bench 101 shares the second -> 2 grams across 2 bench docs
+    assert got == {1: (2, 2)}
