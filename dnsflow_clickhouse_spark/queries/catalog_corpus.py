@@ -216,10 +216,132 @@ ORDER BY train.doc_id
 """
 
 
+def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access over the events props JSON column (the
+    reference's core ingest primitive, SURVEY §2.1 S3, as a standalone
+    capability): extract a typed field, roll up per event_type. The
+    extraction is a Catalyst expression, so it runs inside codegen and
+    prunes to the two columns read."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROPS_JSON_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete p50/p90/p99 of the event value per event_type, in integer
+    micro-units (element at ceil(q*n) of the ordered values — exact
+    arithmetic, no interpolation, engine-replayable). One window shuffle
+    on the type."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vi"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type")
+    ordered = Window.partitionBy("event_type").orderBy("vi", "event_id")
+    ranked = base.withColumn("rn", F.row_number().over(ordered)).withColumn(
+        "n", F.count(F.lit(1)).over(w)
+    )
+
+    def pick(q: float):
+        target = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == target, F.col("vi")))
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            pick(0.5).alias("p50_micro"),
+            pick(0.9).alias("p90_micro"),
+            pick(0.99).alias("p99_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VALUE_PCTL_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vi, event_id
+  FROM events
+),
+r AS (
+  SELECT event_type, vi,
+         row_number() OVER (PARTITION BY event_type ORDER BY vi, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN vi END) AS p50_micro,
+       max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN vi END) AS p90_micro,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN vi END) AS p99_micro
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of the documents corpus: 8 deterministic
+    shards, 256-token budget, packed per shard in one Arrow batch
+    (applyInPandas). The recursive-CTE oracle replays the fold exactly."""
+    from dnsflow_clickhouse_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", cap=256, n_shards=8).orderBy("doc_id")
+
+
+_PACK_SQL = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ntok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, shard, ntok,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM t
+),
+walk(shard, rn, doc_id, ntok, acc, seq_id) AS (
+  SELECT shard, rn, doc_id, ntok, ntok, CAST(0 AS BIGINT) FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn, r.doc_id, r.ntok,
+         CASE WHEN w.acc + r.ntok > 256 THEN r.ntok ELSE w.acc + r.ntok END,
+         CASE WHEN w.acc + r.ntok > 256 THEN w.seq_id + 1 ELSE w.seq_id END
+  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1
+)
+SELECT doc_id, shard, ntok, seq_id FROM walk ORDER BY doc_id
+"""
+
+
 CORPUS_REGISTRY = {
     "stratified_doc_sample": (stratified_doc_sample, _STRATIFIED_SQL),
     "per_user_event_sample": (per_user_event_sample, _PER_KEY_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "quality_quantile_gate": (quality_quantile_gate, _QUANTILE_GATE_SQL),
     "decontamination_report": (decontamination_report, _DECONTAM_SQL),
+    "props_json_rollup": (props_json_rollup, _PROPS_JSON_SQL),
+    "event_value_percentiles": (event_value_percentiles, _VALUE_PCTL_SQL),
+    "pack_sequences": (pack_sequences_query, _PACK_SQL),
 }

@@ -87,3 +87,26 @@ def test_contamination_counts_grams_and_bench_docs(spark):
     # doc 1 grams: {a b c d, b c d e}; bench 100 shares the first,
     # bench 101 shares the second -> 2 grams across 2 bench docs
     assert got == {1: (2, 2)}
+
+
+def test_pack_sequences_greedy_reset_and_oversize(spark):
+    from dnsflow_clickhouse_spark.operators.packing import pack_sequences
+
+    # one shard (n_shards=1); token counts: 3, 3, 20(oversized), 2, 2
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "d e f"),
+            (2, " ".join(["w"] * 20)),
+            (3, "x y"),
+            (4, ""),  # empty doc joins the current sequence (0 tokens)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.ntok, r.seq_id)
+        for r in pack_sequences(docs, "doc_id", "text", cap=6, n_shards=1).collect()
+    }
+    # 3 -> seq0 (acc 3); 3 -> seq0 full (acc 6); 20 > cap -> own seq1;
+    # 2 -> seq2; 0 -> stays in seq2
+    assert got == {0: (3, 0), 1: (3, 0), 2: (20, 1), 3: (2, 2), 4: (0, 2)}
