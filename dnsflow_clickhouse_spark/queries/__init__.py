@@ -8,9 +8,11 @@ from dnsflow_clickhouse_spark.queries.catalog_dns5 import DNS5_REGISTRY as _DNS5
 from dnsflow_clickhouse_spark.queries.catalog_corpus import CORPUS_REGISTRY as _CORPUS
 from dnsflow_clickhouse_spark.queries.catalog_mlops import MLOPS_REGISTRY as _MLOPS
 from dnsflow_clickhouse_spark.queries.catalog_tpch2 import TPCH2_REGISTRY as _TPCH2
+from dnsflow_clickhouse_spark.queries.catalog_tpch3 import TPCH3_REGISTRY as _TPCH3
 
 QUERY_REGISTRY = {
-    **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_MLOPS, **_CORPUS,
+    **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_TPCH3,
+    **_MLOPS, **_CORPUS,
 }
 
 __all__ = ["QUERY_REGISTRY"]
