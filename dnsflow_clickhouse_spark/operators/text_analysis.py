@@ -82,6 +82,38 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach only (toks, quality) with the token array staged once.
+
+    Lean sibling of ``analyze_documents`` for quality-gating passes that
+    don't need lang/fingerprint columns: the analysis tree stays small
+    (planning + codegen cost scales with expression size, which matters
+    when the pass runs per micro-batch), and the op stays map-only — no
+    shuffle, file splits provide the parallelism at scale.
+    """
+    from dnsflow_clickhouse_spark.functions.textfn import STOPWORDS_EN
+
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    n_toks = F.col("toks")
+    sw_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS_EN)))
+    quality = F.round(
+        F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / F.lit(200.0))
+        + F.lit(0.4) * (F.lit(1.0) - non_alnum_ratio(t))
+        + F.lit(0.3)
+        * F.when(n_toks == 0, F.lit(0.0)).otherwise(
+            sw_hits.cast("double") / n_toks.cast("double")
+        ),
+        6,
+    )
+    return (
+        df.withColumn("__toks", tokens(t))
+        .withColumn("toks", F.size(toks).cast("long"))
+        .withColumn("quality", quality)
+        .drop("__toks")
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family (toks, lang_guess,
     quality, fp), with the token array staged once per row and every

@@ -594,12 +594,16 @@ ORDER BY doc_id
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring (text-analysis extension): length,
     punctuation and stopword components combined with fixed expression
-    shape so the double arithmetic is engine-identical."""
-    from dnsflow_clickhouse_spark.operators.text_analysis import analyze_documents
+    shape so the double arithmetic is engine-identical.
+
+    Map-only: no repartition — scoring is embarrassingly parallel and a
+    shuffle here would move every text payload once for nothing (file
+    splits already spread the scan at scale)."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import score_documents
 
     d = load_table(spark, sf_dir, "documents")
     return (
-        analyze_documents(d.repartition(F.col("doc_id")))
+        score_documents(d)
         .select("doc_id", "toks", "quality")
         .orderBy("doc_id")
     )

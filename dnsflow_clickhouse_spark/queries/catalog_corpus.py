@@ -135,12 +135,10 @@ def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality gate at the 25th percentile: score every
     document (text-analysis quality expression), take each language's
     discrete p25 in integer micro-units, count survivors."""
-    from dnsflow_clickhouse_spark.operators.text_analysis import analyze_documents
+    from dnsflow_clickhouse_spark.operators.text_analysis import score_documents
 
     d = load_table(spark, sf_dir, "documents")
-    scored = analyze_documents(d.repartition(F.col("doc_id"))).select(
-        "doc_id", "lang", "quality"
-    )
+    scored = score_documents(d).select("doc_id", "lang", "quality")
     return quantile_quality_filter(
         scored, "lang", "quality", "doc_id", q=0.25
     ).orderBy("stratum")
