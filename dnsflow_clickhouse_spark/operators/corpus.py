@@ -133,3 +133,38 @@ def contamination_report(
         F.countDistinct("gram").alias("n_shared_grams"),
         F.countDistinct("bench_id").alias("n_bench_docs"),
     )
+
+
+def temperature_resample(
+    df: DataFrame, strata_col: str, id_col: str
+) -> DataFrame:
+    """Temperature-based stratum rebalancing (alpha = 0.5): keep each
+    stratum with probability (n_min / n_stratum)^0.5, so over-represented
+    strata are downsampled toward the multilingual-training "temperature
+    sampling" distribution while the rarest stratum keeps everything.
+
+    The stratum counts and their min are two tiny aggregates that
+    broadcast back onto the corpus; the gate itself is the deterministic
+    ppm hash of the row id (operators/sampling.py) — a pure filter, no
+    shuffle of the data. alpha is fixed at 0.5 because sqrt is correctly
+    rounded in IEEE 754 (any engine replays the rates bit-exactly);
+    a transcendental pow(x, alpha) would not be.
+    """
+    from dnsflow_clickhouse_spark.operators.sampling import PPM, sample_key
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    rates = counts.join(F.broadcast(min_n)).select(
+        strata_col,
+        F.col("__n").alias("stratum_n"),
+        F.floor(
+            F.lit(PPM)
+            * F.sqrt(F.col("__min_n").cast("double") / F.col("__n").cast("double"))
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn("__keep", (sample_key(id_col) < F.col("rate_ppm")).cast("int"))
+    )

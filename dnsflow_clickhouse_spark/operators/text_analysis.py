@@ -82,6 +82,44 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style within-document repetition: for each n in ``ns``,
+    attach ``dup{n}_ppm`` — the fraction of n-gram occurrences that are
+    repeats of an earlier occurrence, in integer parts-per-million.
+
+    Repeated boilerplate (headers, spam templates, looping generations)
+    shows up as a high duplicate-gram fraction long before exact dedup
+    would catch it. Map-only: one staged tokenization per row, each
+    fraction a single integer-exact expression — no shuffle, no UDF.
+    The ppm is floor((total - distinct) * 1e6 / total): with total ≤
+    doc length, the true quotient is never within an ulp of an integer
+    from below, so the IEEE floor is engine-identical.
+    """
+    toks = F.col("__toks")
+    out = df.withColumn("__toks", tokens(F.col(text_col)))
+    for n in ns:
+        total = F.size(toks) - F.lit(n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+        dup = total - F.size(F.array_distinct(grams))
+        out = out.withColumn(
+            f"dup{n}_ppm",
+            F.when(
+                total > 0,
+                F.floor(dup.cast("double") * 1_000_000 / total.cast("double")),
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+    return out.drop("__toks")
+
+
 def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach only (toks, quality) with the token array staged once.
 

@@ -333,7 +333,122 @@ SELECT doc_id, shard, ntok, seq_id FROM walk ORDER BY doc_id
 """
 
 
+def repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal, rolled up per language:
+    average and max duplicate n-gram fractions (integer ppm). Map-only
+    scoring + one tiny aggregation; no shuffle of the text itself."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import repetition_metrics
+
+    d = load_table(spark, sf_dir, "documents")
+    m = repetition_metrics(d, "text", ns=(2, 3))
+    cnt = F.count(F.lit(1))
+    return (
+        m.groupBy("lang")
+        .agg(
+            cnt.alias("n_docs"),
+            F.floor(F.sum("dup2_ppm").cast("double") / cnt.cast("double"))
+            .cast("long")
+            .alias("avg_dup2_ppm"),
+            F.floor(F.sum("dup3_ppm").cast("double") / cnt.cast("double"))
+            .cast("long")
+            .alias("avg_dup3_ppm"),
+            F.max("dup3_ppm").alias("max_dup3_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_dup_ppm(n: int) -> str:
+    terms = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    total = f"(len(toks) - {n - 1})"
+    distinct = (
+        f"len(list_distinct(list_transform("
+        f"generate_series(1, len(toks) - {n - 1}), i -> {terms})))"
+    )
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"CAST(floor(({total} - {distinct}) * 1000000.0 / {total}) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+m AS (SELECT lang, {_sql_dup_ppm(2)} AS dup2_ppm, {_sql_dup_ppm(3)} AS dup3_ppm FROM t)
+SELECT lang, count(*) AS n_docs,
+       CAST(floor(sum(dup2_ppm) * 1.0 / count(*)) AS BIGINT) AS avg_dup2_ppm,
+       CAST(floor(sum(dup3_ppm) * 1.0 / count(*)) AS BIGINT) AS avg_dup3_ppm,
+       max(dup3_ppm) AS max_dup3_ppm
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+def temperature_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha = 0.5) language rebalancing: per-language keep
+    rates derived from the corpus itself, applied through the
+    deterministic ppm hash gate; reports kept counts per language."""
+    from dnsflow_clickhouse_spark.operators.corpus import temperature_resample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        temperature_resample(d, "lang", "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.max("stratum_n").alias("n_docs"),
+            F.max("rate_ppm").alias("rate_ppm"),
+            F.sum("__keep").alias("kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMPERATURE_SQL = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+r AS (SELECT lang, n,
+             CAST(floor(1000000 * sqrt((SELECT min(n) FROM c) * 1.0 / n)) AS BIGINT)
+             AS rate_ppm
+      FROM c)
+SELECT d.lang, max(r.n) AS n_docs, max(r.rate_ppm) AS rate_ppm,
+       sum(CASE WHEN {_SQL_BUCKET_DOC} < r.rate_ppm THEN 1 ELSE 0 END) AS kept
+FROM documents d JOIN r ON d.lang = r.lang
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram (dataset shape stats).
+
+    The bucket is the bit length of n_chars — computed by decimal→binary
+    string conversion in both engines, so bucket boundaries are exact
+    integers with no log2 float edge cases."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "bits", F.length(F.conv(F.col("n_chars").cast("string"), 10, 2))
+        )
+        .groupBy("bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bits")
+    )
+
+
+_LENGTH_HIST_SQL = """
+SELECT CAST(length(bin(n_chars)) AS INTEGER) AS bits, count(*) AS n_docs,
+       sum(n_chars) AS total_chars, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 CORPUS_REGISTRY = {
+    "repetition_report": (repetition_report, _REPETITION_SQL),
+    "temperature_lang_resample": (temperature_lang_resample, _TEMPERATURE_SQL),
+    "doc_length_histogram": (doc_length_histogram, _LENGTH_HIST_SQL),
     "stratified_doc_sample": (stratified_doc_sample, _STRATIFIED_SQL),
     "per_user_event_sample": (per_user_event_sample, _PER_KEY_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),

@@ -110,3 +110,37 @@ def test_pack_sequences_greedy_reset_and_oversize(spark):
     # 3 -> seq0 (acc 3); 3 -> seq0 full (acc 6); 20 > cap -> own seq1;
     # 2 -> seq2; 0 -> stays in seq2
     assert got == {0: (3, 0), 1: (3, 0), 2: (20, 1), 3: (2, 2), 4: (0, 2)}
+
+
+def test_repetition_metrics_known_values(spark):
+    from dnsflow_clickhouse_spark.operators.text_analysis import repetition_metrics
+
+    rows = [
+        (1, "a b a b a b"),   # 2-grams: 5 total, 2 distinct -> 600000 ppm
+        (2, "a b c d"),       # all distinct -> 0
+        (3, "x"),             # shorter than n -> 0
+        (4, ""),              # empty -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.dup2_ppm, r.dup3_ppm)
+           for r in repetition_metrics(df).collect()}
+    assert got[1] == (600000, 500000)  # 3-grams: 4 total, 2 distinct
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+
+
+def test_temperature_resample_rates(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import temperature_resample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_resample(df, "lang", "doc_id")
+    rates = {r.lang: r.rate_ppm for r in
+             out.select("lang", "rate_ppm").distinct().collect()}
+    assert rates["small"] == 1_000_000          # rarest stratum keeps all
+    assert rates["big"] == 500_000              # sqrt(100/400) = 0.5
+    kept = {r.lang: r.n for r in
+            out.groupBy("lang").agg(F.sum("__keep").alias("n")).collect()}
+    assert kept["small"] == 100                 # rate 1.0 keeps everything
+    assert 120 < kept["big"] < 280              # ~200 expected, hash-gated
