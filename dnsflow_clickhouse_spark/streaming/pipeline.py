@@ -169,6 +169,42 @@ def windowed_qps_stream(
     )
 
 
+def sessionized_stream(
+    raw_lines: DataFrame,
+    gap: str = "2 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time gap sessions per client — the Structured-Streaming-
+    native sibling of ``operators/sessions.py: sessionize`` (whose lag/
+    cumsum window algebra only works on closed batches).
+
+    ``F.session_window`` keeps one open [start, last+gap) interval per
+    (client, session) in state, merging events that arrive within the
+    gap — including out-of-order ones the watermark still admits — and
+    emits exactly one row per session in append mode once the watermark
+    passes the session's close. State is bounded by *open* sessions, so
+    executor memory scales with concurrent clients, not event volume —
+    the property that makes this run on an unbounded stream at 100 TB/
+    day where the batch form would need the whole day shuffled first.
+    """
+    parsed = parse_raw_lines(raw_lines)
+    ev = (
+        parsed.withColumn("ts", F.timestamp_seconds(F.col("Timestamp")))
+        .filter(F.col("QR"))
+        .withWatermark("ts", watermark)
+    )
+    return (
+        ev.groupBy(F.col("ClientIP"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("ClientIP").alias("client_ip"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def start_stream(
     spark: SparkSession,
     input_path: str,

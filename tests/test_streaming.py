@@ -172,3 +172,63 @@ def test_windowed_watermark_stream(spark, tmp_path):
         assert rows[w0] == (3, 1), "late record leaked into a closed window"
     finally:
         q.stop()
+
+
+def test_sessionized_stream_gap_merge_and_finalize(spark, tmp_path):
+    """Native session_window: events within the gap merge into one
+    session (even arriving across micro-batches), distinct clients keep
+    distinct state, and a session emits once the watermark passes its
+    close."""
+    import json
+
+    from dnsflow_clickhouse_spark.streaming.pipeline import sessionized_stream
+
+    def line(ts, ip):
+        return json.dumps(
+            {
+                "Timestamp": ts, "ServerIP": "1.1.1.1", "ClientIP": ip,
+                "Domain": "www.baidu.com", "Type": "A", "ResponseCode": 0,
+                "QR": True,
+                "Answers": [{"Type": "A", "Value": "8.8.8.8"}],
+            }
+        )
+
+    t0 = APP_TIME
+    inp = tmp_path / "sess_in"
+    inp.mkdir()
+    # client A: two events 60s apart (one session, gap=120s);
+    # client B: one event
+    (inp / "f1.txt").write_text(
+        "\n".join([line(t0, "10.0.0.1"), line(t0 + 60, "10.0.0.1"),
+                   line(t0 + 30, "10.0.0.2")]),
+        encoding="utf-8",
+    )
+    q = (
+        sessionized_stream(spark.readStream.format("text").load(str(inp)),
+                           gap="2 minutes", watermark="1 minutes")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sess").count() == 0  # all still open
+        # a second batch extends A's session within the gap, then a far-
+        # future event advances the watermark past every session's close
+        (inp / "f2.txt").write_text(line(t0 + 150, "10.0.0.1"), encoding="utf-8")
+        q.processAllAvailable()
+        (inp / "f3.txt").write_text(line(t0 + 10000, "10.0.0.9"), encoding="utf-8")
+        q.processAllAvailable()
+        got = {
+            (r.client_ip, int(r.session_start.timestamp()),
+             int(r.session_end.timestamp()), r.n_events)
+            for r in spark.sql("SELECT * FROM sess").collect()
+        }
+        assert got == {
+            ("10.0.0.1", t0, t0 + 150 + 120, 3),   # merged across batches
+            ("10.0.0.2", t0 + 30, t0 + 30 + 120, 1),
+        }
+    finally:
+        q.stop()
