@@ -72,3 +72,28 @@ def write_middle_data(df: DataFrame, path: str, partitions: int = 12) -> None:
     """K2: \\x01-delimited text, coalesced to a fixed file count
     (reference: coalesce(12), DnsRptCH.scala:138)."""
     df.coalesce(partitions).write.mode("overwrite").option("sep", "\x01").csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-clustered into ``buckets``
+    files per partition by ``keys`` at write time, and the layout is
+    recorded in the catalog.
+
+    This is the pre-paid shuffle: any later equi-join or aggregation on
+    the bucket keys between tables with matching bucketing reads
+    co-located data and plans with NO Exchange — at 100 TB the repeated
+    per-query shuffle of a hot fact table is usually the single largest
+    cost, and bucketing moves it to ingest, once. (The reference has no
+    analogue; its ClickHouse tables get this from primary-key locality.)
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

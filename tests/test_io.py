@@ -86,3 +86,33 @@ def test_read_event_files_multi_path_union(spark, tmp_path):
     assert df.count() == 100
     parsed = parse_raw_lines(df)
     assert parsed.count() == 100
+
+
+def test_bucketed_join_plans_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join with zero Exchange —
+    the co-location contract bucketing exists for."""
+    from dnsflow_clickhouse_spark.io import write_bucketed_table
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed_table(a, "t_bucket_a", ["k"], buckets=4)
+    write_bucketed_table(b, "t_bucket_b", ["k"], buckets=4)
+    try:
+        ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+        with_hint = ta.hint("merge").join(tb, "k")  # force SMJ over broadcast
+        plan = with_hint._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert with_hint.count() == 1000
+        # and a bucket-key aggregation needs no shuffle either
+        agg_plan = (
+            ta.groupBy("k").agg(F.sum("va"))._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
