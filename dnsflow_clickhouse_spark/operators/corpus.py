@@ -168,3 +168,52 @@ def temperature_resample(
         df.join(F.broadcast(rates), strata_col)
         .withColumn("__keep", (sample_key(id_col) < F.col("rate_ppm")).cast("int"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap (context-window prep):
+    each document explodes into chunks of ``size`` tokens taken every
+    ``stride`` tokens; the final chunk is the remainder (never empty).
+
+    Map-only until the explode, and the explode carries token slices
+    rather than repeated full texts — at 100 TB the difference between
+    writing chunk shards and re-shuffling whole documents per chunk.
+    Empty documents produce zero chunks.
+    """
+    toks = F.col("__toks")
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - size, F.lit(0)).cast("double") / F.lit(stride)).cast(
+            "int"
+        )
+        + 1
+    )
+    chunk = F.explode(
+        F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_id"),
+                    F.slice(toks, i * stride + 1, size).alias("chunk_toks"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<chunk_id:int,chunk_toks:array<string>>>"))
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(id_col, chunk.alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.chunk_toks").alias("n_tokens"),
+            F.element_at("c.chunk_toks", 1).alias("first_token"),
+            F.element_at("c.chunk_toks", F.size("c.chunk_toks")).alias("last_token"),
+        )
+    )

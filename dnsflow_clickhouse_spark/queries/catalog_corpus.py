@@ -6,7 +6,7 @@ thresholds, the shared tokenizer/n-gram SQL)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dnsflow_clickhouse_spark.operators.corpus import (
@@ -445,7 +445,138 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+_FUNNEL_THR = 500_000  # quality gate in micro-units
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel in one declarative program:
+    exact dedup (md5 canonical) -> quality gate (fixed micro-unit
+    threshold) -> temperature (alpha=0.5) language rebalancing, reporting
+    per-language survivor counts at every stage.
+
+    Shuffle inventory at scale: one hash shuffle on md5(text) for the
+    dedup window, one per-language aggregate (broadcast back), and the
+    final counting aggregate — quality scoring and the resample gate are
+    map-side. The per-language rates derive from the *quality survivors*
+    (not the raw corpus), which is the order a real pipeline wants."""
+    from dnsflow_clickhouse_spark.operators.sampling import sample_key
+    from dnsflow_clickhouse_spark.operators.text_analysis import score_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    flags = (
+        score_documents(d)
+        .withColumn("uniq", (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"))
+        .withColumn("qm", F.round(F.col("quality") * 1_000_000).cast("long"))
+        .withColumn(
+            "q",
+            ((F.col("uniq") == 1) & (F.col("qm") >= _FUNNEL_THR)).cast("int"),
+        )
+        .withColumn("bucket", sample_key("doc_id"))
+        .select("doc_id", "lang", "uniq", "q", "bucket")
+    )
+    counts = flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("uniq").alias("n_unique"),
+        F.sum("q").alias("n_quality"),
+    )
+    # global min over the per-language aggregate via an unpartitioned
+    # window: counts is language-cardinality (tiny at any data scale),
+    # and this keeps the expensive flags subtree at two plan occurrences
+    # (counts + the final count) instead of three
+    rates = counts.withColumn(
+        "__min_q", F.min("n_quality").over(Window.partitionBy())
+    ).select(
+        "lang",
+        "n_raw",
+        "n_unique",
+        "n_quality",
+        F.when(F.col("n_quality") <= 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.lit(1_000_000)
+                * F.sqrt(
+                    F.col("__min_q").cast("double") / F.col("n_quality").cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    return (
+        flags.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_raw").alias("n_raw"),
+            F.max("n_unique").alias("n_unique"),
+            F.max("n_quality").alias("n_quality"),
+            F.max("rate_ppm").alias("rate_ppm"),
+            F.sum(
+                ((F.col("q") == 1) & (F.col("bucket") < F.col("rate_ppm"))).cast(
+                    "long"
+                )
+            ).alias("n_final"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id, lang,
+         CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS uniq,
+         CAST(round({_QUALITY_EXPR} * 1000000) AS BIGINT) AS qm,
+         {_SQL_BUCKET_DOC} AS bucket
+  FROM t
+),
+g AS (SELECT *, CASE WHEN uniq = 1 AND qm >= {_FUNNEL_THR} THEN 1 ELSE 0 END AS q FROM f),
+c AS (SELECT lang, count(*) AS n_raw, sum(uniq) AS n_unique, sum(q) AS n_quality
+      FROM g GROUP BY lang),
+r AS (SELECT lang, n_raw, n_unique, n_quality,
+             CASE WHEN n_quality <= 0 THEN 0
+                  ELSE CAST(floor(1000000 * sqrt(
+                       (SELECT min(n_quality) FROM c) * 1.0 / n_quality)) AS BIGINT)
+             END AS rate_ppm
+      FROM c)
+SELECT g.lang,
+       max(r.n_raw) AS n_raw, max(r.n_unique) AS n_unique,
+       max(r.n_quality) AS n_quality, max(r.rate_ppm) AS rate_ppm,
+       sum(CASE WHEN g.q = 1 AND g.bucket < r.rate_ppm THEN 1 ELSE 0 END) AS n_final
+FROM g JOIN r ON g.lang = r.lang
+GROUP BY g.lang ORDER BY g.lang
+"""
+
+
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks every 48 tokens (context-window prep), with
+    boundary tokens exposed so the oracle pins exact chunk edges."""
+    from dnsflow_clickhouse_spark.operators.corpus import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", size=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+         list_slice(toks, i*48 + 1, i*48 + 64) AS ct
+  FROM t, UNNEST(CASE WHEN len(toks) > 0
+                 THEN generate_series(0, CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT))
+                 ELSE [] END) AS u(i)
+)
+SELECT doc_id, chunk_id, CAST(len(ct) AS INTEGER) AS n_tokens,
+       ct[1] AS first_token, ct[len(ct)] AS last_token
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 CORPUS_REGISTRY = {
+    "curation_funnel": (curation_funnel, _FUNNEL_SQL),
+    "chunk_documents": (chunk_documents_query, _CHUNK_SQL),
     "repetition_report": (repetition_report, _REPETITION_SQL),
     "temperature_lang_resample": (temperature_lang_resample, _TEMPERATURE_SQL),
     "doc_length_histogram": (doc_length_histogram, _LENGTH_HIST_SQL),

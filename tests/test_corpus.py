@@ -144,3 +144,22 @@ def test_temperature_resample_rates(spark):
             out.groupBy("lang").agg(F.sum("__keep").alias("n")).collect()}
     assert kept["small"] == 100                 # rate 1.0 keeps everything
     assert 120 < kept["big"] < 280              # ~200 expected, hash-gated
+
+
+def test_chunk_documents_boundaries(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import chunk_documents
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))
+    rows = [(1, toks(64)), (2, toks(65)), (3, toks(200)), (4, ""), (5, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, "doc_id", "text", size=64, stride=48).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.n_tokens, r.first_token, r.last_token)
+        )
+    assert got[1] == [(0, 64, "t0", "t63")]            # exact fit: one chunk
+    assert got[2] == [(0, 64, "t0", "t63"), (1, 17, "t48", "t64")]  # remainder
+    assert [c[0] for c in got[3]] == [0, 1, 2, 3]       # ceil((200-64)/48)+1
+    assert got[3][3] == (3, 56, "t144", "t199")
+    assert 4 not in got                                 # empty doc: no chunks
+    assert got[5] == [(0, 1, "solo", "solo")]
