@@ -158,7 +158,89 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+def multiset_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): event-type
+    multisets of the month's first vs second half, duplicates preserved.
+    Catalyst plans both as aggregate+generate (per-key min-count replay),
+    not a row-by-row anti join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.dayofmonth("ts").alias("__d")
+    )
+    first_half = ev.filter(F.col("__d") <= 15).drop("__d")
+    second_half = ev.filter(F.col("__d") > 15).drop("__d")
+    both = first_half.intersectAll(second_half).groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    only_first = first_half.exceptAll(second_half).groupBy(
+        "user_id", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        both.join(only_first.withColumnRenamed("n", "n_first_only"),
+                  ["user_id", "event_type"], "full_outer")
+        .fillna(0, ["n_common", "n_first_only"])
+        .orderBy("user_id", "event_type")
+    )
+
+
+_MULTISET_SQL = """
+WITH fh AS (SELECT user_id, event_type FROM events WHERE day(ts) <= 15),
+sh AS (SELECT user_id, event_type FROM events WHERE day(ts) > 15),
+both_t AS (
+  SELECT user_id, event_type, count(*) AS n_common
+  FROM (SELECT * FROM fh INTERSECT ALL SELECT * FROM sh)
+  GROUP BY user_id, event_type
+),
+first_only AS (
+  SELECT user_id, event_type, count(*) AS n_first_only
+  FROM (SELECT * FROM fh EXCEPT ALL SELECT * FROM sh)
+  GROUP BY user_id, event_type
+)
+SELECT coalesce(b.user_id, f.user_id) AS user_id,
+       coalesce(b.event_type, f.event_type) AS event_type,
+       coalesce(b.n_common, 0) AS n_common,
+       coalesce(f.n_first_only, 0) AS n_first_only
+FROM both_t b FULL OUTER JOIN first_only f
+  ON b.user_id = f.user_id AND b.event_type = f.event_type
+ORDER BY user_id, event_type
+"""
+
+
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): per-day metric columns (events,
+    errors, distinct users) rotate into (metric, value) rows — the
+    inverse of the pivot query, planned as one Expand node (each input
+    row emitted k times), no join or shuffle beyond the daily agg."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return daily.unpivot(
+        "day", ["n_events", "n_errors", "n_users"], "metric", "value"
+    ).orderBy("day", "metric")
+
+
+_UNPIVOT_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n_events,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+         count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT day, metric, value FROM (
+  SELECT day, 'n_events' AS metric, n_events AS value FROM daily
+  UNION ALL SELECT day, 'n_errors', n_errors FROM daily
+  UNION ALL SELECT day, 'n_users', n_users FROM daily
+)
+ORDER BY day, metric
+"""
+
+
 DNS5_REGISTRY = {
+    "multiset_ops_events": (multiset_ops_events, _MULTISET_SQL),
+    "unpivot_daily_metrics": (unpivot_daily_metrics, _UNPIVOT_SQL),
     "session_stats": (session_stats, _SESSION_SQL),
     "asof_last_click": (asof_last_click, _ASOF_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, _BPE_SQL),
