@@ -1,0 +1,96 @@
+"""Skew mitigation for hot-key aggregation.
+
+The reference salts six hot aggregations by hand with ``random.nextInt
+(100)`` (DnsRptCH.scala:641-761) — non-deterministic and always-on. The
+rebuild's default is AQE (skew-join splitting + coalescing, SURVEY §4),
+which handles *join* skew at runtime; aggregation skew is already mostly
+absorbed by partial aggregation (map-side combine). The residual case —
+a groupBy whose per-key *partial* states are still too hot for one
+reducer (e.g. a count over a handful of mega-keys with billions of rows
+each on 1000 executors) — is what ``salted_agg`` is for: an explicit,
+deterministic two-phase aggregation.
+
+Phase 1 groups by (key, salt) — the hot key's rows spread over
+``buckets`` reducers; phase 2 re-aggregates the per-salt partials by
+key. Only algebraic aggregates (whose merge is the same op or a known
+combiner) are supported, because the partial→final composition must be
+exact: sum/count/min/max. The salt is a deterministic hash of a spread
+column (not ``rand()``), so results are reproducible and retries/
+speculative tasks can't double-count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (partial aggregate, final merge) per supported algebraic aggregate
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    spread_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Deterministic two-phase (salted) aggregation.
+
+    ``aggs`` maps output column name -> (agg_name, input_col) with
+    agg_name in {sum, count, min, max}. ``spread_col`` is any column
+    whose values vary within a hot key (an id, a timestamp); its hash
+    modulo ``buckets`` is the salt.
+
+    Equivalent to ``df.groupBy(keys).agg(...)`` for every supported
+    aggregate — pinned by tests — but the first shuffle carries
+    (keys, salt) so no single reducer owns a whole hot key.
+    """
+    unsupported = [a for a, _ in aggs.values() if a not in _ALGEBRAIC]
+    if unsupported:
+        raise ValueError(
+            f"non-algebraic aggregates not salt-safe: {unsupported}; "
+            f"supported: {sorted(_ALGEBRAIC)}"
+        )
+    salt = F.pmod(F.xxhash64(F.col(spread_col)), F.lit(buckets)).alias("__salt")
+    partial = df.groupBy(*keys, salt).agg(
+        *[
+            _ALGEBRAIC[a][0](F.col(c)).alias(f"__p_{out}")
+            for out, (a, c) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _ALGEBRAIC[a][1](F.col(f"__p_{out}")).alias(out)
+            for out, (a, _) in aggs.items()
+        ]
+    )
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    out: str = "n_distinct",
+    buckets: int = 32,
+) -> DataFrame:
+    """COUNT(DISTINCT x) for hot keys: dedup on (keys, x) spread by the
+    hash of x itself (the distinct column is its own perfect spread),
+    then count per key. Two shuffles, neither concentrated."""
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets)).alias("__salt")
+    dedup = (
+        df.groupBy(*keys, salt, F.col(distinct_col)).agg(F.lit(1).alias("__one"))
+    )
+    return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def salt_column(spread: Column | str, buckets: int) -> Column:
+    """The deterministic salt expression used by both operators —
+    exposed for callers composing their own salted plans."""
+    c = F.col(spread) if isinstance(spread, str) else spread
+    return F.pmod(F.xxhash64(c), F.lit(buckets))
