@@ -205,3 +205,54 @@ def prefix_bucketed_range_join(
             col = F.coalesce(col, F.lit(defaults[c]))
         joined = joined.withColumn(c, col).drop(f"__p_{c}")
     return joined
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str],
+    right_range: tuple[str, str],
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval × interval overlap join on a shared integer axis (both
+    sides are [start, end] closed ranges — e.g. session spans vs outage
+    windows). Neither range_join (point-in-interval, broadcast dims) nor
+    any Catalyst equi-join covers this shape; the naive form is a cross
+    join with an inequality filter.
+
+    Scale path: both sides explode their intervals onto a coarse bucket
+    grid (``bucket_width`` in axis units) and equi-join on the bucket, so
+    the shuffle partitions by time locality and each pair is tested only
+    inside buckets both intervals touch. A pair overlapping several
+    shared buckets would match once per bucket; the classic dedup trick
+    restricts the match to the FIRST shared bucket — the bucket holding
+    ``greatest(l_start, r_start)`` — which every overlapping pair shares
+    exactly once. No distinct pass, no post-join dedup shuffle.
+
+    Choose ``bucket_width`` near the typical interval length: too fine
+    explodes rows, too coarse degenerates toward the cross join. Column
+    names must be disjoint across the two inputs.
+    """
+    ls, le = left_range
+    rs, re_ = right_range
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"ambiguous columns across join sides: {sorted(overlap)}")
+
+    def b(c: str):  # bucket index (epoch ints are double-exact; floor is safe)
+        return F.floor(F.col(c) / F.lit(bucket_width)).cast("long")
+
+    l2 = left.select(
+        "*", F.explode(F.sequence(b(ls), b(le))).alias("__bl")
+    )
+    r2 = right.select(
+        "*", F.explode(F.sequence(b(rs), b(re_))).alias("__br")
+    )
+    cond = (
+        (F.col("__bl") == F.col("__br"))
+        & (F.col(ls) <= F.col(re_))
+        & (F.col(rs) <= F.col(le))
+        & (F.col("__bl") == F.greatest(b(ls), b(rs)))
+    )
+    return l2.join(r2, cond, how).drop("__bl", "__br")

@@ -238,7 +238,70 @@ ORDER BY day, metric
 """
 
 
+_STORM_MIN_ERRORS = 5
+
+
+def storm_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: per-(user, day) activity spans
+    against hourly "error storm" windows (hours with >= 5 error events),
+    counting affected users per storm hour. Both interval sets derive
+    from aggregates; the overlap join buckets on the hour grid — see
+    operators/range_join.py: interval_overlap_join for the dedup trick
+    that keeps it distinct-free."""
+    from dnsflow_clickhouse_spark.operators.range_join import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__ep", F.unix_timestamp("ts")
+    )
+    spans = ev.groupBy(
+        F.col("user_id").alias("span_user"),
+        F.date_format("ts", "yyyy-MM-dd").alias("span_day"),
+    ).agg(F.min("__ep").alias("span_s"), F.max("__ep").alias("span_e"))
+    storms = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            (F.floor(F.col("__ep") / 3600).cast("long") * 3600).alias("storm_s")
+        )
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= _STORM_MIN_ERRORS)
+        .withColumn("storm_e", F.col("storm_s") + 3599)
+    )
+    return (
+        interval_overlap_join(
+            spans, storms, ("span_s", "span_e"), ("storm_s", "storm_e"), 3600
+        )
+        .groupBy("storm_s", "n_errors")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("span_user").alias("n_users"),
+        )
+        .orderBy("storm_s")
+    )
+
+
+_STORM_SQL = """
+WITH ep AS (SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                   strftime(ts, '%Y-%m-%d') AS day
+            FROM events),
+spans AS (SELECT user_id AS span_user, day AS span_day,
+                 min(e) AS span_s, max(e) AS span_e
+          FROM ep GROUP BY 1, 2),
+storms AS (SELECT CAST(floor(e / 3600) AS BIGINT) * 3600 AS storm_s,
+                  count(*) AS n_errors
+           FROM ep WHERE event_type = 'error'
+           GROUP BY 1 HAVING count(*) >= 5)
+SELECT storm_s, n_errors, count(*) AS n_spans,
+       count(DISTINCT span_user) AS n_users
+FROM spans JOIN storms
+  ON span_s <= storm_s + 3599 AND storm_s <= span_e
+GROUP BY storm_s, n_errors
+ORDER BY storm_s
+"""
+
+
 DNS5_REGISTRY = {
+    "storm_span_overlap": (storm_span_overlap, _STORM_SQL),
     "multiset_ops_events": (multiset_ops_events, _MULTISET_SQL),
     "unpivot_daily_metrics": (unpivot_daily_metrics, _UNPIVOT_SQL),
     "session_stats": (session_stats, _SESSION_SQL),

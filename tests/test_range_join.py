@@ -118,3 +118,31 @@ def test_prefix_bucketed_range_join_geo_shape(spark):
         3 * 16777216 + 50: "regionB",
         4 * 16777216: "unknown",
     }
+
+
+def test_interval_overlap_join_dedup_and_semantics(spark):
+    from dnsflow_clickhouse_spark.operators.range_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 250), (2, 90, 110), (3, 300, 310)],
+        "lid int, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 220), (20, 240, 360)],
+        "rid int, rs long, re long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, ("ls", "le"), ("rs", "re"), bucket_width=100
+        ).collect()
+    )
+    # (1,10) shares buckets 1 and 2 -> must appear exactly ONCE;
+    # (1,20) overlaps at [240,250]; (2,10) nested; (3,20) tail overlap;
+    # (2,20)/(3,10) don't overlap.
+    assert got == [(1, 10), (1, 20), (2, 10), (3, 20)]
+    # name collision is rejected, not silently mis-joined
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ambiguous"):
+        interval_overlap_join(left, left, ("ls", "le"), ("ls", "le"), 100)
