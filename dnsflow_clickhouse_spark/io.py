@@ -97,3 +97,60 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def write_report_idempotent(
+    df: DataFrame, base_dir: str, table: str, batch_id: int
+) -> None:
+    """Exactly-once-per-batch report sink: the reference's JDBC append
+    duplicates rows when a batch retries (SURVEY §3 — no transactions,
+    `isolationLevel=NONE`); here each batch owns a `batch_id=` partition
+    and a retry *replaces* that partition instead of appending beside it
+    (dynamic partition overwrite touches only the partitions present in
+    this write — other batches' output is never rewritten).
+
+    Safe to call from foreachBatch with the streaming batch id: Spark
+    replays a failed batch with the same id, so the sink converges to
+    one copy per batch at any retry count.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(base_dir, table))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """ClickHouse-ReplacingMergeTree-style merge: union the update set
+    onto the current snapshot and keep, per key, the row with the
+    highest version (ties broken by ``tiebreak_cols`` then by update-
+    side wins). One window shuffle on the key — the Spark-native form
+    of the background collapse ClickHouse applies at read/merge time.
+    """
+    from pyspark.sql import Window
+
+    tagged = current.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    order = [F.desc(version_col)] + [
+        F.desc(c) for c in (tiebreak_cols or [])
+    ] + [F.desc("__src")]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

@@ -116,3 +116,35 @@ def test_bucketed_join_plans_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_idempotent_batch_sink_replaces_on_retry(spark, tmp_path):
+    from dnsflow_clickhouse_spark.io import write_report_idempotent
+
+    base = str(tmp_path / "reports")
+    b0 = spark.createDataFrame([(1, "a")], "k int, v string")
+    b1 = spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string")
+    write_report_idempotent(b0, base, "t", batch_id=0)
+    write_report_idempotent(b1, base, "t", batch_id=1)
+    # retry of batch 1 (same id, same or corrected data) must REPLACE it
+    write_report_idempotent(b1, base, "t", batch_id=1)
+    got = sorted(
+        (r.batch_id, r.k, r.v)
+        for r in spark.read.parquet(base + "/t").collect()
+    )
+    assert got == [(0, 1, "a"), (1, 2, "b"), (1, 3, "c")]
+
+
+def test_merge_upsert_keeps_latest_version(spark):
+    from dnsflow_clickhouse_spark.io import merge_upsert
+
+    cur = spark.createDataFrame(
+        [(1, 10, "old"), (2, 10, "keep")], "k int, ver int, v string"
+    )
+    upd = spark.createDataFrame(
+        [(1, 20, "new"), (3, 5, "ins"), (2, 10, "dup-same-ver")],
+        "k int, ver int, v string",
+    )
+    got = {r.k: (r.ver, r.v) for r in merge_upsert(cur, upd, ["k"], "ver").collect()}
+    # higher version wins; equal version -> update side wins; inserts land
+    assert got == {1: (20, "new"), 2: (10, "dup-same-ver"), 3: (5, "ins")}
