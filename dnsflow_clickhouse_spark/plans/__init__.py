@@ -28,4 +28,9 @@ def assert_broadcast_join(df: DataFrame) -> None:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange")
+    """Number of Exchange NODES: the formatted plan prints each node in
+    the tree and again as a '(n) Exchange' detail heading — count the
+    headings, which are one-per-node."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", physical_plan(df), re.M))
