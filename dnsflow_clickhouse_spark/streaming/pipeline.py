@@ -205,6 +205,53 @@ def sessionized_stream(
     )
 
 
+def attribution_stream(
+    raw_lines: DataFrame,
+    attribution_window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each error response joins the same
+    client's requests from the preceding attribution window — the
+    streaming form of the as-of/attribution join (operators/sessions.py)
+    where BOTH sides are unbounded.
+
+    Structured Streaming requirements encoded here: each side carries
+    its own watermark, and the join condition bounds the event-time
+    distance, so the engine can expire request-side state once the error
+    watermark passes ``ts + attribution_window`` — state is bounded by
+    the window span per client, not the stream length. Inner join rows
+    emit as soon as both sides arrive.
+    """
+    parsed = parse_raw_lines(raw_lines).filter(F.col("QR"))
+    reqs = (
+        parsed.select(
+            F.col("ClientIP").alias("r_client"),
+            F.col("Domain").alias("r_domain"),
+            F.timestamp_seconds(F.col("Timestamp")).alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    errs = (
+        parsed.filter(F.col("ResponseCode") != 0)
+        .select(
+            F.col("ClientIP").alias("e_client"),
+            F.col("Domain").alias("e_domain"),
+            F.timestamp_seconds(F.col("Timestamp")).alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    return reqs.join(
+        errs,
+        (F.col("r_client") == F.col("e_client"))
+        & (F.col("r_ts") <= F.col("e_ts"))
+        & (
+            F.col("r_ts")
+            >= F.col("e_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select("e_client", "e_domain", "e_ts", "r_domain", "r_ts")
+
+
 def start_stream(
     spark: SparkSession,
     input_path: str,

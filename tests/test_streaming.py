@@ -232,3 +232,73 @@ def test_sessionized_stream_gap_merge_and_finalize(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_attribution_stream_stream_join(spark, tmp_path):
+    """Stream-stream interval join: an error matches the same client's
+    requests within the lookback window — across micro-batches — and
+    never another client's."""
+    import json
+
+    from dnsflow_clickhouse_spark.streaming.pipeline import attribution_stream
+
+    def line(ts, ip, domain, rc=0):
+        return json.dumps(
+            {
+                "Timestamp": ts, "ServerIP": "1.1.1.1", "ClientIP": ip,
+                "Domain": domain, "Type": "A", "ResponseCode": rc,
+                "QR": True,
+                "Answers": [{"Type": "A", "Value": "8.8.8.8"}],
+            }
+        )
+
+    t0 = APP_TIME
+    inp = tmp_path / "attr_in"
+    inp.mkdir()
+    # batch 1: client A requests d1; client B requests d9 (noise)
+    (inp / "f1.txt").write_text(
+        "\n".join([line(t0, "10.0.0.1", "d1.com"),
+                   line(t0 + 30, "10.0.0.2", "d9.com")]),
+        encoding="utf-8",
+    )
+    q = (
+        attribution_stream(
+            spark.readStream.format("text").load(str(inp)),
+            attribution_window="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: client A errors on d2 120s later -> joins its own d1
+        # request AND the error row itself (errors are requests too);
+        # client B's request is out of reach
+        (inp / "f2.txt").write_text(
+            line(t0 + 120, "10.0.0.1", "d2.com", rc=3), encoding="utf-8"
+        )
+        q.processAllAvailable()
+        got = {
+            (r.e_client, r.e_domain, r.r_domain)
+            for r in spark.sql("SELECT * FROM attr").collect()
+        }
+        assert got == {
+            ("10.0.0.1", "d2.com", "d1.com"),
+            ("10.0.0.1", "d2.com", "d2.com"),
+        }
+        # a request far outside the window never matches
+        (inp / "f3.txt").write_text(
+            line(t0 + 5000, "10.0.0.1", "d3.com", rc=2), encoding="utf-8"
+        )
+        q.processAllAvailable()
+        got3 = {
+            (r.e_domain, r.r_domain)
+            for r in spark.sql("SELECT * FROM attr").collect()
+            if r.e_domain == "d3.com"
+        }
+        assert got3 == {("d3.com", "d3.com")}  # only itself, d1/d2 aged out
+    finally:
+        q.stop()
