@@ -148,3 +148,36 @@ def test_merge_upsert_keeps_latest_version(spark):
     got = {r.k: (r.ver, r.v) for r in merge_upsert(cur, upd, ["k"], "ver").collect()}
     # higher version wins; equal version -> update side wins; inserts land
     assert got == {1: (20, "new"), 2: (10, "dup-same-ver"), 3: (5, "ins")}
+
+
+def test_file_format_roundtrips_and_corrupt_policy(spark, tmp_path):
+    from dnsflow_clickhouse_spark.sources import files as FF
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c,x", 3.5)],
+        "id long, name string, v double",
+    )
+    want = sorted(map(tuple, src.collect()))
+    ddl = "id long, name string, v double"
+
+    p = str(tmp_path / "t_csv")
+    FF.write_csv(src, p)
+    got = FF.read_csv(spark, p, ddl)
+    assert sorted(map(tuple, got.collect())) == want  # quoting survives ','
+
+    p = str(tmp_path / "t_json")
+    FF.write_jsonl(src, p)
+    assert sorted(map(tuple, FF.read_jsonl(spark, p, ddl).collect())) == want
+
+    p = str(tmp_path / "t_orc")
+    FF.write_orc(src, p)
+    assert sorted(map(tuple, FF.read_orc(spark, p, ddl).collect())) == want
+
+    # corrupt JSON lines drop silently instead of poisoning the read
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.json").write_text(
+        '{"id": 1, "name": "ok", "v": 1.0}\nnot json at all\n', encoding="utf-8"
+    )
+    got = FF.read_jsonl(spark, str(bad), ddl).collect()
+    assert [tuple(r) for r in got] == [(1, "ok", 1.0)]
