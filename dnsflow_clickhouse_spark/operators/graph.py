@@ -95,3 +95,58 @@ def dedup_clusters(
     ``comp`` = the cluster's canonical (minimum) member id."""
     cc = connected_components(pairs, id_a, id_b, num_partitions=num_partitions)
     return cc.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units: rank(n) =
+    150000 + floor(850 * Σ_in floor(rank(s)/deg(s)) / 1000), starting
+    from 1e6 per node (damping 0.85 as the 850/1000 integer pair).
+
+    Every step is integer floor arithmetic, so any engine replays the
+    ranks bit-exactly — which is what makes an *iterative* operator
+    oracle-checkable at all (float PageRank diverges across engines in
+    the last ulps). Dangling-node mass is dropped (documented choice;
+    ranks are a relative ordering, not a distribution).
+
+    Scale shape: the loop body is one join (ranks ⋈ edges on src) + one
+    sum by dst + one left join back onto the node set — all shuffles on
+    the node id, partitioning reused across iterations. Fixed iteration
+    count keeps the plan finite; for long loops add localCheckpoint as
+    in connected_components (iterations here are few and the plan
+    stays shallow).
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = (
+        e.select(F.col("__s").alias("id"))
+        .union(e.select(F.col("__d").alias("id")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(e, ranks.id == e.__s)
+            .join(deg, "__s")
+            .select(
+                F.col("__d").alias("id"),
+                F.floor(F.col("rank") / F.col("__deg")).cast("long").alias("__c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(150_000)
+                    + F.floor(F.coalesce(F.col("__in"), F.lit(0)) * 850 / 1000)
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks

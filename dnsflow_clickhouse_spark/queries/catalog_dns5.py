@@ -5,7 +5,7 @@ oracles (window-function SQL / correlated point-in-time subquery).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dnsflow_clickhouse_spark.functions.textfn import (
@@ -300,7 +300,62 @@ ORDER BY storm_s
 """
 
 
+def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 exact-integer iterations) over the item
+    transition graph: per-user consecutive props.k values form directed
+    edges; ranks replay bit-exactly in any engine (see operators/
+    graph.py: pagerank_exact), which is what lets an iterative operator
+    carry a full value-hash oracle instead of a rows-only check."""
+    from dnsflow_clickhouse_spark.operators.graph import pagerank_exact
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("pk", F.lag("k").over(w))
+        .filter(F.col("pk").isNotNull() & (F.col("pk") != F.col("k")))
+        .select(F.col("pk").alias("src"), F.col("k").alias("dst"))
+    )
+    return pagerank_exact(edges, iterations=3).orderBy("id")
+
+
+def _pr_iter(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT n.id, CAST(150000 + floor(coalesce(c.i, 0) * 850 / 1000) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS id, sum(CAST(floor(r.rank * 1.0 / deg.dg) AS BIGINT)) AS i
+    FROM {prev} r JOIN edges e ON r.id = e.s JOIN deg ON deg.s = e.s
+    GROUP BY e.d
+  ) c ON n.id = c.id
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         lag(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pk
+  FROM events
+),
+edges AS (SELECT DISTINCT pk AS s, k AS d FROM seq
+          WHERE pk IS NOT NULL AND pk <> k),
+deg AS (SELECT s, count(*) AS dg FROM edges GROUP BY s),
+nodes AS (SELECT s AS id FROM edges UNION SELECT d FROM edges),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+{_pr_iter("r0", "r1")},
+{_pr_iter("r1", "r2")},
+{_pr_iter("r2", "r3")}
+SELECT id, rank FROM r3 ORDER BY id
+"""
+
+
 DNS5_REGISTRY = {
+    "item_pagerank": (item_pagerank, _PAGERANK_SQL),
     "storm_span_overlap": (storm_span_overlap, _STORM_SQL),
     "multiset_ops_events": (multiset_ops_events, _MULTISET_SQL),
     "unpivot_daily_metrics": (unpivot_daily_metrics, _UNPIVOT_SQL),

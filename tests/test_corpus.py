@@ -163,3 +163,14 @@ def test_chunk_documents_boundaries(spark):
     assert got[3][3] == (3, 56, "t144", "t199")
     assert 4 not in got                                 # empty doc: no chunks
     assert got[5] == [(0, 1, "solo", "solo")]
+
+
+def test_pagerank_exact_known_graph(spark):
+    from dnsflow_clickhouse_spark.operators.graph import pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank_exact(edges, iterations=3).collect()}
+    # hand-computed: deg(1)=2, deg(2)=1; node 3 is dangling (mass drops)
+    assert got == {1: 638750, 2: 421468, 3: 421468}
