@@ -205,7 +205,92 @@ SELECT user_id, event_type, event_id FROM (
 """
 
 
+def range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window (the frame type window_suite's ROWS
+    frames don't reach): per user, the count and exact-cents sum of the
+    events in the trailing hour of *event time* — rangeBetween on epoch
+    seconds, so rows at identical timestamps share one frame regardless
+    of physical order. One window shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ep"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ep",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("v_cents").over(w).alias("sum_cents_1h"),
+    ).orderBy("user_id", "event_id")
+
+
+_RANGE_FRAME_SQL = """
+SELECT user_id, event_id, ep,
+       count(*) OVER w AS n_1h,
+       sum(v_cents) OVER w AS sum_cents_1h
+FROM (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def null_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics under one roof: a derived nullable
+    measure and a nullable group key; count(*) vs count(col), null-
+    excluding sum/min, null-safe equality (<=>), and an explicit null
+    group with pinned NULLS-LAST ordering — the semantics corner every
+    engine must agree on before any report built on it can."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.when(F.col("event_type") != "error", F.round(F.col("value") * 100))
+        .cast("long")
+        .alias("ok_cents"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("k"),
+    )
+    return (
+        d.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("ok_cents").alias("n_vals"),
+            F.sum("ok_cents").alias("sum_cents"),
+            F.min("ok_cents").alias("min_cents"),
+            F.sum(F.col("k").eqNullSafe(F.lit(None).cast("string")).cast("long")
+                  ).alias("n_null_safe_hits"),
+        )
+        .orderBy(F.col("k").asc_nulls_last())
+    )
+
+
+_NULL_SEMANTICS_SQL = """
+WITH d AS (
+  SELECT CASE WHEN event_type <> 'error'
+              THEN CAST(round(value * 100) AS BIGINT) END AS ok_cents,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS k
+  FROM events
+)
+SELECT k, count(*) AS n_rows, count(ok_cents) AS n_vals,
+       sum(ok_cents) AS sum_cents, min(ok_cents) AS min_cents,
+       sum(CASE WHEN k IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_safe_hits
+FROM d GROUP BY k ORDER BY k ASC NULLS LAST
+"""
+
+
 DNS3_REGISTRY = {
+    "range_frame_rolling": (range_frame_rolling, _RANGE_FRAME_SQL),
+    "null_semantics_report": (null_semantics_report, _NULL_SEMANTICS_SQL),
     "geo_region_rollup": (geo_region_rollup, _GEO_ROLLUP_SQL),
     "window_suite": (window_suite, _WINDOW_SUITE_SQL),
     "user_tag_profiles": (user_tag_profiles, _USER_TAGS_SQL),
