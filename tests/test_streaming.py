@@ -302,3 +302,37 @@ def test_attribution_stream_stream_join(spark, tmp_path):
         assert got3 == {("d3.com", "d3.com")}  # only itself, d1/d2 aged out
     finally:
         q.stop()
+
+
+def test_app_cli_batch_mode(spark, tmp_path):
+    """The job entry point runs a full batch end-to-end: JSON-line files
+    + parquet dims dir -> report tables through the retry-safe sink."""
+    from dnsflow_clickhouse_spark import app
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "events.txt").write_text("\n".join(raw_lines()), encoding="utf-8")
+
+    dims = build_dims(spark)
+    dims_dir = tmp_path / "dims"
+    dims_dir.mkdir()
+    for f in app._DIM_FIELDS:
+        df = getattr(dims, f)
+        if df is not None:
+            df.write.parquet(str(dims_dir / f"{f}.parquet"))
+
+    out = tmp_path / "reports"
+    app.main([
+        "batch", "--input", str(inp), "--dims", str(dims_dir),
+        "--out", str(out), "--app-time", str(APP_TIME), "--deterministic",
+    ])
+    qps = spark.read.parquet(str(out / "dns_flow_qps"))
+    assert qps.count() > 0
+    assert set(qps.columns) >= {"batch_id"}
+    # re-running the same batch must not duplicate (idempotent sink)
+    n = qps.count()
+    app.main([
+        "batch", "--input", str(inp), "--dims", str(dims_dir),
+        "--out", str(out), "--app-time", str(APP_TIME), "--deterministic",
+    ])
+    assert spark.read.parquet(str(out / "dns_flow_qps")).count() == n
