@@ -102,6 +102,7 @@ def pagerank_exact(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact integer micro-units: rank(n) =
     150000 + floor(850 * Σ_in floor(rank(s)/deg(s)) / 1000), starting
@@ -115,17 +116,27 @@ def pagerank_exact(
 
     Scale shape: the loop body is one join (ranks ⋈ edges on src) + one
     sum by dst + one left join back onto the node set — all shuffles on
-    the node id, partitioning reused across iterations. Fixed iteration
-    count keeps the plan finite; for long loops add localCheckpoint as
-    in connected_components (iterations here are few and the plan
-    stays shallow).
+    the node id, partitioning reused across iterations. The edge
+    derivation (often a window over the raw corpus) materializes ONCE
+    via localCheckpoint — without it the unrolled plan re-derives edges
+    in every iteration's every join — and each iteration's ranks are
+    checkpointed to keep the lineage flat (the standard Spark fixpoint
+    discipline, same as connected_components).
     """
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    if num_partitions:
+        # node sets are usually orders smaller than the corpus that
+        # produced the edges; explicit sizing avoids paying per-iteration
+        # task overhead on near-empty shuffle partitions (same knob as
+        # connected_components)
+        e = e.repartition(num_partitions, "__s")
+    e = e.localCheckpoint()
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
     nodes = (
         e.select(F.col("__s").alias("id"))
         .union(e.select(F.col("__d").alias("id")))
         .distinct()
+        .localCheckpoint()
     )
     ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("long"))
     for _ in range(iterations):
@@ -148,5 +159,6 @@ def pagerank_exact(
                     + F.floor(F.coalesce(F.col("__in"), F.lit(0)) * 850 / 1000)
                 ).cast("long").alias("rank"),
             )
+            .localCheckpoint()
         )
     return ranks

@@ -320,7 +320,8 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pk").isNotNull() & (F.col("pk") != F.col("k")))
         .select(F.col("pk").alias("src"), F.col("k").alias("dst"))
     )
-    return pagerank_exact(edges, iterations=3).orderBy("id")
+    # item vocabulary is ~100 nodes: size the loop shuffles accordingly
+    return pagerank_exact(edges, iterations=3, num_partitions=4).orderBy("id")
 
 
 def _pr_iter(prev: str, out: str) -> str:
