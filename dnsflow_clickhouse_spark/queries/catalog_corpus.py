@@ -574,7 +574,46 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-feature export: per document, the quality-model feature
+    vector as one array<long> column in integer micro-units (token count,
+    quality score, dup-2/3-gram ppm, language one-hots) — the assembly
+    shape a downstream trainer consumes. Map-only; array built in-row."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        repetition_metrics,
+        score_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = repetition_metrics(score_documents(d), "text", ns=(2, 3))
+    feats = F.array(
+        F.col("toks"),
+        F.round(F.col("quality") * 1_000_000).cast("long"),
+        F.col("dup2_ppm"),
+        F.col("dup3_ppm"),
+        (F.col("lang") == "en").cast("long"),
+        (F.col("lang") == "zh").cast("long"),
+    )
+    return d.select("doc_id").join(
+        scored.select("doc_id", feats.alias("features")), "doc_id"
+    ).select("doc_id", "features").orderBy("doc_id")
+
+
+_FEATURE_MATRIX_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       [CAST(len(toks) AS BIGINT),
+        CAST(round({_QUALITY_EXPR} * 1000000) AS BIGINT),
+        {_sql_dup_ppm(2)},
+        {_sql_dup_ppm(3)},
+        CAST(lang = 'en' AS BIGINT),
+        CAST(lang = 'zh' AS BIGINT)] AS features
+FROM t ORDER BY doc_id
+"""
+
+
 CORPUS_REGISTRY = {
+    "quality_feature_matrix": (quality_feature_matrix, _FEATURE_MATRIX_SQL),
     "curation_funnel": (curation_funnel, _FUNNEL_SQL),
     "chunk_documents": (chunk_documents_query, _CHUNK_SQL),
     "repetition_report": (repetition_report, _REPETITION_SQL),
