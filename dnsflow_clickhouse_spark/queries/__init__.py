@@ -9,9 +9,10 @@ from dnsflow_clickhouse_spark.queries.catalog_corpus import CORPUS_REGISTRY as _
 from dnsflow_clickhouse_spark.queries.catalog_mlops import MLOPS_REGISTRY as _MLOPS
 from dnsflow_clickhouse_spark.queries.catalog_tpch2 import TPCH2_REGISTRY as _TPCH2
 from dnsflow_clickhouse_spark.queries.catalog_tpch3 import TPCH3_REGISTRY as _TPCH3
+from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TPCH4
 
 QUERY_REGISTRY = {
-    **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_TPCH3,
+    **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_TPCH3, **_TPCH4,
     **_MLOPS, **_CORPUS,
 }
 
