@@ -5,6 +5,7 @@ conf/config.properties), as one CLI:
     python -m dnsflow_clickhouse_spark.app stream   --input DIR --dims DIR --out DIR --checkpoint DIR
     python -m dnsflow_clickhouse_spark.app backfill --input DIR --dims DIR --out DIR --start S --end S
     python -m dnsflow_clickhouse_spark.app batch    --input DIR --dims DIR --out DIR --app-time S
+    python -m dnsflow_clickhouse_spark.app daily    --input OUTDIR --dims DIR --out DIR --day yyyy-MM-dd
 
 Configuration is explicit flags (the reference's properties file mapped
 1:1 where still meaningful); dimensions load from a directory of parquet
@@ -67,7 +68,7 @@ def _sink(out_dir: str):
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="dnsflow-spark")
     sub = ap.add_subparsers(dest="mode", required=True)
-    for mode in ("stream", "backfill", "batch"):
+    for mode in ("stream", "backfill", "batch", "daily"):
         p = sub.add_parser(mode)
         p.add_argument("--input", required=True, help="dir of JSON-line event files")
         p.add_argument("--dims", default=None, help="dir of dim parquet tables")
@@ -81,6 +82,8 @@ def main(argv: list[str] | None = None) -> None:
             p.add_argument("--end", type=int, required=True)
         if mode == "batch":
             p.add_argument("--app-time", type=int, required=True)
+        if mode == "daily":
+            p.add_argument("--day", required=True, help="yyyy-MM-dd label for the output batch")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"dnsflow-{args.mode}")
@@ -104,6 +107,20 @@ def main(argv: list[str] | None = None) -> None:
             spark, events, dims, args.start, args.end, sink,
             deterministic=args.deterministic,
         )
+    elif args.mode == "daily":
+        # §3.3 daily job (UserRpt): aggregate the day's accumulated user
+        # middle data (written per window by the batch/stream modes) into
+        # the three daily user reports
+        from dnsflow_clickhouse_spark.operators import reports as R
+
+        middle = spark.read.parquet(os.path.join(args.input, "dns_middle_user"))
+        batch = int(args.day.replace("-", ""))
+        for name, df in {
+            "bigdata_user_domain_top10": R.user_domain_top10(middle),
+            "bigdata_user_daily_total": R.user_daily_total(middle),
+            "bigdata_user_tags": R.user_tags(middle, dims),
+        }.items():
+            sink(name, df, batch)
     else:  # batch: one window, same code path as a stream micro-batch
         lines = spark.read.text(args.input)
         for name, df in run_batch_from_lines(

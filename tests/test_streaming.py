@@ -336,3 +336,11 @@ def test_app_cli_batch_mode(spark, tmp_path):
         "--out", str(out), "--app-time", str(APP_TIME), "--deterministic",
     ])
     assert spark.read.parquet(str(out / "dns_flow_qps")).count() == n
+    # daily mode (§3.3 UserRpt): rolls the day's middle data into the
+    # three daily user reports
+    app.main([
+        "daily", "--input", str(out), "--dims", str(dims_dir),
+        "--out", str(out), "--day", "2024-01-01",
+    ])
+    top10 = spark.read.parquet(str(out / "bigdata_user_domain_top10"))
+    assert top10.count() > 0 and "topDomains" in top10.columns
