@@ -28,8 +28,14 @@ def main() -> None:
     spark = get_spark(app_name="dnsflow-bench")
 
     # warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch JIT/metadata costs
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # execution, not first-touch JIT/metadata costs; the tiny groupBy
+    # also exercises codegen + shuffle machinery so the first real query
+    # doesn't absorb session-wide first-job costs
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.count()
+    warm.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
