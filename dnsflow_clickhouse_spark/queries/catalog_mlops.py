@@ -465,7 +465,52 @@ FROM t ORDER BY asset_id
 """
 
 
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling explode over the video assets: one row per sampled
+    frame (asset_id, frame_idx, n_frames) — the shard-building step a
+    video training pipeline runs after decode. The explode carries only
+    the frame index, never the payload; the decode itself is the same
+    Arrow mapInPandas stage as multimodal_features."""
+    from dnsflow_clickhouse_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(assets, decode_stub=True)
+    return (
+        feats.select(
+            "asset_id",
+            F.col("frames_sampled").alias("n_frames"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("frames_sampled") - 1)
+            ).alias("frame_idx"),
+        )
+        .select("asset_id", "frame_idx", "n_frames")
+        .orderBy("asset_id", "frame_idx")
+    )
+
+
+_FRAME_INDEX_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS asset_id, sha256(text) AS sha
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT asset_id,
+         CAST((1 + {_hexpair(5)} % 8 + 1) // 2 AS INT) AS n_frames
+  FROM t
+)
+SELECT asset_id, CAST(i AS INT) AS frame_idx, n_frames
+FROM f, UNNEST(generate_series(0, n_frames - 1)) AS u(i)
+ORDER BY asset_id, frame_idx
+"""
+
+
 MLOPS_REGISTRY = {
+    "multimodal_frame_index": (multimodal_frame_index, _FRAME_INDEX_SQL),
     "minhash_band_buckets": (minhash_band_buckets, _MINHASH_BANDS_SQL),
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
     "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
