@@ -509,7 +509,67 @@ ORDER BY asset_id, frame_idx
 """
 
 
+def incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: flag each NEW-batch document (odd
+    doc_id plays the incoming batch) against the EXISTING corpus (even
+    doc_id) — exact duplicate by content hash, near duplicate by
+    identical 16-bit SimHash. Both checks are equi joins on a uniform
+    hash key, so the shuffle is skew-free and the existing side is just
+    its distinct hash set — the shape a continuously-growing 100 TB
+    corpus runs on every ingest batch (fingerprints persist; full texts
+    of the existing corpus are never reread)."""
+    d = load_table(spark, sf_dir, "documents")
+    sims = simhash_df(d, "doc_id", "text", 16).select(
+        "id", F.col("simhash").alias("__sim")
+    )
+    base = d.select("doc_id", F.md5("text").alias("__h")).join(
+        sims, F.col("doc_id") == F.col("id")
+    )
+    new_b = base.filter(F.col("doc_id") % 2 == 1)
+    old_h = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("__h").alias("__oh"))
+        .distinct()
+    )
+    old_sim = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("__sim").alias("__osim"))
+        .distinct()
+    )
+    return (
+        new_b.join(old_h, new_b.__h == F.col("__oh"), "left")
+        .join(old_sim, new_b.__sim == F.col("__osim"), "left")
+        .select(
+            "doc_id",
+            F.col("__oh").isNotNull().cast("int").alias("exact_dup"),
+            F.col("__osim").isNotNull().cast("int").alias("near_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_incremental() -> str:
+    hs = f"list_transform(toks, t -> {_sql_poly('t')})"
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs) THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, md5(text) AS h, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, h, CAST({bits} AS BIGINT) AS sim
+      FROM (SELECT doc_id, h, {hs} AS hs FROM t)),
+oldh AS (SELECT DISTINCT h FROM s WHERE doc_id % 2 = 0),
+oldsim AS (SELECT DISTINCT sim FROM s WHERE doc_id % 2 = 0)
+SELECT doc_id,
+       CAST(h IN (SELECT h FROM oldh) AS INT) AS exact_dup,
+       CAST(sim IN (SELECT sim FROM oldsim) AS INT) AS near_dup
+FROM s WHERE doc_id % 2 = 1
+ORDER BY doc_id
+"""
+
+
 MLOPS_REGISTRY = {
+    "incremental_dedup_flags": (incremental_dedup_flags, _sql_incremental()),
     "multimodal_frame_index": (multimodal_frame_index, _FRAME_INDEX_SQL),
     "minhash_band_buckets": (minhash_band_buckets, _MINHASH_BANDS_SQL),
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
