@@ -154,3 +154,31 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def observed_write(
+    df: DataFrame,
+    metrics: dict[str, "F.Column"],
+    writer: "Callable[[DataFrame], None]",
+) -> dict[str, object]:
+    """Data-quality guardrail for sinks: attach named metric expressions
+    (counts, null rates, sums) to the frame via ``Observation``, run the
+    caller's write action, and return the metrics measured ON THE ROWS
+    ACTUALLY WRITTEN — no second pass over the data, unlike a separate
+    validation count() (which at 100 TB doubles the job and can disagree
+    with what the sink saw).
+
+    Usage:
+        got = observed_write(
+            report,
+            {"rows": F.count(F.lit(1)), "null_keys": F.sum(F.col("k").isNull().cast("long"))},
+            lambda d: d.write.mode("append").parquet(path),
+        )
+        if got["rows"] == 0: alert(...)
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    writer(observed)
+    return obs.get

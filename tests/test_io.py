@@ -215,3 +215,23 @@ def test_manifest_file_skipping(spark, tmp_path):
     # out-of-range predicate: empty result, schema preserved
     none = read_with_skipping(spark, path, {"user_id": (10**9, 2 * 10**9)})
     assert none.count() == 0 and set(none.columns) == {"user_id", "v"}
+
+
+def test_observed_write_measures_written_rows(spark, tmp_path):
+    from dnsflow_clickhouse_spark.io import observed_write
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k int, v string"
+    ).filter(F.col("k") > 1)
+    path = str(tmp_path / "obs")
+    got = observed_write(
+        df,
+        {
+            "rows": F.count(F.lit(1)),
+            "null_v": F.sum(F.col("v").isNull().cast("long")),
+        },
+        lambda d: d.write.parquet(path),
+    )
+    # metrics reflect the post-filter rows the sink actually received
+    assert got == {"rows": 2, "null_v": 1}
+    assert spark.read.parquet(path).count() == 2
