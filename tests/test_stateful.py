@@ -49,3 +49,53 @@ def test_first_seen_across_batches(spark, tmp_path):
         assert got2 == {"a": (1, 2), "b": (7, 1), "c": (5, 1)}
     finally:
         q.stop()
+
+
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+    """Native TTL'd streaming dedup (dropDuplicatesWithinWatermark): a
+    key repeated within the watermark window dedups across micro-batches;
+    once the watermark passes, the state is dropped and the key re-admits
+    — the built-in complement to the unbounded first_seen operator."""
+    import json
+
+    def line(ts, key):
+        return json.dumps({"ts": ts, "k": key})
+
+    inp = tmp_path / "ddw_in"
+    inp.mkdir()
+    t0 = 1_700_000_000
+    (inp / "f1.txt").write_text(
+        "\n".join([line(t0, "a"), line(t0 + 5, "a"), line(t0 + 8, "b")]),
+        encoding="utf-8",
+    )
+    raw = (
+        spark.readStream.format("text")
+        .load(str(inp))
+        .selectExpr("from_json(value, 'ts long, k string') AS j")
+        .selectExpr("timestamp_seconds(j.ts) AS ts", "j.k AS k")
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        raw.writeStream.format("memory")
+        .queryName("ddw")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddw_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM ddw").first()[0] == 2  # a, b
+        # same key within the watermark -> still a duplicate
+        (inp / "f2.txt").write_text(line(t0 + 20, "a"), encoding="utf-8")
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) FROM ddw").first()[0] == 2
+        # far beyond the watermark -> state expired, key re-admits
+        (inp / "f3.txt").write_text(line(t0 + 10_000, "a"), encoding="utf-8")
+        q.processAllAvailable()
+        (inp / "f4.txt").write_text(line(t0 + 10_001, "a"), encoding="utf-8")
+        q.processAllAvailable()
+        ks = [r.k for r in spark.sql("SELECT k FROM ddw").collect()]
+        assert ks.count("a") == 2 and ks.count("b") == 1
+    finally:
+        q.stop()
