@@ -89,7 +89,106 @@ ORDER BY lang, source
 """
 
 
+def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (resample): per-user hourly event counts
+    with MISSING hours materialized as zeros across each user's observed
+    span. The hour spine is generated per user from its min/max epoch
+    (sequence + explode — rows proportional to user-hours, not a cross
+    join with a global calendar), then left-joined with the actual
+    hourly counts. Restricted to the first 3 users to keep the output
+    test-sized; the plan shape is user-count-independent."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    hours = ev.withColumn(
+        "hour_ep", (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    )
+    counts = hours.groupBy("user_id", "hour_ep").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        hours.groupBy("user_id")
+        .agg(F.min("hour_ep").alias("__lo"), F.max("hour_ep").alias("__hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(3600))
+            ).alias("hour_ep"),
+        )
+    )
+    return (
+        spine.join(counts, ["user_id", "hour_ep"], "left")
+        .select(
+            "user_id", "hour_ep", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+        .orderBy("user_id", "hour_ep")
+    )
+
+
+_GAPFILL_SQL = """
+WITH h AS (
+  SELECT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) * 3600 AS hour_ep
+  FROM events WHERE user_id < 3
+),
+counts AS (SELECT user_id, hour_ep, count(*) AS n FROM h GROUP BY 1, 2),
+spine AS (
+  SELECT user_id, CAST(e AS BIGINT) AS hour_ep
+  FROM (SELECT user_id, min(hour_ep) AS lo, max(hour_ep) AS hi FROM h GROUP BY 1),
+       UNNEST(generate_series(lo, hi, 3600)) AS u(e)
+)
+SELECT spine.user_id, spine.hour_ep, coalesce(counts.n, 0) AS n_events
+FROM spine LEFT JOIN counts
+  ON spine.user_id = counts.user_id AND spine.hour_ep = counts.hour_ep
+ORDER BY spine.user_id, spine.hour_ep
+"""
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: per user, did view -> click ->
+    purchase happen IN ORDER (first occurrences strictly increasing)?
+    One aggregation computes the three first-timestamps; the ordering
+    predicate is pure expression logic — no self-joins, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.unix_timestamp("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    converted = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase"))
+    )
+    return (
+        per_user.select("user_id", converted.cast("int").alias("converted"))
+        .groupBy("converted")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("converted")
+    )
+
+
+_FUNNEL_CONV_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+            AND t_view < t_click AND t_click < t_purchase AS INT) AS converted,
+       count(*) AS n_users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
 DNS4_REGISTRY = {
+    "hourly_gapfill": (hourly_gapfill, _GAPFILL_SQL),
+    "conversion_funnel": (conversion_funnel, _FUNNEL_CONV_SQL),
     "distinct_agg_users": (distinct_agg_users, _DISTINCT_AGG_SQL),
     "cube_day_type": (cube_day_type, _CUBE_SQL),
     "authority_slice_docs": (authority_slice_docs, _AUTH_SLICE_SQL),
