@@ -186,7 +186,45 @@ FROM per_user GROUP BY 1 ORDER BY 1
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, then
+    for each later day offset, how many of that cohort were active. Two
+    aggregations (first-day per user; distinct user-days) and one join
+    on user_id — the cohort table is user-count-sized and joins back
+    onto the activity aggregate, never onto raw events. Offsets limited
+    to the first week to keep the matrix test-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    activity = ev.distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_COHORT_SQL = """
+WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+cohorts AS (SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       datediff('day', cohort_day, day) AS day_offset,
+       count(DISTINCT activity.user_id) AS n_active
+FROM activity JOIN cohorts ON activity.user_id = cohorts.user_id
+WHERE datediff('day', cohort_day, day) <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 DNS4_REGISTRY = {
+    "cohort_retention": (cohort_retention, _COHORT_SQL),
     "hourly_gapfill": (hourly_gapfill, _GAPFILL_SQL),
     "conversion_funnel": (conversion_funnel, _FUNNEL_CONV_SQL),
     "distinct_agg_users": (distinct_agg_users, _DISTINCT_AGG_SQL),
