@@ -612,7 +612,45 @@ FROM t ORDER BY doc_id
 """
 
 
+def deterministic_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pre-training shuffle: global permutation by the
+    mixed id hash (a pure function of the data — rerunning on the same
+    corpus gives byte-identical shard files), with round-robin shard
+    assignment over the permuted order. The global sort is a range
+    exchange (Spark samples split points); at 100 TB this is exactly the
+    shuffle-before-sharding pass a training pipeline runs once per
+    corpus snapshot."""
+    from dnsflow_clickhouse_spark.operators.sampling import sample_key
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy(sample_key("doc_id"), F.col("doc_id"))
+    return (
+        d.withColumn("pos", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "pos",
+            ((F.col("pos") - 1) % 8).cast("int").alias("shard"),
+        )
+        .orderBy("pos")
+    )
+
+
+_SHUFFLE_SHARDS_SQL = f"""
+SELECT doc_id, pos, CAST((pos - 1) % 8 AS INT) AS shard
+FROM (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY {_SQL_BUCKET_DOC}, doc_id) AS INT) AS pos
+  FROM documents
+)
+ORDER BY pos
+"""
+
+
 CORPUS_REGISTRY = {
+    "deterministic_shuffle_shards": (
+        deterministic_shuffle_shards,
+        _SHUFFLE_SHARDS_SQL,
+    ),
     "quality_feature_matrix": (quality_feature_matrix, _FEATURE_MATRIX_SQL),
     "curation_funnel": (curation_funnel, _FUNNEL_SQL),
     "chunk_documents": (chunk_documents_query, _CHUNK_SQL),
