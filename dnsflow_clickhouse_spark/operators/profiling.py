@@ -1,0 +1,217 @@
+"""Dataset-profiling and corpus-statistics operators (engine extension
+for training-data pipelines): column profiling, concentration metrics,
+co-occurrence mining, inverted-index construction, weighted sampling
+with Horvitz-Thompson correction, and blocked fuzzy (edit-distance)
+pair generation.
+
+The reference has no profiling surface (its schema is fixed and its
+reports are hand-enumerated, DnsRptCH.scala:1077-1139); a corpus engine
+needs these to audit an unfamiliar 100 TB dump before curating it.
+
+Scale shapes:
+- ``profile_columns`` is ONE pass over the data: a single multi-distinct
+  hash aggregate (Catalyst plans the n-column distinct via Expand, with
+  map-side partial aggregation), then a constant-size explode back to
+  long format. The 100 TB path swaps ``count_distinct`` for
+  ``approx_count_distinct`` — same plan minus the Expand; exact is kept
+  here because the DuckDB oracle hash-matches it.
+- ``gini_concentration`` is two hash aggregations on progressively
+  smaller keys — the same partial/final cascade as the reference's
+  salted two-phase reduceByKey (DnsRptCH.scala:641-667).
+- ``cooccurrence_pairs`` bounds its self-join by deduplicating to
+  distinct (set, item) first; the join key is the set id, so comparisons
+  stay within one set's items and never go quadratic in the corpus.
+- ``inverted_index`` is explode -> distinct -> one window shuffle; the
+  posting sample is capped BEFORE any list materializes, so no executor
+  ever holds an unbounded postings array.
+- ``fuzzy_pairs`` blocks on (group, prefix) before the O(len^2)
+  Levenshtein kernel runs, so the expensive comparator only sees
+  same-block candidates — the classic blocking recipe for fuzzy dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format per-column audit: rows, nulls, exact distincts.
+
+    One aggregation pass; the wide->long pivot happens on the single
+    result row, not on data.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def gini_concentration(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group Gini impurity of the key distribution, exact integer ppm.
+
+    gini_ppm = floor((N^2 - sum(c_k^2)) * 1e6 / N^2): 0 when one key owns
+    the group, -> 1e6 as counts spread evenly. Pure integer arithmetic
+    (Spark ``div`` / DuckDB ``//``) so the oracle hash-matches; at 100 TB
+    cast the squares to decimal(38,0) before the fold (int64 is exact up
+    to ~3e9 rows per group).
+    """
+    counts = df.groupBy(group_col, key_col).agg(F.count(F.lit(1)).alias("c"))
+    g = counts.groupBy(group_col).agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return g.select(
+        group_col,
+        "n_rows",
+        "n_keys",
+        F.expr("(n_rows * n_rows - s2) * 1000000 div (n_rows * n_rows)").alias(
+            "gini_ppm"
+        ),
+    )
+
+
+def cooccurrence_pairs(df: DataFrame, set_col: str, item_col: str) -> DataFrame:
+    """Item pairs co-occurring in the same set, with exact Jaccard ppm.
+
+    Dedup to distinct (set, item) first, self-join on the set id with
+    ``item_a < item_b`` to emit each unordered pair once, then join the
+    per-item marginals back (broadcast: the item vocabulary is small
+    relative to the fact table).
+    """
+    si = df.select(set_col, item_col).dropDuplicates()
+    a = si.alias("a")
+    b = si.alias("b")
+    pairs = (
+        a.join(b, on=set_col)
+        .filter(F.col(f"a.{item_col}") < F.col(f"b.{item_col}"))
+        .groupBy(
+            F.col(f"a.{item_col}").alias("item_a"),
+            F.col(f"b.{item_col}").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = si.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_sets"))
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col(item_col).alias("item_a"), F.col("n_sets").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col(item_col).alias("item_b"), F.col("n_sets").alias("n_b"))),
+            "item_b",
+        )
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.expr("n_both * 1000000 div (n_a + n_b - n_both)").alias("jaccard_ppm"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    min_df: int = 2,
+    sample_k: int = 5,
+) -> DataFrame:
+    """Term -> (document frequency, first-k posting sample).
+
+    The posting sample is taken with a row_number window (cap applied
+    BEFORE aggregation), and the document frequency rides the same
+    window's unbounded count — one shuffle on the term, and no
+    collect_list ever exceeds ``sample_k`` elements.
+    """
+    postings = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens_col).alias("term"))
+        .dropDuplicates(["term", "doc"])
+    )
+    w = Window.partitionBy("term").orderBy("doc")
+    wall = Window.partitionBy("term")
+    capped = (
+        postings.withColumn("rn", F.row_number().over(w))
+        .withColumn("df_cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") <= sample_k)
+    )
+    return (
+        capped.groupBy("term")
+        .agg(
+            F.max("df_cnt").alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("posting_sample"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def weighted_sample(df: DataFrame, bucket: Column, weight_ppm: Column) -> DataFrame:
+    """Deterministic weighted Bernoulli sample with Horvitz-Thompson
+    weights: keep a row iff its hash bucket falls under its own inclusion
+    probability (ppm), and attach ``ht_micro = 1e12 div p_ppm`` — the
+    integer inverse-probability weight (micro-units) whose sum estimates
+    the un-sampled population size. A pure filter + projection: no
+    shuffle, fully pushed into the scan stage.
+    """
+    p = F.greatest(F.lit(1), F.least(F.lit(PPM), weight_ppm)).cast("long")
+    return df.withColumn("__p_ppm", p).filter(bucket < F.col("__p_ppm")).withColumn(
+        "ht_micro", F.expr(f"{PPM * PPM} div __p_ppm")
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    prefix_len: int = 12,
+    compare_len: int = 32,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Blocked edit-distance near-pairs: block on (group, text prefix),
+    compare fixed-length prefixes with Levenshtein inside each block.
+
+    The join key (group, block) keeps the quadratic comparator inside
+    blocks; ``compare_len`` caps the DP cost per comparison at
+    O(compare_len^2) regardless of document size.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(group_col).alias("grp"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("blk"),
+        F.substring(F.col(text_col), 1, compare_len).alias("probe"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    return (
+        a.join(b, on=["grp", "blk"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("grp").alias("lang"),
+            F.levenshtein(F.col("a.probe"), F.col("b.probe")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

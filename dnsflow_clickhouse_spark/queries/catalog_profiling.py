@@ -1,0 +1,225 @@
+"""Profiling / corpus-statistics query batch: column audit, Gini
+concentration, co-occurrence mining, inverted index, weighted
+Horvitz-Thompson sampling, grouping sets, blocked fuzzy pairs.
+
+All oracles replay the engine's portable primitives (poly_hash sample
+buckets, integer ppm/micro units, Spark ``div`` == DuckDB ``//`` on
+non-negative integers, the shared whitespace tokenizer SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import tokens
+from dnsflow_clickhouse_spark.operators.profiling import (
+    cooccurrence_pairs,
+    fuzzy_pairs,
+    gini_concentration,
+    inverted_index,
+    profile_columns,
+    weighted_sample,
+)
+from dnsflow_clickhouse_spark.operators.sampling import sample_key
+from dnsflow_clickhouse_spark.queries.catalog_mlops import _sql_poly, _SQL_TOKS
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# column profiling
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset audit of the events table (SURVEY §2.5 analogue:
+    the reference hand-enumerates its 16 reports; an unfamiliar corpus
+    needs a generic per-column profile first)."""
+    return profile_columns(load_table(spark, sf_dir, "events"), _PROFILE_COLS)
+
+
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+           count(DISTINCT {c}) AS n_distinct FROM events"""
+    for c in _PROFILE_COLS
+)
+
+# ---------------------------------------------------------------------------
+# Gini concentration
+# ---------------------------------------------------------------------------
+
+
+def event_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated each event_type's traffic is over users — the
+    skew diagnostic behind the reference's 100-way salting decision
+    (DnsRptCH.scala:641): a high-Gini key is the one you salt."""
+    return gini_concentration(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+_GINI_SQL = """
+WITH c AS (SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2),
+g AS (SELECT event_type, sum(c) AS n_rows, count(*) AS n_keys, sum(c * c) AS s2
+      FROM c GROUP BY 1)
+SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows, n_keys,
+       CAST((n_rows * n_rows - s2) * 1000000 // (n_rows * n_rows) AS BIGINT) AS gini_ppm
+FROM g
+"""
+
+# ---------------------------------------------------------------------------
+# co-occurrence pairs
+# ---------------------------------------------------------------------------
+
+
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type pairs sharing users, with exact Jaccard ppm —
+    market-basket shape: dedup to (user, type), set-id self-join,
+    broadcast marginals back."""
+    return cooccurrence_pairs(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+_COOC_SQL = """
+WITH si AS (SELECT DISTINCT user_id, event_type FROM events),
+m AS (SELECT event_type, count(*) AS n_sets FROM si GROUP BY 1),
+p AS (SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n_both
+      FROM si a JOIN si b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT item_a, item_b, n_both, ma.n_sets AS n_a, mb.n_sets AS n_b,
+       n_both * 1000000 // (ma.n_sets + mb.n_sets - n_both) AS jaccard_ppm
+FROM p
+JOIN m ma ON p.item_a = ma.event_type
+JOIN m mb ON p.item_b = mb.event_type
+"""
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+_MIN_DF, _SAMPLE_K = 10, 5
+
+
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> document frequency + first-5 posting sample over the
+    documents table; posting lists capped before aggregation (window
+    row_number), so the plan holds at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return inverted_index(d, "doc_id", tokens(F.col("text")), _MIN_DF, _SAMPLE_K)
+
+
+_INVIDX_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+td AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks)
+SELECT term, count(*) AS doc_freq,
+       array_to_string(list_sort(list(doc_id))[1:{_SAMPLE_K}], ',') AS posting_sample
+FROM td GROUP BY term HAVING count(*) >= {_MIN_DF}
+"""
+
+# ---------------------------------------------------------------------------
+# grouping sets
+# ---------------------------------------------------------------------------
+
+
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((type, day), (type), (day), ()) in one
+    aggregation pass (Catalyst Expand) — the generalization of the
+    reference's repeated global + per-client report pairs
+    (DnsRptCH.scala:522-552: same agg run twice with different keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    gs = base.groupingSets(
+        [["event_type", "day"], ["event_type"], ["day"], []], "event_type", "day"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("v_cents").alias("v_sum"))
+    return gs.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type_d"),
+        F.coalesce("day", F.lit("ALL")).alias("day_d"),
+        "n",
+        "v_sum",
+    )
+
+
+_GSETS_SQL = """
+WITH base AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(round(value * 100) AS BIGINT) AS v_cents FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type_d,
+       coalesce(day, 'ALL') AS day_d,
+       count(*) AS n, sum(v_cents) AS v_sum
+FROM base GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+"""
+
+# ---------------------------------------------------------------------------
+# weighted sampling with Horvitz-Thompson correction
+# ---------------------------------------------------------------------------
+
+_W_SEED = 7
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample of documents (p ∝ n_chars,
+    capped at 1), rolled up per language with the integer
+    Horvitz-Thompson estimate of the full corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        d, sample_key("doc_id", seed=_W_SEED), F.col("n_chars").cast("long") * 50
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.sum("ht_micro").alias("ht_micro_docs"),
+    )
+
+
+_W_BUCKET = (
+    f"(({_sql_poly('CAST(doc_id AS VARCHAR)', _W_SEED)}) * 2654435761)"
+    " % 1000000007 % 1000000"
+)
+
+_WSAMPLE_SQL = f"""
+WITH p AS (SELECT lang, n_chars,
+                  greatest(1, least(1000000, CAST(n_chars AS BIGINT) * 50)) AS p_ppm,
+                  {_W_BUCKET} AS bucket
+           FROM documents),
+k AS (SELECT * FROM p WHERE bucket < p_ppm)
+SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+       CAST(sum(1000000000000 // p_ppm) AS BIGINT) AS ht_micro_docs
+FROM k GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy pairs
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_near_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate prefixes, blocked on (lang, 12-char
+    prefix) so the O(len^2) Levenshtein kernel only runs within blocks —
+    the fuzzy complement to the hash-based near-dup family."""
+    return fuzzy_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
+_FUZZY_SQL = """
+WITH t AS (SELECT doc_id, lang, substr(text, 1, 12) AS blk,
+                  substr(text, 1, 32) AS probe FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       levenshtein(a.probe, b.probe) AS edit_dist
+FROM t a JOIN t b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.probe, b.probe) <= 8
+"""
+
+PROFILING_REGISTRY = {
+    "column_profile_events": (column_profile_events, _PROFILE_SQL),
+    "event_gini_concentration": (event_gini_concentration, _GINI_SQL),
+    "event_cooccurrence": (event_cooccurrence, _COOC_SQL),
+    "inverted_index_terms": (inverted_index_terms, _INVIDX_SQL),
+    "grouping_sets_events": (grouping_sets_events, _GSETS_SQL),
+    "weighted_doc_sample": (weighted_doc_sample, _WSAMPLE_SQL),
+    "fuzzy_near_titles": (fuzzy_near_titles, _FUZZY_SQL),
+}
