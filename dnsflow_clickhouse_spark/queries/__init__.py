@@ -1,4 +1,15 @@
-"""Aggregated query registry: {name: (spark_callable, oracle_sql|None)}."""
+"""Aggregated query registry: {name: (spark_callable, oracle_sql|None)}.
+
+The registry is an ordered dict and the order is load-bearing: the
+correctness driver verifies the first 50 entries per round.  Round 1
+checked the natural merge order, leaving the entire mlops/corpus/
+profiling catalog (and the TPC-H tail) unverified.  ``_PRIORITY`` pins
+the round-2 window: the smoke query first, then every query whose
+oracle was red or never checked in round 1, ordered so that all operator
+families (LLM-pipeline dedup/ANN/multimodal, corpus curation, profiling)
+fall inside the window.  The TPC-H tail (q9, q14-q21) rotates in next
+round — its join shapes are already evidenced by 18 green TPC-H rows.
+"""
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
 from dnsflow_clickhouse_spark.queries.catalog_dns2 import DNS2_REGISTRY as _DNS2
@@ -14,9 +25,77 @@ from dnsflow_clickhouse_spark.queries.catalog_tpch2 import TPCH2_REGISTRY as _TP
 from dnsflow_clickhouse_spark.queries.catalog_tpch3 import TPCH3_REGISTRY as _TPCH3
 from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TPCH4
 
-QUERY_REGISTRY = {
+_MERGED = {
     **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_TPCH3, **_TPCH4,
     **_MLOPS, **_CORPUS, **_PROFILING,
 }
+
+# First 50 = driver correctness window for this round.
+_PRIORITY = [
+    # smoke entry
+    "q1_pricing_summary",
+    # round-1 reds (HUGEINT oracle fix — must flip green)
+    "doc_token_stats",
+    "topk_rollup_chain",
+    "ip_function_rollup",
+    "range_frame_rolling",
+    "null_semantics_report",
+    "geo_region_rollup",
+    "authority_slice_docs",
+    "unpivot_daily_metrics",
+    "session_stats",
+    "doc_bpe_tokens",
+    # latent HUGEINT fixes (never checked, same bug class)
+    "q12_priority_class_counts",
+    "curation_funnel",
+    "temperature_lang_resample",
+    "doc_length_histogram",
+    "grouping_sets_events",
+    # LLM-pipeline family (never checked in round 1)
+    "incremental_dedup_flags",
+    "multimodal_frame_index",
+    "minhash_band_buckets",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "neardup_components",
+    "simhash_docs",
+    "simhash_near_docs",
+    "embedding_ivf_ann",
+    "lang_id_confusion",
+    "doc_fingerprints",
+    "embedding_knn",
+    "embedding_lsh_ann",
+    "embedding_neardup",
+    "multimodal_features",
+    # corpus curation family (never checked in round 1)
+    "deterministic_shuffle_shards",
+    "quality_feature_matrix",
+    "chunk_documents",
+    "repetition_report",
+    "stratified_doc_sample",
+    "per_user_event_sample",
+    "tfidf_top_terms",
+    "quality_quantile_gate",
+    "decontamination_report",
+    "props_json_rollup",
+    "event_value_percentiles",
+    "pack_sequences",
+    # profiling family (never checked in round 1)
+    "column_profile_events",
+    "event_gini_concentration",
+    "event_cooccurrence",
+    "inverted_index_terms",
+    "weighted_doc_sample",
+    "fuzzy_near_titles",
+    # TPC-H representative for the never-checked tpch4 batch
+    "q11_value_concentration",
+]
+
+_missing = [n for n in _PRIORITY if n not in _MERGED]
+assert not _missing, f"_PRIORITY names not in registry: {_missing}"
+assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate names in _PRIORITY"
+
+QUERY_REGISTRY = {n: _MERGED[n] for n in _PRIORITY}
+QUERY_REGISTRY.update((n, q) for n, q in _MERGED.items() if n not in QUERY_REGISTRY)
 
 __all__ = ["QUERY_REGISTRY"]

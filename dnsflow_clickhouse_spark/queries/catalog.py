@@ -559,9 +559,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOC_TOKEN_SQL = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang

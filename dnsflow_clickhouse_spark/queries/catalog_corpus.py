@@ -409,7 +409,7 @@ r AS (SELECT lang, n,
              AS rate_ppm
       FROM c)
 SELECT d.lang, max(r.n) AS n_docs, max(r.rate_ppm) AS rate_ppm,
-       sum(CASE WHEN {_SQL_BUCKET_DOC} < r.rate_ppm THEN 1 ELSE 0 END) AS kept
+       CAST(sum(CASE WHEN {_SQL_BUCKET_DOC} < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS kept
 FROM documents d JOIN r ON d.lang = r.lang
 GROUP BY d.lang ORDER BY d.lang
 """
@@ -439,7 +439,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LENGTH_HIST_SQL = """
 SELECT CAST(length(bin(n_chars)) AS INTEGER) AS bits, count(*) AS n_docs,
-       sum(n_chars) AS total_chars, min(n_chars) AS min_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars, min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY 1 ORDER BY 1
 """
@@ -531,7 +531,8 @@ f AS (
   FROM t
 ),
 g AS (SELECT *, CASE WHEN uniq = 1 AND qm >= {_FUNNEL_THR} THEN 1 ELSE 0 END AS q FROM f),
-c AS (SELECT lang, count(*) AS n_raw, sum(uniq) AS n_unique, sum(q) AS n_quality
+c AS (SELECT lang, count(*) AS n_raw, CAST(sum(uniq) AS BIGINT) AS n_unique,
+             CAST(sum(q) AS BIGINT) AS n_quality
       FROM g GROUP BY lang),
 r AS (SELECT lang, n_raw, n_unique, n_quality,
              CASE WHEN n_quality <= 0 THEN 0
@@ -542,7 +543,7 @@ r AS (SELECT lang, n_raw, n_unique, n_quality,
 SELECT g.lang,
        max(r.n_raw) AS n_raw, max(r.n_unique) AS n_unique,
        max(r.n_quality) AS n_quality, max(r.rate_ppm) AS rate_ppm,
-       sum(CASE WHEN g.q = 1 AND g.bucket < r.rate_ppm THEN 1 ELSE 0 END) AS n_final
+       CAST(sum(CASE WHEN g.q = 1 AND g.bucket < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_final
 FROM g JOIN r ON g.lang = r.lang
 GROUP BY g.lang ORDER BY g.lang
 """

@@ -108,7 +108,7 @@ top20 AS (
   ) WHERE rn <= 20
 ),
 rolled AS (
-  SELECT event_type, user_id % 5 AS bucket, sum(cnt) AS cnt
+  SELECT event_type, user_id % 5 AS bucket, CAST(sum(cnt) AS BIGINT) AS cnt
   FROM top20 GROUP BY 1, 2
 )
 SELECT event_type, bucket, cnt, CAST(rnk AS BIGINT) AS rnk FROM (
@@ -219,7 +219,7 @@ WITH ips AS (
          CAST(event_id % 223 + 1 AS INT) AS octet
   FROM events
 )
-SELECT octet, count(*) AS cnt, sum(ip_long) AS sum_long,
+SELECT octet, count(*) AS cnt, CAST(sum(ip_long) AS BIGINT) AS sum_long,
        CAST(count(*) AS BIGINT) AS n_roundtrip_ok
 FROM ips GROUP BY octet ORDER BY octet
 """

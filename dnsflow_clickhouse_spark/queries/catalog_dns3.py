@@ -80,7 +80,7 @@ WITH ips AS (
 )
 SELECT 'R' || CAST((ip_long // 16777216) % 7 AS VARCHAR) AS region,
        CAST((ip_long % 16777216) // 8388608 AS INT) AS tier,
-       count(*) AS cnt, sum(ip_long) AS ip_sum
+       count(*) AS cnt, CAST(sum(ip_long) AS BIGINT) AS ip_sum
 FROM ips GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -234,7 +234,7 @@ def range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_FRAME_SQL = """
 SELECT user_id, event_id, ep,
        count(*) OVER w AS n_1h,
-       sum(v_cents) OVER w AS sum_cents_1h
+       CAST(sum(v_cents) OVER w AS BIGINT) AS sum_cents_1h
 FROM (SELECT user_id, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS ep,
              CAST(round(value * 100) AS BIGINT) AS v_cents
@@ -282,8 +282,8 @@ WITH d AS (
   FROM events
 )
 SELECT k, count(*) AS n_rows, count(ok_cents) AS n_vals,
-       sum(ok_cents) AS sum_cents, min(ok_cents) AS min_cents,
-       sum(CASE WHEN k IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_safe_hits
+       CAST(sum(ok_cents) AS BIGINT) AS sum_cents, min(ok_cents) AS min_cents,
+       CAST(sum(CASE WHEN k IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_hits
 FROM d GROUP BY k ORDER BY k ASC NULLS LAST
 """
 

@@ -81,7 +81,7 @@ def authority_slice_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AUTH_SLICE_SQL = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS chars
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents
 WHERE regexp_matches(text, '(data|model|spark|query)')
 GROUP BY lang, source HAVING count(*) > 3

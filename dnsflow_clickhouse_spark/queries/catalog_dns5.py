@@ -60,7 +60,7 @@ WITH flagged AS (
          epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
   FROM sessions GROUP BY user_id, sid
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
        max(n_ev) AS max_session_events,
        round(sum(span_us) / 1e6, 3) AS active_seconds
 FROM per_session GROUP BY user_id ORDER BY user_id
@@ -152,7 +152,7 @@ WITH t AS (
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws
   FROM documents
 )
-SELECT lang, sum(bpe) AS bpe_tokens, sum(ws) AS ws_tokens,
+SELECT lang, CAST(sum(bpe) AS BIGINT) AS bpe_tokens, CAST(sum(ws) AS BIGINT) AS ws_tokens,
        round(sum(bpe) / sum(ws), 6) AS subword_ratio
 FROM t GROUP BY lang ORDER BY lang
 """
@@ -225,7 +225,7 @@ _UNPIVOT_SQL = """
 WITH daily AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day,
          count(*) AS n_events,
-         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
          count(DISTINCT user_id) AS n_users
   FROM events GROUP BY 1
 )

@@ -151,7 +151,7 @@ WITH base AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                      CAST(round(value * 100) AS BIGINT) AS v_cents FROM events)
 SELECT coalesce(event_type, 'ALL') AS event_type_d,
        coalesce(day, 'ALL') AS day_d,
-       count(*) AS n, sum(v_cents) AS v_sum
+       count(*) AS n, CAST(sum(v_cents) AS BIGINT) AS v_sum
 FROM base GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
 """
 

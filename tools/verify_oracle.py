@@ -33,10 +33,68 @@ def _norm(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Keep the float-ness visible (2.0 stays "2.0"): collapsing to
+        # "2" masked int-vs-float representation drift that the driver's
+        # stricter normalization catches (round-1 HUGEINT incident).
         return repr(v)
     return str(v)
+
+
+# Canonical type categories so the Spark schema and the DuckDB oracle
+# schema can be compared engine-neutrally. DuckDB HUGEINT deliberately
+# maps to its own category: a SUM(BIGINT) left as HUGEINT is exactly the
+# representation drift that turned 10 driver rows red in round 1.
+_DUCK_INTS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _canon_duck_type(t) -> str:
+    u = str(t).upper()
+    if u in _DUCK_INTS:
+        return "int"
+    if u == "HUGEINT":
+        return "hugeint"
+    if u in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if u.startswith("DECIMAL"):
+        return "decimal"
+    if u == "VARCHAR":
+        return "str"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "ts"
+    if u.endswith("[]"):
+        return "array"
+    if u.startswith("STRUCT"):
+        return "struct"
+    return u.lower()
+
+
+def _canon_spark_type(t: str) -> str:
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t.startswith("array"):
+        return "array"
+    if t.startswith("struct"):
+        return "struct"
+    return t
 
 
 def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
@@ -77,10 +135,22 @@ def main() -> int:
             orows = [tuple(r) for r in res.fetchall()]
             ocols = list(res.columns)
             o_n, o_c, o_h = frame_fingerprint(ocols, orows)
+            # engine-neutral type signature, sorted by column name like
+            # the value hash, so representation drift (HUGEINT, decimal
+            # vs double, int vs float) fails locally before the driver
+            # sees it
+            s_types = dict(sdf.dtypes)
+            stype_sig = [_canon_spark_type(s_types[c]) for c in sorted(scols)]
+            o_types = dict(zip(res.columns, res.types))
+            otype_sig = [
+                _canon_duck_type(o_types[c]) for c in sorted(ocols)
+            ] if s_c == o_c else []
             if s_n != o_n:
                 status.append(f"ROWS {s_n} != {o_n}")
             if s_c != o_c:
                 status.append(f"COLS {s_c} != {o_c}")
+            elif stype_sig != otype_sig:
+                status.append(f"TYPES {stype_sig} != {otype_sig}")
             if s_h != o_h:
                 status.append(f"HASH {s_h} != {o_h}")
         else:
