@@ -185,7 +185,16 @@ def chunk_documents(
     rather than repeated full texts — at 100 TB the difference between
     writing chunk shards and re-shuffling whole documents per chunk.
     Empty documents produce zero chunks.
+
+    Requires ``stride <= size``: with a stride wider than the chunk the
+    last computed offset can land at-or-past the end of the document and
+    emit an empty chunk, breaking the "final chunk is never empty"
+    invariant (and silently dropping the tokens in the gap).
     """
+    if stride > size or stride <= 0 or size <= 0:
+        raise ValueError(
+            f"need 0 < stride <= size, got size={size} stride={stride}"
+        )
     toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = (

@@ -145,7 +145,11 @@ def pagerank_exact(
             .join(deg, "__s")
             .select(
                 F.col("__d").alias("id"),
-                F.floor(F.col("rank") / F.col("__deg")).cast("long").alias("__c"),
+                # true integer division (`div`), NOT floor(a / b): `/` is
+                # IEEE double division, and floor of the rounded double
+                # diverges from the integer recurrence once a*850
+                # exceeds 2^53 (hot nodes at real graph scale)
+                F.expr("rank div __deg").cast("long").alias("__c"),
             )
             .groupBy("id")
             .agg(F.sum("__c").alias("__in"))
@@ -156,7 +160,7 @@ def pagerank_exact(
                 "id",
                 (
                     F.lit(150_000)
-                    + F.floor(F.coalesce(F.col("__in"), F.lit(0)) * 850 / 1000)
+                    + F.expr("(coalesce(__in, 0L) * 850) div 1000")
                 ).cast("long").alias("rank"),
             )
             .localCheckpoint()

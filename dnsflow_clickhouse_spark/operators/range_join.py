@@ -234,6 +234,17 @@ def interval_overlap_join(
     explodes rows, too coarse degenerates toward the cross join. Column
     names must be disjoint across the two inputs.
     """
+    if how != "inner":
+        # The bucket-grid explode emits each row once per touched bucket;
+        # the first-shared-bucket trick dedups MATCHED pairs only. An
+        # outer join would surface every unmatched bucket copy as a
+        # spurious null-extended row (k rows for a k-bucket interval).
+        # Outer semantics need inner + left-anti backfill of originals —
+        # not implemented until a caller needs it.
+        raise ValueError(
+            "interval_overlap_join supports how='inner' only; "
+            f"got {how!r}"
+        )
     ls, le = left_range
     rs, re_ = right_range
     overlap = set(left.columns) & set(right.columns)

@@ -81,10 +81,16 @@ def salted_distinct_count(
 ) -> DataFrame:
     """COUNT(DISTINCT x) for hot keys: dedup on (keys, x) spread by the
     hash of x itself (the distinct column is its own perfect spread),
-    then count per key. Two shuffles, neither concentrated."""
+    then count per key. Two shuffles, neither concentrated.
+
+    NULLs are excluded up front to match COUNT(DISTINCT x) exactly —
+    grouping by a nullable x would otherwise count NULL as one extra
+    distinct value per key."""
     salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets)).alias("__salt")
     dedup = (
-        df.groupBy(*keys, salt, F.col(distinct_col)).agg(F.lit(1).alias("__one"))
+        df.filter(F.col(distinct_col).isNotNull())
+        .groupBy(*keys, salt, F.col(distinct_col))
+        .agg(F.lit(1).alias("__one"))
     )
     return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
 

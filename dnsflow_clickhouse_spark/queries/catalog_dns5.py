@@ -326,9 +326,9 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_iter(prev: str, out: str) -> str:
     return f"""{out} AS (
-  SELECT n.id, CAST(150000 + floor(coalesce(c.i, 0) * 850 / 1000) AS BIGINT) AS rank
+  SELECT n.id, CAST(150000 + (coalesce(c.i, 0) * 850) // 1000 AS BIGINT) AS rank
   FROM nodes n LEFT JOIN (
-    SELECT e.d AS id, sum(CAST(floor(r.rank * 1.0 / deg.dg) AS BIGINT)) AS i
+    SELECT e.d AS id, sum(r.rank // deg.dg) AS i
     FROM {prev} r JOIN edges e ON r.id = e.s JOIN deg ON deg.s = e.s
     GROUP BY e.d
   ) c ON n.id = c.id

@@ -90,11 +90,24 @@ def read_with_skipping(
     for r in mrows:
         stats.setdefault(r.file, {})[r.col] = (r.vmin, r.vmax)
 
-    all_files = sorted(stats)
+    # Enumerate the ACTUAL data files, not the manifest keys: a file with
+    # no usable stats for any requested column, or one written after the
+    # manifest was built, has no manifest row at all — skipping must only
+    # drop files the manifest positively proves disjoint, so unknown
+    # files are kept.
+    all_files: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        if MANIFEST_DIR in root.split(os.sep):
+            continue
+        all_files.extend(
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        )
+    all_files.sort()
     keep = [
         f
         for f in all_files
-        if all(
+        if f not in stats  # no manifest row -> keep (conservative)
+        or all(
             c not in stats[f]  # no stats for the column -> keep (conservative)
             or (stats[f][c][0] <= hi and lo <= stats[f][c][1])
             for c, (lo, hi) in ranges.items()

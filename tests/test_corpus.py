@@ -164,6 +164,13 @@ def test_chunk_documents_boundaries(spark):
     assert 4 not in got                                 # empty doc: no chunks
     assert got[5] == [(0, 1, "solo", "solo")]
 
+    # stride > size would emit an empty final chunk (and drop tokens in
+    # the gap); the operator validates instead of silently mis-chunking
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "doc_id", "text", size=48, stride=64)
+
 
 def test_pagerank_exact_known_graph(spark):
     from dnsflow_clickhouse_spark.operators.graph import pagerank_exact

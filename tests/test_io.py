@@ -217,6 +217,37 @@ def test_manifest_file_skipping(spark, tmp_path):
     assert none.count() == 0 and set(none.columns) == {"user_id", "v"}
 
 
+def test_skipping_keeps_files_unknown_to_manifest(spark, tmp_path):
+    """A file written AFTER the manifest build (or one with no usable
+    stats for the requested column) has no manifest row — skipping must
+    keep it, never silently drop its rows."""
+    from dnsflow_clickhouse_spark.sources.skipping import (
+        build_manifest,
+        read_with_skipping,
+    )
+
+    path = str(tmp_path / "zoned")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    (
+        df.repartitionByRange(2, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(path)
+    )
+    build_manifest(spark, path, ["user_id"])
+
+    # late-arriving file, in-predicate rows, absent from the manifest
+    late = spark.range(1200, 1300).select(
+        F.col("id").alias("user_id"), F.lit(7).alias("v")
+    )
+    late.coalesce(1).write.mode("append").parquet(path)
+
+    got = read_with_skipping(spark, path, {"user_id": (1200, 1299)})
+    n = got.filter(F.col("user_id").between(1200, 1299)).count()
+    assert n == 200, "late-arriving file was silently skipped"
+
+
 def test_observed_write_measures_written_rows(spark, tmp_path):
     from dnsflow_clickhouse_spark.io import observed_write
 

@@ -146,3 +146,9 @@ def test_interval_overlap_join_dedup_and_semantics(spark):
 
     with _pytest.raises(ValueError, match="ambiguous"):
         interval_overlap_join(left, left, ("ls", "le"), ("ls", "le"), 100)
+    # outer joins would surface per-bucket null-extended duplicates;
+    # the operator refuses rather than returning wrong rows
+    with _pytest.raises(ValueError, match="inner"):
+        interval_overlap_join(
+            left, right, ("ls", "le"), ("rs", "re"), 100, how="left"
+        )

@@ -72,3 +72,19 @@ def test_salted_distinct_count_matches_direct(spark, skewed):
         for r in skewed.groupBy("k").agg(F.countDistinct("d").alias("n")).collect()
     }
     assert got == want
+
+
+def test_salted_distinct_count_excludes_nulls(spark):
+    """COUNT(DISTINCT x) ignores NULLs; the salted dedup must too (a
+    nullable column would otherwise count one phantom value per key)."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("b", None), ("c", "z")],
+        "k string, d string",
+    )
+    got = {
+        r.k: r.n_distinct
+        for r in salted_distinct_count(df, ["k"], "d").collect()
+    }
+    # key "b" has only NULLs -> COUNT(DISTINCT)=0 -> no output row,
+    # matching groupBy-count semantics on the filtered set
+    assert got == {"a": 2, "c": 1}
