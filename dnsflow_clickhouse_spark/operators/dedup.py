@@ -382,48 +382,10 @@ def ngram_jaccard_pairs(
     )
 
 
-def embedding_near_dups(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    threshold: float = 0.95,
-    scale: int = 10000,
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via exact quantized integer
-    dot products (deterministic across engines).
-
-    Plan: the quantized corpus matrix is collected once and broadcast
-    (ids + int64 matrix + norms — 3 compact numpy arrays); each
-    ``mapInPandas`` batch then runs ONE exact int64 block-matmul
-    ``A_batch @ M.T`` and emits only the (id_a < id_b, cosine >=
-    threshold) survivors. No pair rows ever cross the wire — versus a
-    self-join this removes the O(n²) Arrow pair traffic entirely.
-
-    Scale note: all-pairs work is inherently O(n²); this operator is the
-    exact-verification kernel. At 100 TB, bucket first (hyperplane LSH in
-    similarity.py) and run this per bucket, or shard the broadcast matrix
-    by bucket. The broadcast holds n·d int64 (~1 GB per 1M×128 vectors) —
-    fine for the verification side, not for a raw 100 TB corpus.
-    """
-    return _block_neardup(df, id_col, vec_col, threshold, scale)
-
-
-def _block_neardup(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float, scale: int
-) -> DataFrame:
-    import numpy as np
-    import pandas as pd
+def _neardup_schema():
     from pyspark.sql import types as T
 
-    spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q"))
-    rows = base.collect()
-    ids = np.array([r.id for r in rows], dtype=np.int64)
-    mat = np.array([r.q for r in rows], dtype=np.int64)
-    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    out_schema = T.StructType(
+    return T.StructType(
         [
             T.StructField("id_a", T.LongType()),
             T.StructField("id_b", T.LongType()),
@@ -431,20 +393,127 @@ def _block_neardup(
         ]
     )
 
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["id"].to_numpy(dtype=np.int64)
-            a_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
-            a_norms = np.sqrt(np.einsum("ij,ij->i", a_mat, a_mat).astype(np.float64))
-            dots = a_mat @ b_mat.T  # exact int64
-            cos = np.round(dots / np.outer(a_norms, b_norms), 6)
-            keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bj], "cosine": cos[ai, bj]}
-            )
 
-    return base.repartition(F.col("id")).mapInPandas(block, schema=out_schema)
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    scale: int = 10000,
+    n_planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via exact quantized integer
+    dot products (deterministic across engines). Two fully distributed
+    plans — nothing is ever collected to the driver:
+
+    - ``n_planes > 0`` — the 100 TB path: hyperplane-LSH signatures
+      (similarity.hyperplane_signature, deterministic coefficients)
+      bucket the corpus, then one exact int64 GEMM runs INSIDE each
+      bucket via ``applyInPandas``. Cross-bucket pairs are missed by
+      construction (recall < 1, same trade as hyperplane_lsh_topk);
+      every surviving pair is exact. Shuffle = one hash partition by
+      bucket; scale bucket count with ``n_planes`` (2^p buckets) so
+      per-bucket matrices stay executor-sized.
+    - ``n_planes = 0`` — exact all-pairs via block-pair GEMM: rows hash
+      into ``EXACT_BLOCKS`` blocks, every unordered block pair becomes
+      one ``applyInPandas`` group, and each group multiplies its two
+      sub-matrices. All-pairs is inherently O(n²) compute, but the data
+      movement is O(n·√pairs): each row is replicated once per block —
+      no driver collect, no broadcast of the corpus (the round-1 design
+      collected the whole matrix to the driver; this replaces it).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q")
+    )
+    if n_planes > 0:
+        from dnsflow_clickhouse_spark.operators.similarity import (
+            hyperplane_signature,
+        )
+
+        b = base.withColumn("__bucket", hyperplane_signature(F.col("q"), n_planes))
+        return b.groupBy("__bucket").applyInPandas(
+            _gemm_within_group(threshold), schema=_neardup_schema()
+        )
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(EXACT_BLOCKS))
+    rep = (
+        base.withColumn("__b", blk)
+        .withColumn(
+            "__o", F.explode(F.sequence(F.lit(0), F.lit(EXACT_BLOCKS - 1)))
+        )
+        .withColumn("__p1", F.least("__b", "__o"))
+        .withColumn("__p2", F.greatest("__b", "__o"))
+        .filter((F.col("__b") == F.col("__p1")) | (F.col("__b") == F.col("__p2")))
+    )
+    return rep.groupBy("__p1", "__p2").applyInPandas(
+        _gemm_block_pair(threshold), schema=_neardup_schema()
+    )
+
+
+EXACT_BLOCKS = 16
+
+
+def _pack(pdf):
+    import numpy as np
+
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
+    return ids, mat, norms
+
+
+def _pairs_frame(a, b, threshold, upper_only):
+    """Exact int64 GEMM between two packed sides; emit (id_a < id_b,
+    cosine >= threshold) survivors only."""
+    import numpy as np
+    import pandas as pd
+
+    a_ids, a_mat, a_norms = a
+    b_ids, b_mat, b_norms = b
+    dots = a_mat @ b_mat.T  # exact int64
+    cos = np.round(dots / np.outer(a_norms, b_norms), 6)
+    if upper_only:
+        keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": a_ids[ai], "id_b": b_ids[bj], "cosine": cos[ai, bj]}
+        )
+    keep = cos >= threshold
+    ai, bj = np.nonzero(keep)
+    lo = np.minimum(a_ids[ai], b_ids[bj])
+    hi = np.maximum(a_ids[ai], b_ids[bj])
+    return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ai, bj]})
+
+
+def _gemm_within_group(threshold: float):
+    def fn(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        packed = _pack(pdf)
+        return _pairs_frame(packed, packed, threshold, upper_only=True)
+
+    return fn
+
+
+def _gemm_block_pair(threshold: float):
+    def fn(key, pdf):
+        import pandas as pd
+
+        p1, p2 = key
+        if p1 == p2:
+            if len(pdf) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            packed = _pack(pdf)
+            return _pairs_frame(packed, packed, threshold, upper_only=True)
+        a_pdf = pdf[pdf["__b"] == p1]
+        b_pdf = pdf[pdf["__b"] == p2]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        # cross-block: each unordered pair of ids occurs in exactly one
+        # group, so ordering the output ids is the only dedup needed
+        return _pairs_frame(
+            _pack(a_pdf), _pack(b_pdf), threshold, upper_only=False
+        )
+
+    return fn

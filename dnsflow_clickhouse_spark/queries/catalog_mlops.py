@@ -397,21 +397,47 @@ FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding-cosine near-duplicates at threshold 0.4."""
+    """Bucketed embedding-cosine near-duplicates at threshold 0.4: the
+    100 TB composition — hyperplane-LSH buckets, exact int64 GEMM inside
+    each bucket via applyInPandas, no driver-side corpus collect
+    (replaces the round-1 collect-and-broadcast kernel). Cross-bucket
+    pairs are missed by construction (recall < 1), mirrored exactly by
+    the oracle's bucket equi-join."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, "vec_id", "embedding", threshold=0.4).orderBy(
-        "id_a", "id_b"
-    )
+    return embedding_near_dups(
+        e, "vec_id", "embedding", threshold=0.4, n_planes=N_PLANES
+    ).orderBy("id_a", "id_b")
 
+
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-duplicates via the distributed block-pair
+    GEMM (each unordered block pair is one applyInPandas group) — the
+    verification-side kernel, still with no driver collect."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        e, "vec_id", "embedding", threshold=0.4, n_planes=0
+    ).orderBy("id_a", "id_b")
+
+
+_NEARDUP_PAIR_EXPR = (
+    "round(list_dot_product(a.qv, b.qv)"
+    " / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6)"
+)
 
 _NEARDUP_SQL = f"""
+WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
+bq AS (SELECT vec_id, qv, {_sql_bucket('qv')} AS bucket FROM q)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_NEARDUP_PAIR_EXPR} AS cosine
+FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_NEARDUP_PAIR_EXPR} >= 0.4
+ORDER BY id_a, id_b
+"""
+
+_NEARDUP_EXACT_SQL = f"""
 WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.qv, b.qv)
-             / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_NEARDUP_PAIR_EXPR} AS cosine
 FROM q a JOIN q b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.qv, b.qv)
-            / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) >= 0.4
+WHERE {_NEARDUP_PAIR_EXPR} >= 0.4
 ORDER BY id_a, id_b
 """
 
@@ -583,5 +609,6 @@ MLOPS_REGISTRY = {
     "embedding_knn": (embedding_knn, _KNN_SQL),
     "embedding_lsh_ann": (embedding_lsh_ann, _LSH_ANN_SQL),
     "embedding_neardup": (embedding_neardup, _NEARDUP_SQL),
+    "embedding_neardup_exact": (embedding_neardup_exact, _NEARDUP_EXACT_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
 }

@@ -213,3 +213,59 @@ def test_multimodal_real_decode_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         extract_features(assets, decode_stub=False).collect()
+
+
+def test_embedding_neardup_distributed_paths(spark):
+    """Both near-dup plans are fully distributed (no driver collect of
+    the corpus). The exact block-pair GEMM must equal a brute-force
+    check; the bucketed path must return a SUBSET of the exact pairs
+    (cross-bucket pairs are the documented recall loss) with identical
+    cosines on the pairs it keeps."""
+    import math
+
+    from dnsflow_clickhouse_spark.operators.dedup import embedding_near_dups
+
+    vecs = [
+        (1, [1.0, 0.0, 0.2]),
+        (2, [0.9, 0.1, 0.2]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.05, 0.98, 0.0]),  # near-dup of 3
+        (5, [-1.0, 0.3, 0.1]),
+        (6, [1.0, 0.02, 0.21]),  # near-dup of 1 and 2
+    ]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+
+    def brute(thr):
+        out = {}
+        q = {i: [round(x * 10000) for x in v] for i, v in vecs}
+        for i, qi in q.items():
+            for j, qj in q.items():
+                if i < j:
+                    dot = sum(a * b for a, b in zip(qi, qj))
+                    c = round(
+                        dot
+                        / (
+                            math.sqrt(sum(a * a for a in qi))
+                            * math.sqrt(sum(b * b for b in qj))
+                        ),
+                        6,
+                    )
+                    if c >= thr:
+                        out[(i, j)] = c
+        return out
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(df, "id", "v", threshold=0.9).collect()
+    }
+    assert exact == brute(0.9)
+
+    bucketed = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(
+            df, "id", "v", threshold=0.9, n_planes=4
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]
