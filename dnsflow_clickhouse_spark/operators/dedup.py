@@ -32,11 +32,70 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD, poly_hash, tokens
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from dnsflow_clickhouse_spark.functions.textfn import (
+    POLY_MOD,
+    POLY_MULT,
+    poly_hash,
+    tokens,
+)
 from dnsflow_clickhouse_spark.operators.similarity import quantize
+
+
+def _poly_hash_np(strs, seed: int, mult: int, mod: int):
+    """Vectorized modular polynomial fold: identical values to
+    ``textfn.poly_hash`` (same seed/mult/mod, code-point arithmetic),
+    computed across a whole Arrow batch at once. The fold loops over
+    CHARACTER POSITIONS (strings are ~30 chars) while every string in
+    the batch advances in one numpy op — versus the Column form, which
+    interprets every character of every string per row."""
+    import numpy as np
+
+    n = len(strs)
+    h = np.full(n, seed, dtype=np.int64)
+    if n == 0:
+        return h
+    cps = [
+        np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        for s in strs
+    ]
+    lens = np.fromiter((len(c) for c in cps), dtype=np.int64, count=n)
+    maxlen = int(lens.max(initial=0))
+    if maxlen == 0:
+        return h
+    mat = np.zeros((n, maxlen), dtype=np.int64)
+    for i, c in enumerate(cps):
+        mat[i, : len(c)] = c
+    for j in range(maxlen):
+        active = lens > j
+        h[active] = (h[active] * mult + mat[active, j]) % mod
+    return h
+
+
+# ArrayType(LongType()) objects (not DDL strings) so the decorator does
+# not need an active SparkContext at import time.
+@pandas_udf(ArrayType(LongType()))
+def poly_hashes_arrow(arrs: pd.Series) -> pd.Series:
+    """array<string> -> array<long> of default-parameter poly hashes,
+    one Arrow batch per call: the batch's strings are flattened, hashed
+    in one vectorized fold, and re-segmented per row."""
+    flat: list[str] = []
+    offsets = [0]
+    for a in arrs:
+        if a is not None:
+            flat.extend(a)
+        offsets.append(len(flat))
+    h = _poly_hash_np(flat, 0, POLY_MULT, POLY_MOD)
+    return pd.Series(
+        [h[offsets[i] : offsets[i + 1]] for i in range(len(arrs))]
+    )
 
 # Fixed affine permutation constants for MinHash: h_i(x) = (a_i*x + b_i) % P.
 # Deterministic, odd multipliers, engine-portable.
@@ -117,8 +176,12 @@ def minhash_signature(
 
 
 def _base_hashes(grams: Column, hash_fn: Callable[[Column], Column] | None) -> Column:
-    hf = hash_fn or (lambda c: poly_hash(c))
-    return F.transform(grams, lambda g: hf(g))
+    if hash_fn is None:
+        # default path: identical values to poly_hash, computed by the
+        # vectorized Arrow fold instead of the interpreted per-char
+        # expression — the single biggest CPU saving in the module
+        return poly_hashes_arrow(grams)
+    return F.transform(grams, lambda g: hash_fn(g))
 
 
 def _sig_from_base(base: Column, n_hashes: int) -> Column:
@@ -249,14 +312,14 @@ def simhash_df(
     n_bits: int = 16,
     hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
-    """(id, simhash): staged bulk SimHash — token hashes computed once,
-    then the n_bits bit-votes read the staged array."""
-    hf = hash_fn or (lambda c: poly_hash(c))
+    """(id, simhash): staged bulk SimHash — token hashes computed once
+    (vectorized Arrow fold on the default path), then the n_bits
+    bit-votes read the staged array."""
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition(F.col("id"))
         .select("id", tokens(F.col("__text")).alias("__toks"))
-        .select("id", F.transform(F.col("__toks"), lambda t: hf(t)).alias("__hs"))
+        .select("id", _base_hashes(F.col("__toks"), hash_fn).alias("__hs"))
         .select("id", _simhash_from_hashes(F.col("__hs"), n_bits).alias("simhash"))
     )
 
