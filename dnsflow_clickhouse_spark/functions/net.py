@@ -55,6 +55,56 @@ def long_to_ip(v: Column | str) -> Column:
     )
 
 
+def is_in_range(ip: Column | str, cidr: Column | str) -> Column:
+    """CIDR membership: true iff ``ip`` falls inside ``cidr`` (a
+    ``"a.b.c.d/len"`` string). Pure expressions — no UDF.
+
+    Mirrors the reference's ``isInRange`` (IpUtil.java:13-25): both
+    addresses are masked to the top ``len`` bits and compared. The Java
+    code computes ``0xFFFFFFFF << (32 - len)`` with int shifts, so
+    ``/0`` degenerates to a full 32-bit compare (Java shift counts are
+    mod 32); we reproduce that via ``shift = (32 - len) % 32`` so the
+    two implementations agree on every input, including the degenerate
+    prefix.
+    """
+    c = _col(cidr)
+    prefix = F.element_at(F.split(c, "/"), 2).try_cast("int")
+    base = F.element_at(F.split(c, "/"), 1)
+    shift = (F.lit(32) - prefix) % F.lit(32)
+    return F.call_function(
+        "shiftright", ip_to_long(ip), shift
+    ) == F.call_function("shiftright", ip_to_long(base), shift)
+
+
+def cidr_bounds(cidr: Column | str) -> Column:
+    """``"a.b.c.d/len"`` -> struct(lo, hi): the inclusive int64 bounds of
+    the network (network address .. broadcast address).
+
+    The expression form of the reference's netmask helpers
+    (IpUtil.java:30-293 ``getBeginIpStr``/``getEndIpStr``); combined
+    with :func:`long_to_ip` it reproduces their string outputs. Same
+    mod-32 shift convention as :func:`is_in_range`.
+    """
+    c = _col(cidr)
+    prefix = F.element_at(F.split(c, "/"), 2).try_cast("int")
+    base = F.element_at(F.split(c, "/"), 1)
+    shift = (F.lit(32) - prefix) % F.lit(32)
+    lo = F.call_function(
+        "shiftleft", F.call_function("shiftright", ip_to_long(base), shift), shift
+    )
+    hi = lo + F.call_function("shiftleft", F.lit(1).cast("long"), shift) - F.lit(1)
+    return F.struct(lo.alias("lo"), hi.alias("hi"))
+
+
+def cidr_ip_count(cidr: Column | str) -> Column:
+    """Number of addresses covered by the CIDR (reference:
+    IpUtil.java ``getIpCount``: ``2^(32-len)``)."""
+    prefix = F.element_at(F.split(_col(cidr), "/"), 2).try_cast("int")
+    # no mod-32 here: the reference's getIpCount uses Math.pow, not int
+    # shifts, so /0 really is 2^32 (long shifts carry it exactly).
+    return F.call_function("shiftleft", F.lit(1).cast("long"), F.lit(32) - prefix)
+
+
 def first_octet(ip: Column | str) -> Column:
     """First octet of a dotted-quad — the geo prefix-index key.
 

@@ -29,7 +29,7 @@ from dnsflow_clickhouse_spark.functions.domains import authority_domain, strip_s
 from dnsflow_clickhouse_spark.functions.net import ip_to_long
 from dnsflow_clickhouse_spark.operators.range_join import (
     collect_bounds,
-    in_any_range,
+    membership_flag,
     range_join,
 )
 
@@ -131,10 +131,16 @@ def enrich_top(top: DataFrame, dims: EnrichDims) -> DataFrame:
         bounds += collect_bounds(dims.media_rules)
     if dims.segment_rules is not None:
         bounds += collect_bounds(dims.segment_rules)
-    in_net = (
-        in_any_range(F.col("aipLong"), bounds) if bounds else F.lit(False)
-    )
-    df = df.withColumn("inNet", F.when(in_net, F.col("resolver")).otherwise(F.lit(0)).cast("long"))
+    if bounds:
+        # size-routed: literal OR below ~100 merged ranges, broadcast
+        # interval join above (see membership_flag docstring)
+        df = membership_flag(df, F.col("aipLong"), bounds, "__in_net")
+    else:
+        df = df.withColumn("__in_net", F.lit(False))
+    df = df.withColumn(
+        "inNet",
+        F.when(F.col("__in_net"), F.col("resolver")).otherwise(F.lit(0)).cast("long"),
+    ).drop("__in_net")
 
     # J4 company metadata (last match wins, resolved dim-side)
     if dims.auth_domains is not None:

@@ -141,11 +141,70 @@ def in_any_range(probe: Column, bounds: list[tuple[int, int]]) -> Column:
 
     Mirrors the reference's inNet rule (DnsRptCH.scala:222-235) whose net
     semantics are membership-OR across two rule tables (SURVEY §7.4).
+
+    Codegen-friendly only for small rule sets: each interval adds two
+    comparisons to the generated predicate, and a dim with thousands of
+    ranges would blow the whole-stage-codegen method-size limit (Spark
+    then falls back to interpreted eval row-by-row). Use
+    :func:`membership_flag` to auto-route large bound lists through a
+    broadcast interval join instead.
     """
     cond = F.lit(False)
     for lo, hi in bounds:
         cond = cond | ((probe >= F.lit(int(lo))) & (probe <= F.lit(int(hi))))
     return cond
+
+
+def merge_bounds(bounds: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Coalesce possibly-overlapping [lo, hi] intervals into the minimal
+    sorted disjoint set (membership is payload-free, so a plain sweep)."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted((int(l), int(h)) for l, h in bounds):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+MEMBERSHIP_LITERAL_MAX = 100
+
+
+def membership_flag(
+    facts: DataFrame,
+    probe_col: str | Column,
+    bounds: list[tuple[int, int]],
+    flag_col: str,
+    literal_max: int = MEMBERSHIP_LITERAL_MAX,
+) -> DataFrame:
+    """Adds boolean ``flag_col`` = probe falls in any of ``bounds``.
+
+    Size-routed J3 (reference DnsRptCH.scala:222-235): after merging to
+    disjoint intervals, small rule sets (<= ``literal_max``) become an
+    inlined OR-of-comparisons predicate (stays inside whole-stage
+    codegen, zero joins); larger ones become a broadcast range join
+    against the merged interval table — a single BNLJ probe per row
+    instead of a kilo-line generated predicate. Disjointness guarantees
+    at most one match, so the left join adds no duplicate rows.
+    """
+    probe = F.col(probe_col) if isinstance(probe_col, str) else probe_col
+    merged = merge_bounds(bounds)
+    if len(merged) <= literal_max:
+        return facts.withColumn(flag_col, in_any_range(probe, merged))
+    spark = facts.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("__mlo", T.LongType(), False),
+            T.StructField("__mhi", T.LongType(), False),
+        ]
+    )
+    r = spark.createDataFrame(merged, schema=schema)
+    cond = (probe >= F.col("__mlo")) & (probe <= F.col("__mhi"))
+    return (
+        facts.join(F.broadcast(r), cond, "left")
+        .withColumn(flag_col, F.col("__mlo").isNotNull())
+        .drop("__mlo", "__mhi")
+    )
 
 
 def collect_bounds(

@@ -293,6 +293,70 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- CIDR membership rollup (isInRange, ref IpUtil.java:13-25; the
+#     commented serverIP gate DnsRptCH.scala:889) ---
+
+_CIDRS = ["55.0.0.0/8", "120.64.0.0/10", "200.200.0.0/16", "7.32.0.0/11"]
+
+
+def cidr_membership_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CIDR member count + sum over synthesized event IPs.
+
+    Exercises ``is_in_range`` (pure shift/mask expressions) against an
+    oracle that uses independently precomputed [lo, hi] literal bounds —
+    the two agree only if the mask arithmetic is right.
+    """
+    from dnsflow_clickhouse_spark.functions.net import is_in_range
+
+    ev = _ev(spark, sf_dir)
+    ip = F.concat_ws(
+        ".",
+        (F.col("event_id") % 223 + 1).cast("string"),
+        ((F.col("event_id") * 37) % 256).cast("string"),
+        ((F.col("event_id") * 53) % 256).cast("string"),
+        ((F.col("event_id") * 71) % 256).cast("string"),
+    )
+    df = (
+        ev.select(ip.alias("ip"))
+        .select("ip", ip_to_long("ip").alias("ip_long"))
+        .select(
+            "ip",
+            "ip_long",
+            F.explode(F.array(*[F.lit(c) for c in _CIDRS])).alias("cidr"),
+        )
+        .filter(is_in_range("ip", "cidr"))
+    )
+    return (
+        df.groupBy("cidr")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("ip_long").alias("sum_in"),
+        )
+        .orderBy("cidr")
+    )
+
+
+_CIDR_SQL = """
+WITH ips AS (
+  SELECT CAST(event_id % 223 + 1 AS VARCHAR) || '.' ||
+         CAST((event_id * 37) % 256 AS VARCHAR) || '.' ||
+         CAST((event_id * 53) % 256 AS VARCHAR) || '.' ||
+         CAST((event_id * 71) % 256 AS VARCHAR) AS ip,
+         (event_id % 223 + 1) * 16777216 + ((event_id * 37) % 256) * 65536
+           + ((event_id * 53) % 256) * 256 + ((event_id * 71) % 256) AS ip_long
+  FROM events
+), c(cidr, lo, hi) AS (
+  VALUES ('55.0.0.0/8',    922746880,  939524095),
+         ('120.64.0.0/10', 2017460224, 2021654527),
+         ('200.200.0.0/16', 3368550400, 3368615935),
+         ('7.32.0.0/11',   119537664,  121634815)
+)
+SELECT cidr, count(*) AS cnt, CAST(sum(ip_long) AS BIGINT) AS sum_in
+FROM ips JOIN c ON ip_long BETWEEN lo AND hi
+GROUP BY cidr ORDER BY cidr
+"""
+
+
 DNS2_REGISTRY = {
     "clients_rollup_sets": (clients_rollup_sets, _ROLLUP_SETS_SQL),
     "day_pivot_counts": (day_pivot_counts, _PIVOT_SQL),
@@ -301,4 +365,5 @@ DNS2_REGISTRY = {
     "set_ops_users": (set_ops_users, _SET_OPS_SQL),
     "ip_function_rollup": (ip_function_rollup, _IP_FN_SQL),
     "wide_enrichment_report": (wide_enrichment_report, _WIDE_ENRICH_SQL),
+    "cidr_membership_rollup": (cidr_membership_rollup, _CIDR_SQL),
 }

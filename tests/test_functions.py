@@ -123,3 +123,53 @@ def test_poly_hash_deterministic_and_portable(spark):
     vals = ["", "a", "hello world", "Zürich"[:4]]
     out = _eval(spark, poly_hash(F.col("v")), vals)
     assert out == [py_poly(v) for v in vals]
+
+
+# --- reference parity: isInRange / netmask helpers (IpUtil.java:13-60) ---
+
+
+def test_is_in_range_cidr(spark):
+    from dnsflow_clickhouse_spark.functions.net import is_in_range
+
+    # vectors checked against the Java mask arithmetic in IpUtil.java:13-25
+    cases = [
+        ("192.168.8.3", "192.168.9.10/22", True),   # the doc example
+        ("192.168.12.0", "192.168.9.10/22", False),
+        ("10.0.0.1", "10.0.0.0/8", True),
+        ("11.0.0.1", "10.0.0.0/8", False),
+        ("218.108.248.200", "218.108.248.192/26", True),   # DnsRptCH.scala:889
+        ("218.108.249.0", "218.108.248.192/26", False),
+        ("1.2.3.4", "1.2.3.4/32", True),
+        ("1.2.3.5", "1.2.3.4/32", False),
+        # Java quirk: /0 masks with 0xFFFFFFFF << 32 == identity mask
+        ("9.9.9.9", "8.8.8.8/0", False),
+        ("8.8.8.8", "8.8.8.8/0", True),
+    ]
+    df = spark.createDataFrame(cases, "ip string, cidr string, want boolean")
+    got = df.select(is_in_range("ip", "cidr").alias("got"), "want").collect()
+    for r in got:
+        assert r["got"] == r["want"]
+
+
+def test_cidr_bounds_and_count(spark):
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.functions.net import (
+        cidr_bounds,
+        cidr_ip_count,
+        long_to_ip,
+    )
+
+    df = spark.createDataFrame(
+        [("192.168.9.10/22",), ("10.1.2.3/8",), ("1.2.3.4/32",)], "cidr string"
+    )
+    out = df.select(
+        long_to_ip(cidr_bounds("cidr")["lo"]).alias("lo"),
+        long_to_ip(cidr_bounds("cidr")["hi"]).alias("hi"),
+        cidr_ip_count("cidr").alias("n"),
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        ("192.168.8.0", "192.168.11.255", 1 << 10),
+        ("10.0.0.0", "10.255.255.255", 1 << 24),
+        ("1.2.3.4", "1.2.3.4", 1),
+    ]

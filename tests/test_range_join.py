@@ -152,3 +152,23 @@ def test_interval_overlap_join_dedup_and_semantics(spark):
         interval_overlap_join(
             left, right, ("ls", "le"), ("rs", "re"), 100, how="left"
         )
+
+
+def test_membership_flag_literal_and_join_paths_agree(spark):
+    from dnsflow_clickhouse_spark.operators.range_join import (
+        membership_flag,
+        merge_bounds,
+    )
+
+    bounds = [(10, 20), (15, 30), (50, 60), (61, 70), (100, 100)]
+    assert merge_bounds(bounds) == [(10, 30), (50, 70), (100, 100)]
+    facts = spark.createDataFrame([(v,) for v in [5, 10, 30, 31, 49, 70, 100, 101]], "p long")
+    lit = membership_flag(facts, "p", bounds, "f", literal_max=100)
+    joined = membership_flag(facts, "p", bounds, "f", literal_max=1)
+    want = {5: False, 10: True, 30: True, 31: False, 49: False, 70: True, 100: True, 101: False}
+    for df in (lit, joined):
+        got = {r["p"]: r["f"] for r in df.collect()}
+        assert got == want
+        assert df.count() == 8  # disjoint merge: join path adds no dup rows
+    # large path really is a join, small path really is a predicate
+    assert "Join" in joined._jdf.queryExecution().executedPlan().toString()
