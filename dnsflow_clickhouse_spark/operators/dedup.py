@@ -62,20 +62,22 @@ def _poly_hash_np(strs, seed: int, mult: int, mod: int):
     h = np.full(n, seed, dtype=np.int64)
     if n == 0:
         return h
-    cps = [
-        np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-        for s in strs
-    ]
-    lens = np.fromiter((len(c) for c in cps), dtype=np.int64, count=n)
+    # ONE encode of the whole batch (joined with a 1-code-point pad),
+    # then a single gather builds the (n, maxlen) code-point matrix —
+    # no per-string Python work at all
+    buf = np.frombuffer("\x00".join(strs).encode("utf-32-le"), dtype=np.uint32)
+    buf = buf.astype(np.int64)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
     maxlen = int(lens.max(initial=0))
     if maxlen == 0:
         return h
-    mat = np.zeros((n, maxlen), dtype=np.int64)
-    for i, c in enumerate(cps):
-        mat[i, : len(c)] = c
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    idx = starts[:, None] + np.arange(maxlen, dtype=np.int64)[None, :]
+    valid = np.arange(maxlen, dtype=np.int64)[None, :] < lens[:, None]
+    mat = buf[np.minimum(idx, len(buf) - 1)] * valid
     for j in range(maxlen):
-        active = lens > j
-        h[active] = (h[active] * mult + mat[active, j]) % mod
+        h = np.where(lens > j, (h * mult + mat[:, j]) % mod, h)
     return h
 
 
@@ -101,6 +103,93 @@ def poly_hashes_arrow(arrs: pd.Series) -> pd.Series:
 # Deterministic, odd multipliers, engine-portable.
 def _perm_consts(n: int) -> list[tuple[int, int]]:
     return [((2 * i + 1) * 1_146_7 + 1, (i * i + 7) * 9_973 + 3) for i in range(n)]
+
+
+def _flatten_batch(arrs) -> tuple[list[str], list[int]]:
+    """pd.Series of (nullable) string arrays -> (flat list, offsets)."""
+    flat: list[str] = []
+    offsets = [0]
+    for a in arrs:
+        if a is not None:
+            flat.extend(a)
+        offsets.append(len(flat))
+    return flat, offsets
+
+
+def _segment_reduce(ufunc, values, offsets, empty_fill, axis=0):
+    """Per-row reduction of a flat (row-concatenated) array: rows are
+    ``values[offsets[i]:offsets[i+1]]``. Empty rows get ``empty_fill``.
+
+    ``np.ufunc.reduceat`` is fed only the nonempty segment starts —
+    zero-length rows contribute nothing to the flat array, so
+    consecutive nonempty starts delimit exactly the right segments
+    (reduceat's repeated-index quirk never fires)."""
+    import numpy as np
+
+    starts = np.asarray(offsets[:-1], dtype=np.int64)
+    ends = np.asarray(offsets[1:], dtype=np.int64)
+    nonempty = ends > starts
+    shape = (len(starts),) if values.ndim == 1 else (len(starts), values.shape[1])
+    out = np.full(shape, empty_fill, dtype=values.dtype)
+    if values.shape[0]:
+        out[nonempty] = ufunc.reduceat(values, starts[nonempty], axis=axis)
+    return out
+
+
+_FUSED_UDF_CACHE: dict = {}
+
+
+def _simhash_udf(n_bits: int):
+    """token array -> SimHash long in ONE Arrow pass: vectorized poly
+    fold + per-bit majority votes via segment sums — replaces n_bits
+    interpreted ``F.filter`` passes over the staged hash array (and the
+    Arrow round-trip of that array). Values identical to
+    ``_simhash_from_hashes(poly_hash(...))``."""
+    key = ("simhash", n_bits)
+    if key not in _FUSED_UDF_CACHE:
+
+        @pandas_udf(LongType())
+        def f(toks: pd.Series) -> pd.Series:
+            import numpy as np
+
+            flat, offsets = _flatten_batch(toks)
+            h = _poly_hash_np(flat, 0, POLY_MULT, POLY_MOD)
+            bits = (h[:, None] >> np.arange(n_bits)) & 1
+            ones = _segment_reduce(np.add, bits, offsets, 0)
+            total = np.diff(np.asarray(offsets, dtype=np.int64))
+            maj = (ones * 2) > total[:, None]
+            out = (maj << np.arange(n_bits)).sum(axis=1, dtype=np.int64)
+            return pd.Series(out)
+
+        _FUSED_UDF_CACHE[key] = f
+    return _FUSED_UDF_CACHE[key]
+
+
+def _minhash_sig_udf(n_hashes: int):
+    """gram array -> MinHash signature array<long> in ONE Arrow pass:
+    vectorized poly fold + per-permutation segment mins — replaces
+    n_hashes interpreted ``transform``+``array_min`` passes. Values
+    identical to ``_sig_from_base(poly_hash(...))`` (empty docs get the
+    POLY_MOD sentinel)."""
+    key = ("minhash", n_hashes)
+    if key not in _FUSED_UDF_CACHE:
+        consts = _perm_consts(n_hashes)
+
+        @pandas_udf(ArrayType(LongType()))
+        def f(grams: pd.Series) -> pd.Series:
+            import numpy as np
+
+            flat, offsets = _flatten_batch(grams)
+            h = _poly_hash_np(flat, 0, POLY_MULT, POLY_MOD)
+            a = np.array([c[0] for c in consts], dtype=np.int64)
+            b = np.array([c[1] for c in consts], dtype=np.int64)
+            # (a*h+b) stays far inside int64: h < 1e9+7, a,b < 2^20
+            perms = (h[:, None] * a + b) % POLY_MOD
+            sig = _segment_reduce(np.minimum, perms, offsets, POLY_MOD)
+            return pd.Series(list(sig))
+
+        _FUSED_UDF_CACHE[key] = f
+    return _FUSED_UDF_CACHE[key]
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -223,10 +312,18 @@ def minhash_bands_df(
     (n_bands rows/doc); no shuffle besides the initial repartition.
     """
     rows = n_hashes // n_bands
+    grams = staged_grams(df, id_col, text_col, ngram)
+    if hash_fn is None:
+        # fused Arrow kernel: one batch pass does hash + permutation mins
+        sig = grams.select(
+            "id", _minhash_sig_udf(n_hashes)(F.col("grams")).alias("sig")
+        )
+    else:
+        sig = grams.select(
+            "id", _base_hashes(F.col("grams"), hash_fn).alias("__base")
+        ).select("id", _sig_from_base(F.col("__base"), n_hashes).alias("sig"))
     sigs = (
-        staged_grams(df, id_col, text_col, ngram)
-        .select("id", _base_hashes(F.col("grams"), hash_fn).alias("__base"))
-        .select("id", _sig_from_base(F.col("__base"), n_hashes).alias("sig"))
+        sig
         # plan-truncating barrier: Generate re-evaluates its input
         # expression per emitted row, so explode over the live signature
         # pipeline would redo the hash work n_bands times; checkpointing
@@ -315,13 +412,19 @@ def simhash_df(
     """(id, simhash): staged bulk SimHash — token hashes computed once
     (vectorized Arrow fold on the default path), then the n_bits
     bit-votes read the staged array."""
-    return (
+    staged = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition(F.col("id"))
         .select("id", tokens(F.col("__text")).alias("__toks"))
-        .select("id", _base_hashes(F.col("__toks"), hash_fn).alias("__hs"))
-        .select("id", _simhash_from_hashes(F.col("__hs"), n_bits).alias("simhash"))
     )
+    if hash_fn is None:
+        # fused Arrow kernel: one batch pass does hash + bit votes
+        return staged.select(
+            "id", _simhash_udf(n_bits)(F.col("__toks")).alias("simhash")
+        )
+    return staged.select(
+        "id", _base_hashes(F.col("__toks"), hash_fn).alias("__hs")
+    ).select("id", _simhash_from_hashes(F.col("__hs"), n_bits).alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -63,8 +63,11 @@ _PRIORITY = [
     "embedding_ivf_ann",
     "lang_id_confusion",
     "doc_fingerprints",
-    "embedding_knn",
-    "embedding_lsh_ann",
+    # round-3 additions (new operators — need their first driver row);
+    # embedding_knn / embedding_lsh_ann rotate into the round-4 window
+    # (their family is represented by ivf + neardup here)
+    "cidr_membership_rollup",
+    "embedding_neardup_exact",
     "embedding_neardup",
     "multimodal_features",
     # corpus curation family (never checked in round 1)
