@@ -100,3 +100,31 @@ def bpe_like_tokens(s: Column | str) -> Column:
 
 def bpe_token_count(s: Column | str) -> Column:
     return F.size(bpe_like_tokens(s))
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+# Patterns restricted to the syntax subset shared by Java regex (Spark)
+# and RE2 (DuckDB/Go) so the oracle can replay them verbatim: character
+# classes, bounded quantifiers — no lookaround, no backrefs.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}[- ]\d{3,4}[- ]\d{4}"
+
+
+def redact_pii(s: Column | str) -> Column:
+    """Replace email addresses and phone-shaped digit groups with typed
+    placeholder tags. Map-only codegen expressions — at 100 TB this is a
+    pure scan stage, no shuffle. Emails first: a phone-shaped substring
+    inside an email is impossible after the email is collapsed."""
+    c = _col(s)
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(s: Column | str) -> Column:
+    """struct(n_emails, n_phones) matched in the raw text."""
+    c = _col(s)
+    return F.struct(
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    )

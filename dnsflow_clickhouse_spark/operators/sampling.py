@@ -90,3 +90,35 @@ def per_key_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: every row of a group
+    (user, session, document cluster) lands in the SAME split, because
+    the assignment is a pure function of the group key's hash — the
+    standard guard against train/test contamination when correlated
+    rows (a user's events, a document's chunks) would otherwise straddle
+    splits. Pure map-side expression: no shuffle, no state, replayable
+    on any engine via the portable hash.
+
+    ``weights`` must sum to 1 (ppm rounding absorbed by the last split).
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    bucket = sample_key(group_col, seed)
+    names = list(weights)
+    expr = None
+    cum = 0
+    for name in names[:-1]:
+        cum += int(round(weights[name] * PPM))
+        expr = (F.when if expr is None else expr.when)(bucket < cum, name)
+    return df.withColumn(split_col, expr.otherwise(names[-1]))

@@ -17,6 +17,9 @@ from dnsflow_clickhouse_spark.queries.catalog_dns3 import DNS3_REGISTRY as _DNS3
 from dnsflow_clickhouse_spark.queries.catalog_dns4 import DNS4_REGISTRY as _DNS4
 from dnsflow_clickhouse_spark.queries.catalog_dns5 import DNS5_REGISTRY as _DNS5
 from dnsflow_clickhouse_spark.queries.catalog_corpus import CORPUS_REGISTRY as _CORPUS
+from dnsflow_clickhouse_spark.queries.catalog_curation import (
+    CURATION_REGISTRY as _CURATION,
+)
 from dnsflow_clickhouse_spark.queries.catalog_profiling import (
     PROFILING_REGISTRY as _PROFILING,
 )
@@ -27,7 +30,7 @@ from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TP
 
 _MERGED = {
     **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_TPCH3, **_TPCH4,
-    **_MLOPS, **_CORPUS, **_PROFILING,
+    **_MLOPS, **_CORPUS, **_CURATION, **_PROFILING,
 }
 
 # First 50 = driver correctness window for this round.
@@ -76,7 +79,11 @@ _PRIORITY = [
     "chunk_documents",
     "repetition_report",
     "stratified_doc_sample",
-    "per_user_event_sample",
+    # round-3 additions (leak-free splits + PII scrub — first driver row);
+    # per_user_event_sample rotates to round 4 (sampling family is
+    # represented by stratified + weighted here)
+    "group_split_leakproof",
+    "pii_redaction_report",
     "tfidf_top_terms",
     "quality_quantile_gate",
     "decontamination_report",
@@ -86,7 +93,6 @@ _PRIORITY = [
     # profiling family (never checked in round 1)
     "column_profile_events",
     "event_gini_concentration",
-    "event_cooccurrence",
     "inverted_index_terms",
     "weighted_doc_sample",
     "fuzzy_near_titles",

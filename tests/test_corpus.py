@@ -181,3 +181,46 @@ def test_pagerank_exact_known_graph(spark):
     got = {r.id: r.rank for r in pagerank_exact(edges, iterations=3).collect()}
     # hand-computed: deg(1)=2, deg(2)=1; node 3 is dangling (mass drops)
     assert got == {1: 638750, 2: 421468, 3: 421468}
+
+
+def test_group_split_leakproof_and_deterministic(spark):
+    import pytest as _pytest
+
+    from dnsflow_clickhouse_spark.operators.sampling import group_split
+
+    rows = [(u, e) for u in range(40) for e in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long")
+    out = group_split(df, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # every user maps to exactly one split (no leakage)
+    per_user = out.groupBy("user_id").agg(F.countDistinct("split").alias("n"))
+    assert per_user.filter(F.col("n") > 1).count() == 0
+    # pure function of the data: rerun is identical
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, group_split(df, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()))
+    assert a == b
+    # all three splits nonempty at this size, and weights validated
+    assert out.select("split").distinct().count() == 3
+    with _pytest.raises(ValueError):
+        group_split(df, "user_id", {"train": 0.5, "val": 0.1})
+
+
+def test_redact_pii_and_counts(spark):
+    from dnsflow_clickhouse_spark.functions.textfn import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at a.b+c@example.org or x@y.io",),
+            ("call 139-1234-5678 or 555 123 4567",),
+            ("clean text with no pii at all",),
+        ],
+        "t string",
+    )
+    out = df.select(
+        redact_pii("t").alias("r"), pii_counts("t").alias("c")
+    ).collect()
+    assert out[0]["r"] == "mail me at <EMAIL> or <EMAIL>"
+    assert out[0]["c"]["n_emails"] == 2 and out[0]["c"]["n_phones"] == 0
+    assert out[1]["r"] == "call <PHONE> or <PHONE>"
+    assert out[1]["c"]["n_phones"] == 2
+    assert out[2]["r"] == "clean text with no pii at all"
+    assert out[2]["c"]["n_emails"] == 0 and out[2]["c"]["n_phones"] == 0
