@@ -88,3 +88,121 @@ def first_seen(
     return keyed.groupBy("dup_key").applyInPandasWithState(
         fn, FIRST_SEEN_OUTPUT, _STATE, "append", timeout
     )
+
+
+# --- per-key streaming admission quota (transformWithState) ----------------
+
+QUOTA_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("admit_rank", T.LongType()),
+    ]
+)
+
+try:  # Spark >= 4.0 only; import-gated per repo policy
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - present on every supported Spark
+    HAS_TRANSFORM_WITH_STATE = False
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class _QuotaProcessor(StatefulProcessor):
+    """Per-key admission quota over the lifetime of the stream: admit a
+    key's rows (smallest id first within each batch, deterministic)
+    until ``cap`` have ever been admitted, then drop the rest forever.
+
+    The streaming face of the per-domain crawl quota: state is ONE long
+    per key (the admitted count) in a ``ValueState``, sharded by the
+    group key across executors — RocksDB-backed at real scale like
+    every transformWithState operator. Built on the Spark 4
+    ``transformWithStateInPandas`` API (the successor of
+    ``applyInPandasWithState`` used by :func:`first_seen`) so the engine
+    exercises both custom-state surfaces.
+    """
+
+    def __init__(self, cap: int) -> None:
+        self.cap = cap
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self.admitted = handle.getValueState("admitted", "n BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self.admitted.get()
+        n = int(prev[0]) if prev else 0
+        room = self.cap - n
+        if room <= 0:
+            # quota already exhausted; nothing to emit, state unchanged
+            return
+        batch = pd.concat(list(rows), ignore_index=True)
+        sel = batch.sort_values("id").head(room)
+        if len(sel):
+            self.admitted.update((n + len(sel),))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(sel),
+                    "id": sel["id"].to_list(),
+                    "admit_rank": list(range(n + 1, n + len(sel) + 1)),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+_QUOTA_STATE = T.StructType([T.StructField("n", T.LongType())])
+
+
+def quota_admit(keyed: DataFrame, cap: int, backend: str = "groupstate") -> DataFrame:
+    """Streaming per-key admission quota.
+
+    Input columns: ``key string, id long``. Output: QUOTA_OUTPUT with
+    ``admit_rank`` = 1-based lifetime admission index per key; rows past
+    the key's lifetime ``cap`` are dropped forever.
+
+    ``backend="groupstate"`` (default) uses ``applyInPandasWithState`` —
+    runs everywhere this repo runs. ``backend="tws"`` uses the Spark 4
+    ``transformWithStateInPandas`` processor (:class:`_QuotaProcessor`);
+    its state server speaks protobuf, so it needs a working
+    ``google.protobuf`` on the workers (absent in this sandbox — the
+    class itself is exercised only for its pure-pandas logic in tests).
+    """
+    if backend == "tws":
+        if not HAS_TRANSFORM_WITH_STATE:  # pragma: no cover
+            raise RuntimeError("transformWithStateInPandas requires Spark >= 4.0")
+        return keyed.groupBy("key").transformWithStateInPandas(
+            _QuotaProcessor(cap), QUOTA_OUTPUT, "append", "none"
+        )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        n = state.get[0] if state.exists else 0
+        room = cap - n
+        if room <= 0:
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        sel = batch.sort_values("id").head(room)
+        if len(sel):
+            state.update((n + len(sel),))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(sel),
+                    "id": sel["id"].to_list(),
+                    "admit_rank": list(range(n + 1, n + len(sel) + 1)),
+                }
+            )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn, QUOTA_OUTPUT, _QUOTA_STATE, "append", GroupStateTimeout.NoTimeout
+    )
