@@ -166,3 +166,44 @@ def pagerank_exact(
             .localCheckpoint()
         )
     return ranks
+
+
+def canonical_representatives(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "id",
+    quality_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pick which document survives each near-dup cluster: connected
+    components over the pair list, then the highest-``quality`` member
+    wins (ties -> lowest id). Returns ``(comp, keep_id, n_members,
+    n_dropped)`` — the curation decision record a dedup pipeline feeds
+    to its filter stage. Documents in no pair are implicit singletons
+    (kept; not emitted here).
+
+    Scale shape: the component set is bounded by the clustered docs
+    (≪ corpus); the quality join is an equi-join on the id, and the
+    representative choice + size rollup share ONE shuffle on ``comp``
+    (the window and the groupBy use the same key, so Catalyst reuses
+    the partitioning).
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, id_a, id_b, num_partitions=num_partitions)
+    q = quality.select(
+        F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+    )
+    j = cc.join(q, "id", "left")
+    w = Window.partitionBy("comp").orderBy(F.desc("__q"), F.asc("id"))
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .groupBy("comp")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("id"))).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .withColumn("n_dropped", F.col("n_members") - F.lit(1))
+    )

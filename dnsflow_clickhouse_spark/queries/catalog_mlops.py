@@ -187,6 +187,53 @@ SELECT comp, count(*) AS n_members FROM cc GROUP BY comp ORDER BY comp
 """
 
 
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision record: trigram-Jaccard pairs at 0.5 ->
+    connected components -> per-cluster representative by quality
+    (n_chars as the proxy score, ties -> lowest id). The full pipeline a
+    curation run executes before dropping near-dups; every stage is
+    hash-verified through the recursive-CTE oracle."""
+    from dnsflow_clickhouse_spark.operators.graph import canonical_representatives
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    reps = canonical_representatives(
+        pairs,
+        d,
+        id_col="doc_id",
+        quality_col="n_chars",
+        num_partitions=8,
+    )
+    return reps.orderBy("comp")
+
+
+_CANONICAL_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a, id_b FROM p
+  WHERE round(inter / (na + nb - inter), 6) >= 0.5
+),
+nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+qq AS (SELECT cc.id, cc.comp, d.n_chars AS q
+       FROM cc JOIN documents d ON d.doc_id = cc.id),
+r AS (SELECT comp, id,
+             row_number() OVER (PARTITION BY comp ORDER BY q DESC, id) AS rn,
+             count(*) OVER (PARTITION BY comp) AS nm
+      FROM qq)
+SELECT comp, id AS keep_id, CAST(nm AS BIGINT) AS n_members,
+       CAST(nm - 1 AS BIGINT) AS n_dropped
+FROM r WHERE rn = 1 ORDER BY comp
+"""
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit portable SimHash per document (64-bit xxhash64 variant is
     the production default in operators.dedup.simhash)."""
@@ -601,6 +648,7 @@ MLOPS_REGISTRY = {
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
     "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
     "neardup_components": (neardup_components, _COMPONENTS_SQL),
+    "dedup_canonical_keep": (dedup_canonical_keep, _CANONICAL_SQL),
     "simhash_docs": (simhash_docs, _sql_simhash16()),
     "simhash_near_docs": (simhash_near_docs, _sql_simhash_pairs()),
     "embedding_ivf_ann": (embedding_ivf_ann, _IVF_ANN_SQL),

@@ -83,3 +83,26 @@ def test_connected_components_chain(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
     sizes = {r.comp: r.n_members for r in dedup_clusters(edges, "src", "dst").collect()}
     assert sizes == {1: 5, 10: 2}
+
+
+def test_canonical_representatives(spark):
+    """Highest quality wins each cluster; quality ties break to the
+    lowest id; a member missing from the quality table (null score)
+    sorts last but still counts toward the cluster size."""
+    from dnsflow_clickhouse_spark.operators.graph import (
+        canonical_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (11, 1.0)], "id long, quality double"
+    )
+    got = {
+        r.comp: (r.keep_id, r.n_members, r.n_dropped)
+        for r in canonical_representatives(pairs, quality).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 9.0 -> lowest id 2 wins
+    # cluster {10,11}: 10 has no quality row (null) -> 11 wins
+    assert got == {1: (2, 3, 2), 10: (11, 2, 1)}
