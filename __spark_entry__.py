@@ -24,9 +24,19 @@ from dnsflow_clickhouse_spark.queries import QUERY_REGISTRY
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable confs the catalog depends on, applied to whatever
+    session the driver hands us: nanos testdata readability, naive
+    parquet timestamps as LTZ (not NTZ — epoch math needs it), and a UTC
+    session timezone so the LTZ wall clock equals DuckDB's naive reading."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _tune(spark)
     fn, _ = QUERY_REGISTRY["q1_pricing_summary"]
     return fn(spark, SMOKE_SF_DIR)
 
@@ -36,8 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # testdata events.ts is TIMESTAMP(NANOS); required for reads
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            _tune(spark)
             return fn(spark, sf_dir)
 
         return run

@@ -408,23 +408,31 @@ def simhash_df(
     text_col: str,
     n_bits: int = 16,
     hash_fn: Callable[[Column], Column] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, simhash): staged bulk SimHash — token hashes computed once
-    (vectorized Arrow fold on the default path), then the n_bits
-    bit-votes read the staged array."""
+    """(id, simhash, *keep_cols): staged bulk SimHash — token hashes
+    computed once (vectorized Arrow fold on the default path), then the
+    n_bits bit-votes read the staged array.  ``keep_cols`` are carried
+    through unchanged so callers can pair the signature with other
+    per-row derivations (e.g. a content hash) without a self-join."""
+    keep = list(keep_cols or [])
     staged = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__text"), *keep
+        )
         .repartition(F.col("id"))
-        .select("id", tokens(F.col("__text")).alias("__toks"))
+        .select("id", tokens(F.col("__text")).alias("__toks"), *keep)
     )
     if hash_fn is None:
         # fused Arrow kernel: one batch pass does hash + bit votes
         return staged.select(
-            "id", _simhash_udf(n_bits)(F.col("__toks")).alias("simhash")
+            "id", _simhash_udf(n_bits)(F.col("__toks")).alias("simhash"), *keep
         )
     return staged.select(
-        "id", _base_hashes(F.col("__toks"), hash_fn).alias("__hs")
-    ).select("id", _simhash_from_hashes(F.col("__hs"), n_bits).alias("simhash"))
+        "id", _base_hashes(F.col("__toks"), hash_fn).alias("__hs"), *keep
+    ).select(
+        "id", _simhash_from_hashes(F.col("__hs"), n_bits).alias("simhash"), *keep
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata stores naive (no-timezone) parquet timestamps;
+        # read them as TIMESTAMP_LTZ (UTC session tz => identical wall
+        # clock) instead of TIMESTAMP_NTZ so epoch math (unix_micros,
+        # unix_timestamp) and window range frames type-check everywhere.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))

@@ -20,7 +20,17 @@ from dnsflow_clickhouse_spark.schemas import TESTDATA_TABLES
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # TIMESTAMP(NANOS) testdata read via nanosAsLong
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    # Naive parquet timestamps inferred as NTZ (a session built without
+    # our inferTimestampNTZ=false conf — e.g. the correctness driver's):
+    # cast to LTZ, an identity on wall clock under a UTC session
+    # timezone, so epoch math (unix_micros/unix_timestamp) type-checks.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
