@@ -459,6 +459,8 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     final counting aggregate — quality scoring and the resample gate are
     map-side. The per-language rates derive from the *quality survivors*
     (not the raw corpus), which is the order a real pipeline wants."""
+    from pyspark import StorageLevel
+
     from dnsflow_clickhouse_spark.operators.sampling import sample_key
     from dnsflow_clickhouse_spark.operators.text_analysis import score_documents
 
@@ -474,6 +476,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bucket", sample_key("doc_id"))
         .select("doc_id", "lang", "uniq", "q", "bucket")
+        # the flags subtree (tokenize + quality-score + md5 dedup window)
+        # feeds BOTH the per-language rate aggregate and the final count;
+        # persisting the slim 5-column projection makes the expensive
+        # scoring run once instead of twice.  Spill-safe (MEMORY_AND_DISK)
+        # and ~50 B/row, so it holds at corpus scale; a long-lived
+        # session would unpersist after the sink action.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = flags.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_raw"),

@@ -592,20 +592,23 @@ def incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus runs on every ingest batch (fingerprints persist; full texts
     of the existing corpus are never reread)."""
     d = load_table(spark, sf_dir, "documents")
-    sims = simhash_df(d, "doc_id", "text", 16).select(
-        "id", F.col("simhash").alias("__sim")
-    )
-    base = d.select("doc_id", F.md5("text").alias("__h")).join(
-        sims, F.col("doc_id") == F.col("id")
-    )
-    new_b = base.filter(F.col("doc_id") % 2 == 1)
+    # one signature pass carries the content hash alongside the simhash
+    # (keep_cols), so there is no self-join and Catalyst prunes each
+    # branch down to just the derivation it needs: the existing-corpus
+    # hash set never tokenizes, the existing-corpus simhash set never
+    # computes md5.
+    base = simhash_df(
+        d.withColumn("__h", F.md5("text")), "doc_id", "text", 16,
+        keep_cols=["__h"],
+    ).withColumnRenamed("simhash", "__sim")
+    new_b = base.filter(F.col("id") % 2 == 1)
     old_h = (
-        base.filter(F.col("doc_id") % 2 == 0)
+        base.filter(F.col("id") % 2 == 0)
         .select(F.col("__h").alias("__oh"))
         .distinct()
     )
     old_sim = (
-        base.filter(F.col("doc_id") % 2 == 0)
+        base.filter(F.col("id") % 2 == 0)
         .select(F.col("__sim").alias("__osim"))
         .distinct()
     )
@@ -613,7 +616,7 @@ def incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_b.join(old_h, new_b.__h == F.col("__oh"), "left")
         .join(old_sim, new_b.__sim == F.col("__osim"), "left")
         .select(
-            "doc_id",
+            F.col("id").alias("doc_id"),
             F.col("__oh").isNotNull().cast("int").alias("exact_dup"),
             F.col("__osim").isNotNull().cast("int").alias("near_dup"),
         )
