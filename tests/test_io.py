@@ -266,3 +266,46 @@ def test_observed_write_measures_written_rows(spark, tmp_path):
     # metrics reflect the post-filter rows the sink actually received
     assert got == {"rows": 2, "null_v": 1}
     assert spark.read.parquet(path).count() == 2
+
+
+def test_load_table_naive_timestamps_read_as_ltz(spark, tmp_path):
+    """The driver testdata stores naive (no-timezone) parquet timestamps;
+    a vanilla session infers TIMESTAMP_NTZ, which breaks epoch math
+    (unix_micros) and range frames. load_table must hand back LTZ under
+    either session configuration."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dnsflow_clickhouse_spark.sources.tables import load_table
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                # naive microsecond timestamp — the regenerated-testdata shape
+                "ts": pa.array(
+                    [datetime.datetime(2024, 1, 1, 0, 0, i) for i in (1, 2)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(d / "part-0.parquet"),
+    )
+    conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    old = spark.conf.get(conf)
+    try:
+        for infer_ntz in ("true", "false"):
+            spark.conf.set(conf, infer_ntz)
+            df = load_table(spark, str(tmp_path), "events")
+            assert dict(df.dtypes)["ts"] == "timestamp", infer_ntz
+            got = df.select(
+                F.unix_micros("ts").alias("us")
+            ).orderBy("us").collect()
+            # UTC session tz: naive wall clock == epoch wall clock
+            assert [r.us for r in got] == [1704067201000000, 1704067202000000]
+    finally:
+        spark.conf.set(conf, old)
