@@ -1,0 +1,213 @@
+"""Deterministic mergeable sketches (engine extension): HyperLogLog
+distinct-count registers and a Count-Min frequency sketch.
+
+Why deterministic: the standard implementations (Spark's
+``approx_count_distinct``, DataSketches) are engine-specific — no
+external oracle can replay them. Both sketches here are pure functions
+of the data through the portable polynomial hash
+(functions.textfn.poly_hash, replayed by the DuckDB oracles), so a
+sketch built by any engine — or merged across any partitioning of the
+data — is bit-identical.
+
+Why sketches at 100 TB: both are *algebraic* aggregates with tiny fixed
+state, so Spark runs them as map-side partial aggregates — the shuffle
+carries at most (keys x m) register rows / (depth x width) counters, not
+the data. Registers merge by ``max`` and counters by ``sum``, which is
+what incremental/streaming rollups need: yesterday's sketch plus today's
+sketch is one cheap union+re-aggregate, with no re-scan of history
+(ClickHouse ships the same idea as the AggregateFunction(uniq, ...)
+state columns the reference's tables could use; SURVEY §2.5).
+
+HLL shape (m = 64 registers, 6-bit bucket / 24-bit rank field carved
+from the ~30-bit polynomial hash):
+
+    register = hash % 64
+    rank     = leading-zero count of (hash // 64) in a 24-bit field + 1
+             = 25 - bitlength(hash // 64)        (25 for the zero word)
+
+The estimate is the raw harmonic-mean HLL formula (alpha_64 = 0.709).
+The small-cardinality linear-counting correction is deliberately
+omitted: it needs ln(), which is not guaranteed correctly rounded across
+engines; the raw formula is all exact-dyadic sums plus one IEEE divide,
+so every engine computes the identical double. Expect the documented
+HLL overestimation bias below ~2.5*m distincts.
+
+Count-Min shape: ``depth`` independent rows of ``width`` counters; the
+estimate for an item is the min of its counters, an upper bound on the
+true count (collisions only ever inflate). Integer-only — exact
+cross-engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD, poly_hash
+from dnsflow_clickhouse_spark.operators.sampling import MIX_MULT
+
+HLL_M = 64  # registers; bucket takes 6 bits, rank field the next 24
+_HLL_MAX_RANK = 25  # (POLY_MOD // HLL_M) < 2^24, so ranks are 1..25
+HLL_ALPHA = 0.709  # standard alpha_64 constant
+
+
+def _mixed_hash(item: Column, seed: int = 0) -> Column:
+    """Portable uniform hash in [0, POLY_MOD): polynomial fold of the
+    item's string form, multiplicatively mixed (short strings otherwise
+    land in the low registers only)."""
+    h = poly_hash(item.cast("string"), seed=seed)
+    return (h * F.lit(MIX_MULT)) % F.lit(POLY_MOD)
+
+
+def hll_rank(hash_col: Column, m: int = HLL_M) -> Column:
+    """Position of the highest set bit in the rank field, counted from
+    the top (+1), via decimal->binary string length — exact integer
+    bit math in any engine (no log2 float edge cases)."""
+    w = hash_col - (hash_col % F.lit(m))  # == (h // m) * m, avoids div
+    w = (w / F.lit(m)).cast("long")
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    return F.when(w == 0, F.lit(_HLL_MAX_RANK)).otherwise(
+        F.lit(_HLL_MAX_RANK) - bitlen
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    m: int = HLL_M,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-key HLL register table: (*key_cols, reg, reg_rank).
+
+    This IS the sketch state: at most ``m`` rows per key regardless of
+    data volume, built by one hash aggregate (map-side combinable).
+    Sketches over different slices of the data merge losslessly with
+    :func:`hll_merge` — max is associative/commutative/idempotent.
+    """
+    h = _mixed_hash(F.col(item_col), seed)
+    return (
+        df.select(*key_cols, h.alias("__h"))
+        .withColumn("reg", F.col("__h") % F.lit(m))
+        .withColumn("__rank", hll_rank(F.col("__h"), m))
+        .groupBy(*key_cols, "reg")
+        .agg(F.max("__rank").alias("reg_rank"))
+    )
+
+
+def hll_merge(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge register tables (built over any partitioning of the data,
+    e.g. one per day) down to ``key_cols``: union the inputs first, then
+    one max per (key, reg)."""
+    return regs.groupBy(*key_cols, "reg").agg(
+        F.max("reg_rank").alias("reg_rank")
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, key_cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """Harmonic-mean estimate per key from a register table:
+    alpha * m^2 / (absent_registers + sum(2^-rank)).
+
+    Every 2^-rank term is an exact dyadic double and the per-key sum
+    stays under 53 significand bits, so the sum — and therefore the
+    rounded estimate — is bit-identical in any IEEE engine regardless
+    of aggregation order."""
+    # 2^-rank as an exact integer shift (the python shiftleft() wrapper
+    # only takes a literal bit count; the SQL form takes expressions)
+    inv = F.lit(1.0) / F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(reg_rank AS INT))"
+    )
+    return (
+        regs.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__present"),
+            F.sum(inv).alias("__sum_pow"),
+        )
+        .select(
+            *key_cols,
+            F.col("__present").alias("regs_hit"),
+            F.round(
+                F.lit(HLL_ALPHA * m * m)
+                / (F.lit(m) - F.col("__present") + F.col("__sum_pow"))
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def cms_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch table (row, bucket, cnt): ``depth`` independent
+    hash rows (seeded polynomial hashes) over ``width`` counters.
+
+    depth*width rows total — one explode (x depth, constant fan-out)
+    into one hash aggregate. Sketches over data slices merge by summing
+    counters; counts may be weighted (weight_col) for byte/token
+    accounting."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (_mixed_hash(F.col(item_col), seed=r + 1) % F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"), w.alias("__w"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: the min over
+    the item's ``depth`` counters, an upper bound on its true count.
+    The sketch is depth*width rows — always broadcast."""
+    probes = items.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            _mixed_hash(F.col(item_col), seed=r + 1)
+                            % F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(item_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )

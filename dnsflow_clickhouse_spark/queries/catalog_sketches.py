@@ -1,0 +1,167 @@
+"""Sketch query batch: deterministic HyperLogLog distinct estimation
+(with a merge-losslessness demonstration) and Count-Min heavy-hitter
+estimation, over the events table.
+
+Both oracles replay the engine's portable polynomial hash and exact
+dyadic float algebra (operators/sketches.py documents why every
+intermediate is bit-identical across IEEE engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from dnsflow_clickhouse_spark.queries.catalog_mlops import _sql_poly
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+
+def _sql_mixed(expr: str, seed: int = 0) -> str:
+    """Mixed polynomial hash in [0, POLY_MOD) — operators.sketches
+    ``_mixed_hash`` replay."""
+    return f"(({_sql_poly(expr, seed)}) * 2654435761) % 1000000007"
+
+
+def _sql_hll_rank(word: str) -> str:
+    """25 - bitlength(word), 25 for the zero word (sketches.hll_rank)."""
+    return f"CASE WHEN {word} = 0 THEN 25 ELSE 25 - length(bin({word})) END"
+
+
+# alpha_64 * m^2 / (absent + sum 2^-rank); exact-dyadic — see sketches.py
+_SQL_HLL_EST = (
+    f"CAST(round(CAST(0.709 AS DOUBLE) * {HLL_M * HLL_M} / "
+    f"(({HLL_M} - count(*)) + sum(CAST(1.0 AS DOUBLE) / (1 << mr)))) AS BIGINT)"
+)
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exact distinct users vs the HLL-sketch estimate,
+    computed twice — one pass over the whole table, and per-day register
+    tables merged afterwards. ``est_hll == est_merged`` on every row is
+    the algebraic-mergeability property made visible in the output: the
+    incremental rollup (union of daily sketch states, no history rescan)
+    loses nothing vs the full scan. regs_hit is the occupied-register
+    count (the sketch's whole state is <= 64 rows per key)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    single = hll_estimate(regs, ["event_type"]).select(
+        "event_type", "regs_hit", F.col("est_distinct").alias("est_hll")
+    )
+    daily = hll_registers(ev, ["event_type", "day"], "user_id")
+    merged = hll_estimate(hll_merge(daily, ["event_type"]), ["event_type"]).select(
+        "event_type", F.col("est_distinct").alias("est_merged")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(single, "event_type")
+        .join(merged, "event_type")
+        .select("event_type", "n_exact", "regs_hit", "est_hll", "est_merged")
+        .orderBy("event_type")
+    )
+
+
+_HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         {_sql_mixed('CAST(user_id AS VARCHAR)')} AS hv
+  FROM events
+),
+hw AS (SELECT event_type, day, hv % {HLL_M} AS reg, hv // {HLL_M} AS w FROM h),
+r1 AS (SELECT event_type, reg, max({_sql_hll_rank('w')}) AS mr
+       FROM hw GROUP BY 1, 2),
+e1 AS (SELECT event_type, count(*) AS regs_hit, {_SQL_HLL_EST} AS est_hll
+       FROM r1 GROUP BY 1),
+rd AS (SELECT event_type, day, reg, max({_sql_hll_rank('w')}) AS mr
+       FROM hw GROUP BY 1, 2, 3),
+rm AS (SELECT event_type, reg, max(mr) AS mr FROM rd GROUP BY 1, 2),
+e2 AS (SELECT event_type, {_SQL_HLL_EST} AS est_merged FROM rm GROUP BY 1),
+x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1)
+SELECT x.event_type, x.n_exact, e1.regs_hit, e1.est_hll, e2.est_merged
+FROM x JOIN e1 USING (event_type) JOIN e2 USING (event_type)
+ORDER BY event_type
+"""
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: the 10 most frequent users with their
+    exact counts and the sketch's point estimate. ``est_count >=
+    n_exact`` always (collisions only inflate); ``overcount`` makes the
+    sketch error visible. The sketch is depth x width = 3x1024 counters
+    built in one pass — at 100 TB the sketch, not the data, is what a
+    monitoring rollup stores and merges. The near-uniform synthetic
+    events are CMS's worst case (error is ~total_count/width, which
+    dwarfs uniform per-item counts); on the skewed streams the sketch is
+    built for, the same counters pin heavy hitters tightly."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_sketch(ev, "user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(10)
+    )
+    return (
+        cms_estimate(sketch, top.select("user_id"), "user_id")
+        .join(top, "user_id")
+        .select(
+            "user_id",
+            "n_exact",
+            "est_count",
+            (F.col("est_count") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_exact"), "user_id")
+    )
+
+
+def _sql_cms() -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT {r} AS row, ({_sql_mixed('CAST(user_id AS VARCHAR)', r + 1)})"
+        f" % {CMS_WIDTH} AS bucket, user_id FROM top"
+        for r in range(CMS_DEPTH)
+    )
+    counters = " UNION ALL ".join(
+        f"SELECT {r} AS row, ({_sql_mixed('CAST(user_id AS VARCHAR)', r + 1)})"
+        f" % {CMS_WIDTH} AS bucket, count(*) AS cnt FROM events GROUP BY 2"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH top AS (
+  SELECT user_id, count(*) AS n_exact FROM events
+  GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 10
+),
+sketch AS ({counters}),
+probes AS ({probes}),
+est AS (
+  SELECT p.user_id, min(s.cnt) AS est_count
+  FROM probes p JOIN sketch s USING (row, bucket) GROUP BY 1
+)
+SELECT t.user_id, t.n_exact, e.est_count,
+       e.est_count - t.n_exact AS overcount
+FROM top t JOIN est e USING (user_id)
+ORDER BY t.n_exact DESC, t.user_id
+"""
+
+
+SKETCH_REGISTRY = {
+    "hll_distinct_users": (hll_distinct_users, _HLL_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters, _sql_cms()),
+}

@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.operators.sketches import (
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _items(spark, n=400, dups=3):
+    # n distinct string-ish ids, each appearing `dups` times, two groups
+    rows = [(i % 2, f"item-{i}") for i in range(n) for _ in range(dups)]
+    return spark.createDataFrame(rows, "grp int, item string")
+
+
+def test_hll_estimate_accuracy_and_exact_dyadic_determinism(spark):
+    # 1000 distinct per group: n/m ~ 16, well past the raw estimator's
+    # small-cardinality bias regime (the documented trade in sketches.py
+    # for skipping the ln()-based LinearCounting correction)
+    df = _items(spark, n=2000, dups=2)
+    regs = hll_registers(df, ["grp"], "item")
+    est = {r.grp: r.est_distinct for r in hll_estimate(regs, ["grp"]).collect()}
+    for g in (0, 1):
+        assert 750 <= est[g] <= 1250, est
+    # determinism: a different physical partitioning must yield the
+    # identical estimate (sum of exact dyadic terms — order-free)
+    est2 = {
+        r.grp: r.est_distinct
+        for r in hll_estimate(
+            hll_registers(df.repartition(7, "item"), ["grp"], "item"), ["grp"]
+        ).collect()
+    }
+    assert est == est2
+
+
+def test_hll_merge_is_lossless(spark):
+    df = _items(spark, n=300).withColumn(
+        "slice", F.abs(F.hash("item")) % 5
+    )
+    whole = hll_estimate(hll_registers(df, ["grp"], "item"), ["grp"])
+    sliced = hll_registers(df, ["grp", "slice"], "item")
+    merged = hll_estimate(hll_merge(sliced, ["grp"]), ["grp"])
+    assert sorted(whole.collect()) == sorted(merged.collect())
+
+
+def test_hll_register_state_is_bounded(spark):
+    df = _items(spark, n=500)
+    regs = hll_registers(df, ["grp"], "item")
+    per_key = regs.groupBy("grp").count().collect()
+    assert all(r["count"] <= 64 for r in per_key)
+    ranks = [r.reg_rank for r in regs.select("reg_rank").collect()]
+    assert all(1 <= r <= 25 for r in ranks)
+
+
+def test_cms_is_an_upper_bound_for_every_item(spark):
+    df = _items(spark, n=100, dups=1).union(
+        _items(spark, n=10, dups=50)  # heavy head
+    )
+    sketch = cms_sketch(df, "item")
+    exact = df.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact.select("item"), "item")
+    rows = exact.join(est, "item").collect()
+    assert len(rows) == 100
+    assert all(r.est_count >= r.n for r in rows)
+    # total sketch mass per hash row equals the stream length
+    per_row = sketch.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
+    assert {r.m for r in per_row} == {df.count()}
+
+
+def test_cms_weighted_counts(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 1)], "item string, w int"
+    )
+    sketch = cms_sketch(df, "item", weight_col="w")
+    est = {
+        r.item: r.est_count
+        for r in cms_estimate(
+            sketch, df.select("item").distinct(), "item"
+        ).collect()
+    }
+    assert est["a"] >= 15 and est["b"] >= 1
