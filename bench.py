@@ -42,6 +42,12 @@ def main() -> None:
     warm.groupBy("l_returnflag").count().write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Arrow/Python-UDF worker pool too, so the first catalog
+    # query with a pandas stage doesn't absorb worker startup
+    warm.limit(32).groupBy("l_returnflag").applyInPandas(
+        lambda pdf: pdf[["l_orderkey"]].head(1),
+        schema="l_orderkey long",
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -122,3 +122,56 @@ def group_split(
         cum += int(round(weights[name] * PPM))
         expr = (F.when if expr is None else expr.when)(bucket < cum, name)
     return df.withColumn(split_col, expr.otherwise(names[-1]))
+
+
+def global_positions(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    pos_col: str = "pos",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Scale-safe global row numbering by ``order_cols`` (a total order —
+    include a unique tiebreaker).
+
+    ``row_number().over(Window.orderBy(...))`` moves the ENTIRE dataset
+    through one partition — the classic global-window scale bug. This is
+    the distributed equivalent: range-repartition by the order key
+    (Spark's sampled range exchange), rank locally inside each range
+    partition, then add per-partition offsets computed from a
+    partition-count aggregate that is only ``n_parts`` rows (its own
+    prefix-sum window is over those few rows, then broadcast back).
+
+    The ranged frame is persisted because the rank and offset branches
+    must see the SAME sampled range boundaries; recomputing the range
+    exchange per branch could legally resample. State held: the order
+    key columns only, spill-safe.
+    """
+    from pyspark import StorageLevel
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = n_parts or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # offsets: n_parts rows — the unpartitioned prefix-sum window here is
+    # over the tiny aggregate, not the data
+    off_w = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(off_w), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.withColumn("__rn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(pos_col, (F.col("__off") + F.col("__rn")).cast("int"))
+        .drop("__pid", "__rn", "__off")
+    )

@@ -59,7 +59,6 @@ _PRIORITY = [
     "grouping_sets_events",
     # LLM-pipeline family (never checked in round 1)
     "incremental_dedup_flags",
-    "multimodal_frame_index",
     "minhash_band_buckets",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
@@ -70,10 +69,13 @@ _PRIORITY = [
     "lang_id_confusion",
     "doc_fingerprints",
     # round-3 additions (new operators — need their first driver row);
-    # embedding_knn / embedding_lsh_ann rotate into the round-4 window
-    # (their family is represented by ivf + neardup here)
+    # embedding_knn / embedding_lsh_ann / embedding_neardup_exact and
+    # multimodal_frame_index rotate into the round-4 window (their
+    # families are represented by ivf+neardup / multimodal_features
+    # here); the two sketch queries take their window slots
     "cidr_membership_rollup",
-    "embedding_neardup_exact",
+    "hll_distinct_users",
+    "cms_heavy_hitters",
     "embedding_neardup",
     "multimodal_features",
     # corpus curation family (never checked in round 1)

@@ -626,16 +626,18 @@ def deterministic_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible pre-training shuffle: global permutation by the
     mixed id hash (a pure function of the data — rerunning on the same
     corpus gives byte-identical shard files), with round-robin shard
-    assignment over the permuted order. The global sort is a range
-    exchange (Spark samples split points); at 100 TB this is exactly the
-    shuffle-before-sharding pass a training pipeline runs once per
-    corpus snapshot."""
-    from dnsflow_clickhouse_spark.operators.sampling import sample_key
+    assignment over the permuted order. Positions come from
+    operators.sampling.global_positions — a range exchange + local rank
+    + tiny offsets join — NOT a global window, which would funnel the
+    whole corpus through one partition at 100 TB."""
+    from dnsflow_clickhouse_spark.operators.sampling import (
+        global_positions,
+        sample_key,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    w = Window.orderBy(sample_key("doc_id"), F.col("doc_id"))
     return (
-        d.withColumn("pos", F.row_number().over(w))
+        global_positions(d, [sample_key("doc_id"), F.col("doc_id")])
         .select(
             "doc_id",
             "pos",

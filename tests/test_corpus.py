@@ -224,3 +224,22 @@ def test_redact_pii_and_counts(spark):
     assert out[1]["c"]["n_phones"] == 2
     assert out[2]["r"] == "clean text with no pii at all"
     assert out[2]["c"]["n_emails"] == 0 and out[2]["c"]["n_phones"] == 0
+
+
+def test_global_positions_matches_single_partition_ranking(spark):
+    from dnsflow_clickhouse_spark.operators.sampling import global_positions
+
+    df = spark.range(0, 997).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 101).alias("sort1")
+    )
+    got = {
+        r.k: r.pos
+        for r in global_positions(df, ["sort1", "k"], n_parts=7).collect()
+    }
+    want = {
+        r.k: i + 1
+        for i, r in enumerate(
+            df.orderBy("sort1", "k").collect()
+        )
+    }
+    assert got == want  # dense 1..n, identical to the global ordering
