@@ -248,28 +248,43 @@ FROM events GROUP BY event_type ORDER BY event_type
 def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete p50/p90/p99 of the event value per event_type, in integer
     micro-units (element at ceil(q*n) of the ordered values — exact
-    arithmetic, no interpolation, engine-replayable). One window shuffle
-    on the type."""
+    arithmetic, no interpolation, engine-replayable).
+
+    Scale shape: event_type has tiny cardinality, so ranking raw rows
+    inside per-type window partitions would funnel the whole table
+    through a handful of partitions. Instead the rows collapse first
+    into a (type, value) histogram — a map-side-combinable aggregate —
+    and the cumulative window walks the histogram (distinct values per
+    type), not the data. The ceil(q*n)-th ordered element is exactly the
+    smallest value whose cumulative count reaches the target, so the
+    result is identical to the direct ranking."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    base = e.select(
-        "event_type",
-        F.round(F.col("value") * 1_000_000).cast("long").alias("vi"),
-        "event_id",
+    hist = (
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("vi"),
+        )
+        .groupBy("event_type", "vi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("event_type")
-    ordered = Window.partitionBy("event_type").orderBy("vi", "event_id")
-    ranked = base.withColumn("rn", F.row_number().over(ordered)).withColumn(
-        "n", F.count(F.lit(1)).over(w)
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("vi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
     )
 
     def pick(q: float):
         target = F.ceil(F.lit(q) * F.col("n")).cast("long")
-        return F.max(F.when(F.col("rn") == target, F.col("vi")))
+        return F.min(F.when(F.col("cum") >= target, F.col("vi")))
 
     return (
-        ranked.groupBy("event_type")
+        cum.groupBy("event_type")
         .agg(
             F.max("n").alias("n"),
             pick(0.5).alias("p50_micro"),
