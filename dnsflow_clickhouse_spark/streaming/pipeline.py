@@ -287,3 +287,21 @@ def start_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def merge_sketch_state(
+    state: DataFrame | None, batch_regs: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Cross-batch distinct-count state as mergeable HLL registers
+    (operators.sketches): fold one micro-batch's register table into the
+    running state with union + max.
+
+    This is the streaming shape the sketch family exists for — the state
+    is <= m rows per key FOREVER (vs an ever-growing exact distinct
+    set), the merge is idempotent (a replayed batch cannot inflate the
+    estimate, so retries are safe), and the same state table is what an
+    incremental daily rollup stores between runs."""
+    from dnsflow_clickhouse_spark.operators.sketches import hll_merge
+
+    both = batch_regs if state is None else state.unionByName(batch_regs)
+    return hll_merge(both, key_cols)

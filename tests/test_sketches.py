@@ -83,3 +83,26 @@ def test_cms_weighted_counts(spark):
         ).collect()
     }
     assert est["a"] >= 15 and est["b"] >= 1
+
+
+def test_streaming_sketch_state_matches_one_shot_and_is_replay_safe(spark):
+    from dnsflow_clickhouse_spark.streaming.pipeline import merge_sketch_state
+
+    df = _items(spark, n=900, dups=2).withColumn(
+        "batch", F.abs(F.hash("item")) % 4
+    )
+    # fold the 4 micro-batches into the running register state
+    state = None
+    batches = [df.filter(F.col("batch") == b) for b in range(4)]
+    for b in batches:
+        state = merge_sketch_state(
+            state, hll_registers(b, ["grp"], "item"), ["grp"]
+        )
+    folded = hll_estimate(state, ["grp"]).collect()
+    one_shot = hll_estimate(hll_registers(df, ["grp"], "item"), ["grp"]).collect()
+    assert sorted(folded) == sorted(one_shot)
+    # retry safety: re-delivering an already-merged batch changes nothing
+    replayed = merge_sketch_state(
+        state, hll_registers(batches[2], ["grp"], "item"), ["grp"]
+    )
+    assert sorted(hll_estimate(replayed, ["grp"]).collect()) == sorted(folded)
