@@ -305,3 +305,22 @@ def merge_sketch_state(
 
     both = batch_regs if state is None else state.unionByName(batch_regs)
     return hll_merge(both, key_cols)
+
+
+def merge_cms_state(state: DataFrame | None, batch_sketch: DataFrame) -> DataFrame:
+    """Cross-batch frequency state as Count-Min counters: counters are
+    additive, so the fold is union + sum per (row, bucket). Unlike the
+    HLL fold this one is NOT replay-idempotent (a re-delivered batch
+    adds its counts again) — pair it with the idempotent batch-id sink
+    (io.write_report_idempotent) or exactly-once foreachBatch
+    bookkeeping when retries are possible. State stays depth x width
+    rows forever."""
+    from pyspark.sql import functions as F
+
+    if state is None:
+        return batch_sketch
+    return (
+        state.unionByName(batch_sketch)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -106,3 +106,20 @@ def test_streaming_sketch_state_matches_one_shot_and_is_replay_safe(spark):
         state, hll_registers(batches[2], ["grp"], "item"), ["grp"]
     )
     assert sorted(hll_estimate(replayed, ["grp"]).collect()) == sorted(folded)
+
+
+def test_streaming_cms_state_fold_matches_one_shot(spark):
+    from dnsflow_clickhouse_spark.streaming.pipeline import merge_cms_state
+
+    df = _items(spark, n=200, dups=3).withColumn(
+        "batch", F.abs(F.hash("item")) % 3
+    )
+    state = None
+    for b in range(3):
+        state = merge_cms_state(
+            state, cms_sketch(df.filter(F.col("batch") == b), "item")
+        )
+    one_shot = cms_sketch(df, "item")
+    folded = {(r.row, r.bucket): r.cnt for r in state.collect()}
+    whole = {(r.row, r.bucket): r.cnt for r in one_shot.collect()}
+    assert folded == whole
