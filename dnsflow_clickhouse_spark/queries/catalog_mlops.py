@@ -137,6 +137,23 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact threshold-0.5 Jaccard pairs through PPJoin-style
+    prefix filtering (operators.dedup.prefix_filtered_jaccard_pairs):
+    candidates come only from rare-first prefix grams, so the hot-gram
+    postings lists that blow up the naive shared-gram self-join never
+    generate pairs. Shares the naive query's oracle — the hash match IS
+    the losslessness proof."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
 _JACCARD_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM t),
 e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
@@ -650,6 +667,7 @@ MLOPS_REGISTRY = {
     "minhash_band_buckets": (minhash_band_buckets, _MINHASH_BANDS_SQL),
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
     "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
+    "prefix_jaccard_pairs": (prefix_jaccard_pairs, _JACCARD_SQL),
     "neardup_components": (neardup_components, _COMPONENTS_SQL),
     "dedup_canonical_keep": (dedup_canonical_keep, _CANONICAL_SQL),
     "simhash_docs": (simhash_docs, _sql_simhash16()),

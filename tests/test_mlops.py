@@ -269,3 +269,46 @@ def test_embedding_neardup_distributed_paths(spark):
     assert set(bucketed) <= set(exact)
     for pair, cos in bucketed.items():
         assert cos == exact[pair]
+
+
+def test_prefix_filtered_jaccard_matches_naive_with_fewer_candidates(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+        staged_grams,
+    )
+
+    # shared boilerplate gram ("common words here") on every doc makes
+    # the naive shared-gram join quadratic; distinctive content only on
+    # some near-dup pairs
+    rows = [
+        (i, f"common words here and filler text plus doc {i % 7} body {i % 7} tail {i % 7}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = {
+        (r.id_a, r.id_b): (r.inter, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): (r.inter, r.jaccard)
+        for r in prefix_filtered_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5
+        ).collect()
+    }
+    assert pref == naive and naive  # identical output (lossless)
+
+    # candidate generation really is narrower: pairs sharing ANY gram vs
+    # pairs sharing a rare-first PREFIX gram
+    g = staged_grams(docs, "doc_id", "text", 3).select(
+        "id", F.explode("grams").alias("g")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    naive_cands = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    assert naive_cands == 40 * 39 / 2  # the boilerplate gram pairs everyone
+    # prefix candidates: only the docs sharing distinctive (rare) grams
+    assert len(pref) < naive_cands
