@@ -156,6 +156,37 @@ def merge_upsert(
     )
 
 
+def merge_additive(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+) -> DataFrame:
+    """ClickHouse-SummingMergeTree / AggregatingMergeTree-style merge:
+    fold a delta batch of partial aggregate states into the stored
+    report without rescanning history — additive columns sum, extrema
+    take max/min. With the sketch registers (operators.sketches) the
+    same fold covers approximate-distinct state (max per register) and
+    frequency state (sum per counter).
+
+    This is the incremental-view-maintenance primitive a periodic 100 TB
+    rollup runs: each period aggregates ONLY its own slice to the report
+    grain, then merges here — one union + one map-side-combinable
+    groupBy on the report key, never a rescan. Correct for any
+    commutative/associative state; rates and averages must be stored as
+    (numerator, denominator) pairs and derived at read time.
+    """
+    folded = current.unionByName(updates)
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.max(c).alias(c) for c in (max_cols or [])]
+        + [F.min(c).alias(c) for c in (min_cols or [])]
+    )
+    return folded.groupBy(*keys).agg(*aggs)
+
+
 def observed_write(
     df: DataFrame,
     metrics: dict[str, "F.Column"],

@@ -309,3 +309,36 @@ def test_load_table_naive_timestamps_read_as_ltz(spark, tmp_path):
             assert [r.us for r in got] == [1704067201000000, 1704067202000000]
     finally:
         spark.conf.set(conf, old)
+
+
+def test_merge_additive_equals_full_recompute(spark):
+    """Incremental view maintenance: folding per-day partial aggregates
+    into the stored report equals aggregating all raw rows at once."""
+    from dnsflow_clickhouse_spark.io import merge_additive
+
+    raw = spark.createDataFrame(
+        [(d, k, v) for d in range(3) for k, v in
+         [("a", 10 + d), ("a", 1), ("b", 5 * d)]],
+        "day int, k string, v int",
+    )
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.sum("v").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("vmax"),
+        )
+
+    state = partial(raw.filter(F.col("day") == 0))
+    for d in (1, 2):
+        state = merge_additive(
+            state,
+            partial(raw.filter(F.col("day") == d)),
+            keys=["k"],
+            sum_cols=["total", "n"],
+            max_cols=["vmax"],
+        )
+    whole = partial(raw)
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
