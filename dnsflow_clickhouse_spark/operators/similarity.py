@@ -196,9 +196,12 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 8,
     exclude_self: bool = True,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to its
-    nearest centroid cell; search probes only the query's cell.
+    nearest centroid cell; search probes the query's ``nprobe`` nearest
+    cells (the standard recall/cost dial — nprobe = n_cells degrades to
+    exact brute force, pinned by test).
 
     The quantizer here is deliberately model-free and deterministic —
     the centroids are the ``n_cells`` lowest-id corpus vectors (a real
@@ -208,9 +211,9 @@ def ivf_topk(
     query matrix is small by construction, so its vectors AND cell
     assignments are computed driver-side and broadcast; each corpus
     Arrow batch then runs one centroid GEMM (assignment) + one query
-    GEMM (scores), masks pairs to matching cells (nprobe=1; recall < 1
-    by construction), and emits only compact scalar rows. No per-pair
-    array traffic, one Python stage over the corpus.
+    GEMM (scores), masks pairs to the probed cells (recall < 1 for
+    nprobe < n_cells by construction), and emits only compact scalar
+    rows. No per-pair array traffic, one Python stage over the corpus.
     """
     import numpy as np
     import pandas as pd
@@ -232,13 +235,19 @@ def ivf_topk(
         # first max — same order as the SQL row_number tie-break)
         return np.argmax(cos, axis=1).astype(np.int32)
 
+    def _assign_top(mat, norms, cm, cn, p) -> "np.ndarray":
+        cos = np.round((mat @ cm.T) / np.outer(norms, cn), 6)
+        # stable sort keeps ascending centroid id among cosine ties —
+        # the same (cos DESC, cid ASC) order as the SQL row_number
+        return np.argsort(-cos, axis=1, kind="stable")[:, :p].astype(np.int32)
+
     q_rows = queries.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q")
     ).collect()
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q for r in q_rows], dtype=np.int64)
     q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64))
-    q_cells = _assign(q_mat, q_norms, c_mat, c_norms)
+    q_cells = _assign_top(q_mat, q_norms, c_mat, c_norms, max(1, nprobe))
     bc = spark.sparkContext.broadcast(
         (q_ids, q_mat, q_norms, q_cells, c_mat, c_norms)
     )
@@ -261,7 +270,9 @@ def ivf_topk(
             b_norms = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat).astype(np.float64))
             b_cells = _assign(b_mat, b_norms, cm, cn)
             cos = np.round((mat @ b_mat.T) / np.outer(norms, b_norms), 6)
-            keep = cells[:, None] == b_cells[None, :]
+            # corpus vector kept for a query iff its (single) cell is
+            # among the query's nprobe probed cells
+            keep = (cells[:, :, None] == b_cells[None, None, :]).any(axis=1)
             if exclude_self:
                 keep &= ids[:, None] != b_ids[None, :]
             qi, bj = np.nonzero(keep)

@@ -433,24 +433,41 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
-_IVF_ANN_SQL = f"""
+def embedding_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IVF search at nprobe=2 — the recall/cost dial turned one
+    notch (each query probes its two nearest cells; the corpus-side
+    index is unchanged). At nprobe = n_cells this operator provably
+    degrades to exact brute force (pinned by unit test)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding",
+        KNN_K, N_IVF_CELLS, nprobe=2,
+    ).orderBy("query_id", "rnk")
+
+
+def _sql_ivf(nprobe: int) -> str:
+    """IVF oracle: corpus vectors sit in their single nearest cell
+    (rn = 1); queries probe their ``nprobe`` nearest cells. A pair can
+    match in at most one cell (the corpus side is single-cell), so no
+    dedup is needed before ranking."""
+    return f"""
 WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
 n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
 c AS (SELECT vec_id AS cid, qv AS cv, nrm AS cnrm FROM n WHERE vec_id < {N_IVF_CELLS}),
-asg AS (
-  SELECT vec_id, cell FROM (
-    SELECT n.vec_id, c.cid AS cell,
-           row_number() OVER (
-             PARTITION BY n.vec_id
-             ORDER BY round(list_dot_product(n.qv, c.cv) / (n.nrm * c.cnrm), 6) DESC, c.cid
-           ) AS rn
-    FROM n CROSS JOIN c
-  ) WHERE rn = 1
+ranked AS (
+  SELECT n.vec_id, c.cid AS cell,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY round(list_dot_product(n.qv, c.cv) / (n.nrm * c.cnrm), 6) DESC, c.cid
+         ) AS rn
+  FROM n CROSS JOIN c
 ),
+asgc AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+asgq AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe}),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          round(list_dot_product(an.qv, bn.qv) / (an.nrm * bn.nrm), 6) AS cosine
-  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
+  FROM asgq a JOIN asgc b ON a.cell = b.cell AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
   JOIN n an ON an.vec_id = a.vec_id
   JOIN n bn ON bn.vec_id = b.vec_id
 ),
@@ -458,6 +475,9 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, n
 SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
 """
+
+
+_IVF_ANN_SQL = _sql_ivf(1)
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +693,7 @@ MLOPS_REGISTRY = {
     "simhash_docs": (simhash_docs, _sql_simhash16()),
     "simhash_near_docs": (simhash_near_docs, _sql_simhash_pairs()),
     "embedding_ivf_ann": (embedding_ivf_ann, _IVF_ANN_SQL),
+    "embedding_ivf_probe2": (embedding_ivf_probe2, _sql_ivf(2)),
     "lang_id_confusion": (lang_id_confusion, _sql_langid()),
     "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "embedding_knn": (embedding_knn, _KNN_SQL),

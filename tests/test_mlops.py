@@ -312,3 +312,35 @@ def test_prefix_filtered_jaccard_matches_naive_with_fewer_candidates(spark):
     assert naive_cands == 40 * 39 / 2  # the boilerplate gram pairs everyone
     # prefix candidates: only the docs sharing distinctive (rare) grams
     assert len(pref) < naive_cands
+
+
+def test_ivf_nprobe_dial(spark):
+    """nprobe = n_cells degrades IVF to exact brute force; intermediate
+    nprobe recall is monotone (candidate sets only grow)."""
+    import random
+
+    rnd = random.Random(23)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    qs = vecs.filter(F.col("vec_id") < 6)
+
+    def pairs(df):
+        return {(r.query_id, r.rnk): r.neighbor_id for r in df.collect()}
+
+    exact = pairs(cosine_topk(qs, vecs, "vec_id", "embedding", k=3))
+    full = pairs(
+        ivf_topk(qs, vecs, "vec_id", "embedding", k=3, n_cells=4, nprobe=4)
+    )
+    assert full == exact
+
+    def hits(nprobe):
+        got = pairs(
+            ivf_topk(
+                qs, vecs, "vec_id", "embedding", k=3, n_cells=4, nprobe=nprobe
+            )
+        )
+        return sum(got.get(k2) == v for k2, v in exact.items())
+
+    assert hits(1) <= hits(2) <= hits(4) == len(exact)
