@@ -47,6 +47,7 @@ from dnsflow_clickhouse_spark.functions.textfn import (
     tokens,
 )
 from dnsflow_clickhouse_spark.operators.similarity import quantize
+from dnsflow_clickhouse_spark.operators.util import cpu_repartition
 
 
 def _poly_hash_np(strs, seed: int, mult: int, mod: int):
@@ -244,7 +245,7 @@ def staged_grams(
     repartitioned on id for parallelism."""
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-        .repartition(F.col("id"))
+        .transform(lambda d: cpu_repartition(d, "id"))
         .select("id", tokens(F.col("__text")).alias("__toks"))
         .select("id", ngrams_from_tokens(F.col("__toks"), ngram).alias("grams"))
     )
@@ -420,7 +421,7 @@ def simhash_df(
         df.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("__text"), *keep
         )
-        .repartition(F.col("id"))
+        .transform(lambda d: cpu_repartition(d, "id"))
         .select("id", tokens(F.col("__text")).alias("__toks"), *keep)
     )
     if hash_fn is None:
@@ -748,15 +749,51 @@ def prefix_filtered_jaccard_pairs(
         - F.ceil(F.lit(threshold) * F.col("n_grams"))
         + F.lit(1)
     ).cast("int")
-    prefix = ordered.select(
-        "id",
-        F.explode(F.slice(F.col("__ord"), 1, prefix_len)).alias("pg"),
-    ).select("id", F.col("pg.g").alias("g"))
+    prefix = (
+        ordered.select(
+            "id",
+            "n_grams",
+            F.explode(F.slice(F.col("__ord"), 1, prefix_len)).alias("pg"),
+        )
+        .select("id", "n_grams", F.col("pg.g").alias("g"))
+        # barrier: the candidate join reads this frame on BOTH sides; a
+        # live plan would recompute the whole freq+order pipeline per
+        # side (and broadcast a re-exploded gram set with it)
+        .localCheckpoint(eager=True)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # explicit partition count: the candidate rows are tiny in BYTES, so
+    # AQE coalesces them onto a few partitions — but every candidate
+    # costs an interpreted array_intersect downstream, so parallelism
+    # must follow CPU, not size (AQE honors an explicit numPartitions)
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # length filter (also lossless): J >= t forces t*max(|a|,|b|) <=
+    # min(|a|,|b|) — wildly different-sized sets can't qualify, so they
+    # never reach the array_intersect verify
+    size_ok = (
+        F.least(F.col("a.n_grams"), F.col("b.n_grams"))
+        >= F.ceil(
+            F.lit(threshold)
+            * F.greatest(F.col("a.n_grams"), F.col("b.n_grams"))
+        )
+    )
     cands = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # barrier before the repartition: without it the optimizer
+        # collapses the explicit exchange into the distinct's
+        # ENSURE_REQUIREMENTS exchange (same keys), which AQE then
+        # coalesces by byte size — and the verify runs on 2-3 tasks
+        .localCheckpoint(eager=False)
+        .repartition(n_parts, "id_a", "id_b")
     )
     ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))

@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.operators.util import cpu_repartition
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
@@ -89,7 +91,7 @@ def _staged(df: DataFrame, id_col: str, vec_col: str, id_out: str) -> DataFrame:
     """(id, q, nrm): quantized vector + norm staged once per row."""
     return (
         df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias("__v"))
-        .repartition(F.col(id_out))
+        .transform(lambda d: cpu_repartition(d, id_out))
         .select(id_out, quantize(F.col("__v")).alias("q"))
         .withColumn("nrm", int_norm(F.col("q")))
     )
@@ -158,7 +160,7 @@ def cosine_topk(
             )
 
     c = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
-    scored = c.repartition(F.col("id")).mapInPandas(block, schema=out_schema)
+    scored = cpu_repartition(c, "id").mapInPandas(block, schema=out_schema)
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     return _rank_topk(scored, k)
@@ -281,7 +283,7 @@ def ivf_topk(
             )
 
     c = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
-    scored = c.repartition(F.col("id")).mapInPandas(block, schema=out_schema)
+    scored = cpu_repartition(c, "id").mapInPandas(block, schema=out_schema)
     return _rank_topk(scored, k)
 
 

@@ -1,14 +1,16 @@
 """Aggregated query registry: {name: (spark_callable, oracle_sql|None)}.
 
 The registry is an ordered dict and the order is load-bearing: the
-correctness driver verifies the first 50 entries per round.  Round 1
-checked the natural merge order, leaving the entire mlops/corpus/
-profiling catalog (and the TPC-H tail) unverified.  ``_PRIORITY`` pins
-the round-2 window: the smoke query first, then every query whose
-oracle was red or never checked in round 1, ordered so that all operator
-families (LLM-pipeline dedup/ANN/multimodal, corpus curation, profiling)
-fall inside the window.  The TPC-H tail (q9, q14-q21) rotates in next
-round — its join shapes are already evidenced by 18 green TPC-H rows.
+correctness driver verifies the first 50 entries per round.
+``_PRIORITY`` pins the verified window — the smoke query first, then
+the round-1 red/unchecked queries and one representative per operator
+family (LLM-pipeline dedup/ANN/multimodal, corpus curation, profiling,
+sketches) so every family has a hard driver row.  Rotation plan for
+later rounds: the TPC-H tail (q9, q14-q21 — join shapes already
+evidenced by 18 green TPC-H rows), embedding_knn/embedding_lsh_ann/
+embedding_neardup_exact, multimodal_frame_index, per_user_event_sample,
+prefix_jaccard_pairs and embedding_ivf_probe2 (these last two share
+their oracle with in-window family representatives).
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -68,9 +70,9 @@ _PRIORITY = [
     "embedding_ivf_ann",
     "lang_id_confusion",
     "doc_fingerprints",
-    # round-3 additions (new operators — need their first driver row);
+    # new operators since round 1 — need their first driver row;
     # embedding_knn / embedding_lsh_ann / embedding_neardup_exact and
-    # multimodal_frame_index rotate into the round-4 window (their
+    # multimodal_frame_index rotate into a later window (their
     # families are represented by ivf+neardup / multimodal_features
     # here); the two sketch queries take their window slots
     "cidr_membership_rollup",
@@ -84,9 +86,9 @@ _PRIORITY = [
     "chunk_documents",
     "repetition_report",
     "stratified_doc_sample",
-    # round-3 additions (leak-free splits + PII scrub — first driver row);
-    # per_user_event_sample rotates to round 4 (sampling family is
-    # represented by stratified + weighted here)
+    # leak-free splits + PII scrub — first driver row;
+    # per_user_event_sample rotates to a later window (sampling family
+    # is represented by stratified + weighted here)
     "group_split_leakproof",
     "pii_redaction_report",
     "tfidf_top_terms",

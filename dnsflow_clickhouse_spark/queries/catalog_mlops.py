@@ -33,6 +33,7 @@ from dnsflow_clickhouse_spark.operators.text_analysis import (
     _LANG_ORDER,
     analyze_documents,
 )
+from dnsflow_clickhouse_spark.operators.util import cpu_repartition
 from dnsflow_clickhouse_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -547,7 +548,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video")
         .alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
-    ).repartition(F.col("asset_id"))
+    ).transform(lambda d: cpu_repartition(d, "asset_id"))
     return extract_features(assets, decode_stub=True).orderBy("asset_id")
 
 
