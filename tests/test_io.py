@@ -342,3 +342,46 @@ def test_merge_additive_equals_full_recompute(spark):
     assert sorted(map(tuple, state.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_merge_additive_histogram_state_gives_exact_merged_percentiles(spark):
+    """Quantile state is mergeable too: per-slice (key, value) histograms
+    fold with merge_additive, and exact percentiles derived from the
+    folded histogram equal a full recompute — the incremental form of
+    the catalog's histogram-based percentile query."""
+    from dnsflow_clickhouse_spark.io import merge_additive
+
+    raw = spark.createDataFrame(
+        [(d, "k", (d * 31 + i * 7) % 100) for d in range(3) for i in range(200)],
+        "day int, k string, v int",
+    )
+
+    def hist(df):
+        return df.groupBy("k", "v").agg(F.count(F.lit(1)).alias("cnt"))
+
+    state = hist(raw.filter(F.col("day") == 0))
+    for d in (1, 2):
+        state = merge_additive(
+            state, hist(raw.filter(F.col("day") == d)),
+            keys=["k", "v"], sum_cols=["cnt"],
+        )
+
+    def p50_from_hist(h):
+        from pyspark.sql import Window
+
+        w_cum = (
+            Window.partitionBy("k").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy("k")
+        c = h.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+            "n", F.sum("cnt").over(w_all)
+        )
+        target = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+        return c.groupBy("k").agg(
+            F.min(F.when(F.col("cum") >= target, F.col("v"))).alias("p50")
+        )
+
+    merged = p50_from_hist(state).collect()
+    whole = p50_from_hist(hist(raw)).collect()
+    assert sorted(merged) == sorted(whole)
