@@ -3,12 +3,16 @@ opaque ``binary`` payloads with typed metadata, processed by
 Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side machinery — schemas, batch iteration, partition sizing,
-output contracts — is real and tested. The actual media decoding is
-STUBBED (the image/audio libraries are not available in this
-environment): ``decode_stub=True`` swaps in a deterministic fake decoder
-so tests can exercise the full plumbing; passing ``decode_stub=False``
-raises ``NotImplementedError`` at the point a real decoder (PIL/ffmpeg)
-would be plugged in.
+output contracts — is real and tested. Decoding:
+
+- ``decode_stub=True`` — deterministic fake decoder (dims derived from
+  the content hash) so tests exercise the full plumbing for ANY format.
+- ``decode_stub=False`` — REAL decoding for binary PNM images (P5
+  grayscale / P6 RGB), parsed with pure numpy (:func:`decode_pnm`) and
+  resized with deterministic nearest-neighbor sampling
+  (:func:`resize_nearest`). Formats that need external codecs
+  (JPEG/PNG/audio/video — PIL/ffmpeg are not bundled here) raise
+  ``NotImplementedError`` at the plug-in point.
 
 Scale notes: mapInPandas streams Arrow record batches — payload bytes
 never materialize as Python lists; ``spark.sql.execution.arrow
@@ -45,6 +49,52 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 8
 
 
+def decode_pnm(payload: bytes):
+    """Decode a binary PNM image (P5 grayscale / P6 RGB) with numpy
+    only: returns an ndarray of shape (h, w) or (h, w, 3), dtype uint8
+    (uint16 rasters for maxval > 255, big-endian per spec). Raises
+    ``ValueError`` for anything that is not binary PNM."""
+    import numpy as np
+
+    if not payload or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary PNM payload")
+    channels = 1 if payload[1:2] == b"5" else 3
+
+    # header tokenizer: whitespace-separated ints, '#' comments to EOL
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then the raster
+    width, height, maxval = fields
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    shape = (height, width) if channels == 1 else (height, width, 3)
+    return raster.reshape(shape)
+
+
+def resize_nearest(img, target: tuple[int, int]):
+    """Deterministic nearest-neighbor resize to (width, height): output
+    pixel (y, x) samples source pixel (floor(y*h/th), floor(x*w/tw)) —
+    pure integer index math, bit-identical on any platform."""
+    import numpy as np
+
+    tw, th = target
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(th, dtype=np.int64) * h) // th
+    xs = (np.arange(tw, dtype=np.int64) * w) // tw
+    return img[ys][:, xs]
+
+
 def extract_features(
     assets: DataFrame,
     decode_stub: bool = True,
@@ -59,24 +109,33 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg; not bundled — "
-                    "plug a decoder in here"
-                )
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                w, h, fr = _fake_decode(payload, r["kind"])
+                if decode_stub:
+                    w, h, fr = _fake_decode(payload, r["kind"])
+                    fw, fh = min(w, target_size[0]), min(h, target_size[1])
+                    frames = (fr + frame_stride - 1) // frame_stride
+                else:
+                    try:
+                        img = decode_pnm(payload)
+                    except ValueError:
+                        raise NotImplementedError(
+                            "real decoding beyond binary PNM requires "
+                            "PIL/ffmpeg; not bundled — plug a decoder in here"
+                        ) from None
+                    resized = resize_nearest(img, target_size)
+                    fh, fw = resized.shape[0], resized.shape[1]
+                    frames = 1  # still image
                 rows.append(
                     {
                         "asset_id": r["asset_id"],
                         "kind": r["kind"],
                         "byte_len": len(payload),
                         "content_sha": hashlib.sha256(payload).hexdigest(),
-                        "feat_width": min(w, target_size[0]),
-                        "feat_height": min(h, target_size[1]),
-                        "frames_sampled": (fr + frame_stride - 1) // frame_stride,
+                        "feat_width": fw,
+                        "feat_height": fh,
+                        "frames_sampled": frames,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])

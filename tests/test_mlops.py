@@ -344,3 +344,59 @@ def test_ivf_nprobe_dial(spark):
         return sum(got.get(k2) == v for k2, v in exact.items())
 
     assert hits(1) <= hits(2) <= hits(4) == len(exact)
+
+
+def _ppm(w, h):
+    import numpy as np
+
+    img = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + img.tobytes(), img
+
+
+def test_decode_pnm_and_nearest_resize():
+    import numpy as np
+
+    from dnsflow_clickhouse_spark.operators.multimodal import (
+        decode_pnm,
+        resize_nearest,
+    )
+
+    payload, img = _ppm(8, 6)
+    got = decode_pnm(payload)
+    assert got.shape == (6, 8, 3) and (got == img).all()
+    small = resize_nearest(got, (4, 3))
+    assert small.shape == (3, 4, 3)
+    # nearest-neighbor: output (y,x) == source (y*6//3, x*8//4)
+    for y in range(3):
+        for x in range(4):
+            assert (small[y, x] == img[y * 6 // 3, x * 8 // 4]).all()
+    # grayscale P5 with 16-bit raster
+    g = (np.arange(12) * 300).astype(">u2").reshape(3, 4)
+    p5 = b"P5 4 3 65535\n" + g.tobytes()
+    assert (decode_pnm(p5) == g).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_pnm(b"\x89PNG....")
+
+
+def test_extract_features_real_pnm_decode_path(spark):
+    from dnsflow_clickhouse_spark.operators.multimodal import extract_features
+
+    p1, _ = _ppm(8, 6)
+    p2, _ = _ppm(40, 50)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(p1)), (2, "image", bytearray(p2))],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = {
+        r.asset_id: r
+        for r in extract_features(
+            assets, decode_stub=False, target_size=(16, 16)
+        ).collect()
+    }
+    # both resized to the 16x16 target through the REAL decoder
+    assert rows[1].feat_width == 16 and rows[1].feat_height == 16
+    assert rows[2].feat_width == 16 and rows[2].feat_height == 16
+    assert rows[1].frames_sampled == 1
+    assert rows[1].byte_len == len(p1)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -113,7 +114,19 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
-    spark = get_spark(app_name="verify-oracle")
+    if os.environ.get("VERIFY_VANILLA"):
+        # replicate the external harness: a bare session with none of
+        # get_spark's tuned confs — the query wrappers (__spark_entry__.
+        # _tune) must supply everything they depend on at runtime
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("verify-oracle-vanilla")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="verify-oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.sql(
