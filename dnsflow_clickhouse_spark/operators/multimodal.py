@@ -82,6 +82,38 @@ def decode_pnm(payload: bytes):
     return raster.reshape(shape)
 
 
+def decode_wav(payload: bytes):
+    """Decode a PCM WAV payload with numpy only: returns
+    (samples ndarray of shape (n, channels), sample_rate). Supports
+    8-bit unsigned and 16/32-bit signed little-endian PCM (format tag
+    1). Raises ``ValueError`` for anything else."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag != 1 or bits not in (8, 16, 32):
+        raise ValueError(f"unsupported WAV encoding tag={tag} bits={bits}")
+    dtype = {8: np.dtype("u1"), 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
+    n = len(data) // dtype.itemsize // channels * channels
+    samples = np.frombuffer(data, dtype=dtype, count=n).reshape(-1, channels)
+    return samples, rate
+
+
 def resize_nearest(img, target: tuple[int, int]):
     """Deterministic nearest-neighbor resize to (width, height): output
     pixel (y, x) samples source pixel (floor(y*h/th), floor(x*w/tw)) —
@@ -116,17 +148,24 @@ def extract_features(
                     w, h, fr = _fake_decode(payload, r["kind"])
                     fw, fh = min(w, target_size[0]), min(h, target_size[1])
                     frames = (fr + frame_stride - 1) // frame_stride
-                else:
-                    try:
-                        img = decode_pnm(payload)
-                    except ValueError:
-                        raise NotImplementedError(
-                            "real decoding beyond binary PNM requires "
-                            "PIL/ffmpeg; not bundled — plug a decoder in here"
-                        ) from None
-                    resized = resize_nearest(img, target_size)
+                elif payload[:2] in (b"P5", b"P6"):
+                    resized = resize_nearest(decode_pnm(payload), target_size)
                     fh, fw = resized.shape[0], resized.shape[1]
                     frames = 1  # still image
+                elif payload[:4] == b"RIFF":
+                    samples, rate = decode_wav(payload)
+                    # audio mapping onto the feature contract: width =
+                    # channels, height = sample rate in kHz, frames =
+                    # 1-second windows sampled every frame_stride seconds
+                    fw, fh = samples.shape[1], rate // 1000
+                    secs = samples.shape[0] / rate if rate else 0.0
+                    frames = max(1, int(-(-secs // frame_stride)))
+                else:
+                    raise NotImplementedError(
+                        "real decoding beyond binary PNM images and PCM "
+                        "WAV audio requires PIL/ffmpeg; not bundled — "
+                        "plug a decoder in here"
+                    )
                 rows.append(
                     {
                         "asset_id": r["asset_id"],

@@ -400,3 +400,36 @@ def test_extract_features_real_pnm_decode_path(spark):
     assert rows[2].feat_width == 16 and rows[2].feat_height == 16
     assert rows[1].frames_sampled == 1
     assert rows[1].byte_len == len(p1)
+
+
+def test_decode_wav_and_audio_feature_mapping(spark):
+    import struct
+
+    import numpy as np
+
+    from dnsflow_clickhouse_spark.operators.multimodal import (
+        decode_wav,
+        extract_features,
+    )
+
+    # 3 s of 2-channel 16-bit PCM at 8 kHz
+    rate, secs, ch = 8000, 3, 2
+    pcm = (np.arange(rate * secs * ch) % 32000 - 16000).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    samples, got_rate = decode_wav(wav)
+    assert got_rate == rate and samples.shape == (rate * secs, ch)
+    assert (samples.reshape(-1) == pcm).all()
+
+    assets = spark.createDataFrame(
+        [(7, "audio", bytearray(wav))],
+        "asset_id long, kind string, payload binary",
+    )
+    row = extract_features(assets, decode_stub=False, frame_stride=2).collect()[0]
+    # channels / kHz / ceil(3s / 2s-stride) through the real decoder
+    assert (row.feat_width, row.feat_height, row.frames_sampled) == (2, 8, 2)
