@@ -344,3 +344,74 @@ def test_app_cli_batch_mode(spark, tmp_path):
     ])
     top10 = spark.read.parquet(str(out / "bigdata_user_domain_top10"))
     assert top10.count() > 0 and "topDomains" in top10.columns
+
+
+def test_stream_folds_hll_sketch_state_across_microbatches(spark, tmp_path):
+    """End-to-end streaming distinct-count sketch: a file stream's
+    micro-batches each build HLL registers that foreachBatch folds into
+    a parquet state table; the final estimate equals the one-shot batch
+    estimate over the union of all inputs."""
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from dnsflow_clickhouse_spark.streaming.pipeline import merge_sketch_state
+
+    inp = tmp_path / "sketch_in"
+    inp.mkdir()
+    state_dir = str(tmp_path / "sketch_state")
+
+    def handle(batch_df, batch_id):
+        regs = hll_registers(
+            batch_df.select(
+                F.split("value", ",")[0].alias("grp"),
+                F.split("value", ",")[1].alias("item"),
+            ),
+            ["grp"],
+            "item",
+        )
+        try:
+            state = spark.read.parquet(state_dir)
+        except Exception:
+            state = None
+        merged = merge_sketch_state(state, regs, ["grp"])
+        # overwrite-on-read state table: <= 64 rows per key forever
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    (inp / "b1.txt").write_text(
+        "\n".join(f"g{i % 2},item-{i}" for i in range(0, 400)), encoding="utf-8"
+    )
+    raw = spark.readStream.format("text").load(str(inp))
+    q = (
+        raw.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "sketch_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: half overlap, half new items
+        (inp / "b2.txt").write_text(
+            "\n".join(f"g{i % 2},item-{i}" for i in range(200, 600)),
+            encoding="utf-8",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    folded = {
+        r.grp: r.est_distinct
+        for r in hll_estimate(spark.read.parquet(state_dir), ["grp"]).collect()
+    }
+    whole_rows = [(f"g{i % 2}", f"item-{i}") for i in range(0, 600)]
+    whole_df = spark.createDataFrame(whole_rows, "grp string, item string")
+    whole = {
+        r.grp: r.est_distinct
+        for r in hll_estimate(
+            hll_registers(whole_df, ["grp"], "item"), ["grp"]
+        ).collect()
+    }
+    assert folded == whole and set(folded) == {"g0", "g1"}
