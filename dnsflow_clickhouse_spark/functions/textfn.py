@@ -128,3 +128,17 @@ def pii_counts(s: Column | str) -> Column:
         F.regexp_count(c, F.lit(PII_EMAIL_RE)).alias("n_emails"),
         F.regexp_count(c, F.lit(PII_PHONE_RE)).alias("n_phones"),
     )
+
+
+def normalize_text(s: Column | str) -> Column:
+    """Canonical text form for normalization-aware dedup: lowercase,
+    punctuation (anything outside [a-z0-9 and whitespace]) stripped,
+    whitespace runs collapsed to single spaces, ends trimmed. Map-only
+    codegen regexps, engine-portable (RE2-compatible classes, no
+    lookaround), so a DuckDB oracle replays it exactly. Deliberately
+    ASCII-scoped — full Unicode NFC/casefold needs ICU, which neither
+    engine exposes portably; non-ASCII characters pass through
+    unchanged rather than being guessed at."""
+    c = F.lower(_col(s))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

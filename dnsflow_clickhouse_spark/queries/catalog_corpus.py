@@ -673,7 +673,53 @@ ORDER BY pos
 """
 
 
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware dedup summary: per language, distinct raw
+    texts vs distinct NORMALIZED texts (functions.textfn.normalize_text
+    — lowercase, punctuation stripped, whitespace collapsed). The gap
+    between the two counts is exactly the near-duplicate mass that
+    differs only in casing/punctuation/spacing — the cheapest dedup win
+    a corpus pipeline takes before any MinHash machinery. Map-only
+    normalization + one aggregate."""
+    from dnsflow_clickhouse_spark.functions.textfn import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.md5("text").alias("__raw_h"),
+            F.md5(normalize_text("text")).alias("__norm_h"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__raw_h").alias("n_raw_distinct"),
+            F.countDistinct("__norm_h").alias("n_norm_distinct"),
+            (F.countDistinct("__raw_h") - F.countDistinct("__norm_h")).alias(
+                "n_case_punct_dups"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_NORMALIZED_DEDUP_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_raw_distinct,
+       count(DISTINCT md5({_SQL_NORM_TEXT})) AS n_norm_distinct,
+       count(DISTINCT md5(text)) - count(DISTINCT md5({_SQL_NORM_TEXT}))
+           AS n_case_punct_dups
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 CORPUS_REGISTRY = {
+    "normalized_dedup_docs": (normalized_dedup_docs, _NORMALIZED_DEDUP_SQL),
     "deterministic_shuffle_shards": (
         deterministic_shuffle_shards,
         _SHUFFLE_SHARDS_SQL,

@@ -173,3 +173,19 @@ def test_cidr_bounds_and_count(spark):
         ("10.0.0.0", "10.255.255.255", 1 << 24),
         ("1.2.3.4", "1.2.3.4", 1),
     ]
+
+
+def test_normalize_text(spark):
+    from dnsflow_clickhouse_spark.functions.textfn import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            ("  Hello,   WORLD!!  ",),
+            ("hello world",),
+            ("Hello... world?",),
+            ("",),
+        ],
+        ["t"],
+    )
+    got = [r[0] for r in df.select(normalize_text("t")).collect()]
+    assert got == ["hello world", "hello world", "hello world", ""]
