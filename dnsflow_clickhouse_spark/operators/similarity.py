@@ -295,16 +295,38 @@ def hyperplane_lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     exclude_self: bool = True,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k: compare only vectors sharing the query's hyperplane
     bucket. Recall < 1 by construction; the scale win is that the join
-    is an equi-join on the bucket id (shuffle/broadcast-friendly)."""
+    is an equi-join on the bucket id (shuffle/broadcast-friendly).
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (flip each plane bit once) — the
+    standard multi-probe LSH recall/cost dial: vectors that fell just
+    across ONE hyperplane become reachable, at (n_planes+1)x the probe
+    rows on the QUERY side only (the corpus index is untouched, and a
+    corpus vector still matches a query at most once since the probed
+    buckets are distinct)."""
     q = (
         _staged(queries, id_col, vec_col, "query_id")
         .withColumnRenamed("q", "qv")
         .withColumnRenamed("nrm", "qn")
         .withColumn("bucket", hyperplane_signature(F.col("qv"), n_planes))
     )
+    if multiprobe:
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(n_planes)
+                    ],
+                )
+            ),
+        )
     c = (
         _staged(corpus, id_col, vec_col, "neighbor_id")
         .withColumnRenamed("q", "cv")

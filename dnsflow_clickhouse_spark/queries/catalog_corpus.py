@@ -718,7 +718,60 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def incremental_report_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental report maintenance under the oracle gate: the events
+    table is split into three ingest periods (event_id % 3); each
+    period aggregates ONLY its slice to the report grain and
+    io.merge_additive folds the partial states together. The oracle
+    aggregates the raw table directly — the hash match proves the
+    folded state is indistinguishable from a full recompute (sums,
+    counts, extrema; micro-unit integers so addition order can't
+    drift)."""
+    from dnsflow_clickhouse_spark.io import merge_additive
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vi"),
+    )
+
+    def partial(period: int) -> DataFrame:
+        return (
+            e.filter(F.col("event_id") % 3 == period)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("vi").alias("sum_micro"),
+                F.max("vi").alias("max_micro"),
+                F.min("vi").alias("min_micro"),
+            )
+        )
+
+    state = partial(0)
+    for p in (1, 2):
+        state = merge_additive(
+            state,
+            partial(p),
+            keys=["event_type"],
+            sum_cols=["n_events", "sum_micro"],
+            max_cols=["max_micro"],
+            min_cols=["min_micro"],
+        )
+    return state.orderBy("event_type")
+
+
+_INCR_MERGE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+       max(CAST(round(value * 1000000) AS BIGINT)) AS max_micro,
+       min(CAST(round(value * 1000000) AS BIGINT)) AS min_micro
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 CORPUS_REGISTRY = {
+    "incremental_report_merge": (incremental_report_merge, _INCR_MERGE_SQL),
     "normalized_dedup_docs": (normalized_dedup_docs, _NORMALIZED_DEDUP_SQL),
     "deterministic_shuffle_shards": (
         deterministic_shuffle_shards,

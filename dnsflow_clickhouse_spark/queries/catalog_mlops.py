@@ -393,6 +393,18 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN top-3: each query also probes the
+    n_planes buckets one bit-flip away, recovering neighbors that fell
+    just across a single hyperplane — recall rises, corpus index
+    unchanged (probe fan-out is query-side only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding",
+        KNN_K, N_PLANES, multiprobe=True,
+    ).orderBy("query_id", "rnk")
+
+
 def _sql_bucket(vcol: str) -> str:
     terms = []
     for p in range(N_PLANES):
@@ -418,6 +430,22 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, n
 SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
 """
+
+_LSH_MULTIPROBE_SQL = f"""
+WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
+bq AS (SELECT vec_id, qv, {_sql_bucket('qv')} AS bucket FROM q),
+probes AS (SELECT vec_id, qv, bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 1) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 2) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 4) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 8) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 16) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 32) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 64) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 128) AS bucket FROM bq),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+  FROM probes a JOIN bq b ON a.bucket = b.bucket AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
+"""
+
 
 
 N_IVF_CELLS = 8
@@ -698,6 +726,10 @@ MLOPS_REGISTRY = {
     "lang_id_confusion": (lang_id_confusion, _sql_langid()),
     "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "embedding_knn": (embedding_knn, _KNN_SQL),
+    "embedding_lsh_multiprobe": (
+        embedding_lsh_multiprobe,
+        _LSH_MULTIPROBE_SQL,
+    ),
     "embedding_lsh_ann": (embedding_lsh_ann, _LSH_ANN_SQL),
     "embedding_neardup": (embedding_neardup, _NEARDUP_SQL),
     "embedding_neardup_exact": (embedding_neardup_exact, _NEARDUP_EXACT_SQL),

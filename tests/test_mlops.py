@@ -433,3 +433,31 @@ def test_decode_wav_and_audio_feature_mapping(spark):
     row = extract_features(assets, decode_stub=False, frame_stride=2).collect()[0]
     # channels / kHz / ceil(3s / 2s-stride) through the real decoder
     assert (row.feat_width, row.feat_height, row.frames_sampled) == (2, 8, 2)
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    import random
+
+    rnd = random.Random(31)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    qs = vecs.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(qs, vecs, "vec_id", "embedding", k=3).collect()
+    }
+
+    def hits(multiprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in hyperplane_lsh_topk(
+                qs, vecs, "vec_id", "embedding", k=3, n_planes=4,
+                multiprobe=multiprobe,
+            ).collect()
+        }
+        return len(got & exact)
+
+    # flipping one plane bit can only ADD reachable neighbors
+    assert hits(True) >= hits(False)
