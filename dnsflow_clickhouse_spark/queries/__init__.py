@@ -2,15 +2,20 @@
 
 The registry is an ordered dict and the order is load-bearing: the
 correctness driver verifies the first 50 entries per round.
-``_PRIORITY`` pins the verified window — the smoke query first, then
-the round-1 red/unchecked queries and one representative per operator
-family (LLM-pipeline dedup/ANN/multimodal, corpus curation, profiling,
-sketches) so every family has a hard driver row.  Rotation plan for
-later rounds: the TPC-H tail (q9, q14-q21 — join shapes already
-evidenced by 18 green TPC-H rows), embedding_knn/embedding_lsh_ann/
-embedding_neardup_exact, multimodal_frame_index, per_user_event_sample,
-prefix_jaccard_pairs and embedding_ivf_probe2 (these last two share
-their oracle with in-window family representatives).
+``_PRIORITY`` pins the round-3 verified window — the smoke query
+first, then the 20 queries that have never had a driver row (TPC-H
+tail q9/q14-q21, the ANN variants, prefix/canonical/normalized dedup,
+incremental_report_merge, multimodal_frame_index, per_user_event_sample,
+event_cooccurrence), the re-fixed ``quality_feature_matrix`` (round-2's
+only red — array column serialized to text), the five queries whose
+physical plans change this round (size-adaptive repartition/checkpoint
+barriers: curation_funnel, item_pagerank, deterministic_shuffle_shards,
+incremental_dedup_flags, embedding_neardup), and a backfill of the
+most-churned round-1 greens (reports/enrich/dns families touched by the
+timestamp-LTZ and repartition commits).  Still r1-green and deliberately
+left outside this window (untouched code, lowest drift risk):
+day_pivot_counts, set_ops_users, cube_day_type, multiset_ops_events and
+the TPC-H q2-q8/q10/q13/q17/q22 block — rotate those in round 4.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -38,73 +43,67 @@ _MERGED = {
     **_MLOPS, **_CORPUS, **_CURATION, **_PROFILING, **_SKETCHES,
 }
 
-# First 50 = driver correctness window for this round.
+# First 50 = driver correctness window for this round (round 3).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # round-1 reds (HUGEINT oracle fix — must flip green)
-    "doc_token_stats",
-    "topk_rollup_chain",
-    "ip_function_rollup",
-    "range_frame_rolling",
-    "null_semantics_report",
-    "geo_region_rollup",
-    "authority_slice_docs",
-    "unpivot_daily_metrics",
-    "session_stats",
-    "doc_bpe_tokens",
-    # latent HUGEINT fixes (never checked, same bug class)
-    "q12_priority_class_counts",
-    "curation_funnel",
-    "temperature_lang_resample",
-    "doc_length_histogram",
-    "grouping_sets_events",
-    # LLM-pipeline family (never checked in round 1)
-    "incremental_dedup_flags",
-    "minhash_band_buckets",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "neardup_components",
-    "simhash_docs",
-    "simhash_near_docs",
-    "embedding_ivf_ann",
-    "lang_id_confusion",
-    "doc_fingerprints",
-    # new operators since round 1 — need their first driver row;
-    # embedding_knn / embedding_lsh_ann / embedding_neardup_exact and
-    # multimodal_frame_index rotate into a later window (their
-    # families are represented by ivf+neardup / multimodal_features
-    # here); the two sketch queries take their window slots
-    "cidr_membership_rollup",
-    "hll_distinct_users",
-    "cms_heavy_hitters",
-    "embedding_neardup",
-    "multimodal_features",
-    # corpus curation family (never checked in round 1)
-    "deterministic_shuffle_shards",
+    # --- 20 never-driver-checked queries (highest verification value) ---
+    # TPC-H tail
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q18_big_orders",
+    "q19_disjunctive_revenue",
+    "q20_stockpile_suppliers",
+    "q21_sole_returner",
+    # ANN variants
+    "embedding_knn",
+    "embedding_lsh_ann",
+    "embedding_lsh_multiprobe",
+    "embedding_neardup_exact",
+    "embedding_ivf_probe2",
+    # dedup / merge / sampling / multimodal tails
+    "prefix_jaccard_pairs",
+    "dedup_canonical_keep",
+    "incremental_report_merge",
+    "normalized_dedup_docs",
+    "multimodal_frame_index",
+    "per_user_event_sample",
+    "event_cooccurrence",
+    # --- round-2's only red, re-fixed (array<long> -> text) ---
     "quality_feature_matrix",
-    "chunk_documents",
-    "repetition_report",
-    "stratified_doc_sample",
-    # leak-free splits + PII scrub — first driver row;
-    # per_user_event_sample rotates to a later window (sampling family
-    # is represented by stratified + weighted here)
-    "group_split_leakproof",
-    "pii_redaction_report",
-    "tfidf_top_terms",
-    "quality_quantile_gate",
-    "decontamination_report",
-    "props_json_rollup",
-    "event_value_percentiles",
-    "pack_sequences",
-    # profiling family (never checked in round 1)
-    "column_profile_events",
-    "event_gini_concentration",
-    "inverted_index_terms",
-    "weighted_doc_sample",
-    "fuzzy_near_titles",
-    # TPC-H representative for the never-checked tpch4 batch
-    "q11_value_concentration",
+    # --- plans changed this round (size-adaptive barriers) — re-attest ---
+    "curation_funnel",
+    "item_pagerank",
+    "deterministic_shuffle_shards",
+    "incremental_dedup_flags",
+    "embedding_neardup",
+    # --- most-churned round-1 greens (reports/enrich/dns code moved
+    # under them since their last driver row) ---
+    "flow_report_topk",
+    "wide_enrichment_report",
+    "user_tag_profiles",
+    "trend_rollup_daily",
+    "qps_trend",
+    "qps_per_client",
+    "range_join_tiers",
+    "grouped_topk_users",
+    "authority_domain_rollup",
+    "storm_span_overlap",
+    "asof_last_click",
+    "window_suite",
+    "event_type_ratio",
+    "response_code_ratio",
+    "dedup_exact_docs",
+    "dedup_keep_first_events",
+    "cohort_retention",
+    "hourly_gapfill",
+    "conversion_funnel",
+    "doc_quality_score",
+    "clients_rollup_sets",
+    "running_value_per_user",
+    "distinct_agg_users",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

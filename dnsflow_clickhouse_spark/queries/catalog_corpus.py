@@ -601,9 +601,13 @@ FROM c ORDER BY doc_id, chunk_id
 
 def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-feature export: per document, the quality-model feature
-    vector as one array<long> column in integer micro-units (token count,
-    quality score, dup-2/3-gram ppm, language one-hots) — the assembly
-    shape a downstream trainer consumes. Map-only; array built in-row."""
+    vector in integer micro-units (token count, quality score, dup-2/3-gram
+    ppm, language one-hots) — the assembly shape a downstream trainer
+    consumes. Map-only; vector built in-row and serialized as a
+    comma-joined string: the correctness harness canonicalizes output via
+    a pandas sort, which cannot factorize list values (round-2 driver red
+    ``TypeError: unhashable type: 'list'``), so no registered query may
+    emit an array/map column (guarded by tests/test_oracle_types.py)."""
     from dnsflow_clickhouse_spark.operators.text_analysis import (
         repetition_metrics,
         score_documents,
@@ -619,20 +623,22 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long"),
         (F.col("lang") == "zh").cast("long"),
     )
+    features = F.array_join(feats.cast("array<string>"), ",")
     return d.select("doc_id").join(
-        scored.select("doc_id", feats.alias("features")), "doc_id"
+        scored.select("doc_id", features.alias("features")), "doc_id"
     ).select("doc_id", "features").orderBy("doc_id")
 
 
 _FEATURE_MATRIX_SQL = f"""
 WITH t AS (SELECT doc_id, lang, text, {_SQL_TOKS} AS toks FROM documents)
 SELECT doc_id,
+       array_to_string(
        [CAST(len(toks) AS BIGINT),
         CAST(round({_QUALITY_EXPR} * 1000000) AS BIGINT),
         {_sql_dup_ppm(2)},
         {_sql_dup_ppm(3)},
         CAST(lang = 'en' AS BIGINT),
-        CAST(lang = 'zh' AS BIGINT)] AS features
+        CAST(lang = 'zh' AS BIGINT)], ',') AS features
 FROM t ORDER BY doc_id
 """
 

@@ -52,6 +52,33 @@ def test_no_hugeint_in_any_oracle(duck):
 
 
 @pytest.mark.skipif(not Path(SF_DIR).exists(), reason="testdata missing")
+def test_no_nested_types_in_any_oracle(duck):
+    """Round-2 incident: ``quality_feature_matrix`` returned an
+    ``array<long>`` column and the driver's canonicalizer (a pandas
+    sort over all output columns) died with ``TypeError: unhashable
+    type: 'list'`` — a query no harness can check fails the gate even
+    when its values are right.  Nested vectors must be serialized to
+    deterministic text (``array_join`` / ``array_to_string``) or
+    exploded to rows.  Both engines build the same shape, so guarding
+    the (cheap, schema-only) DuckDB side covers the class."""
+    oracles = entry.oracle_sql()
+    offenders = {}
+    for name, sql in oracles.items():
+        rel = duck.sql(sql)
+        bad = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if any(k in str(t).upper() for k in ("[]", "STRUCT", "MAP", "JSON", "LIST"))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "nested-typed columns in oracle SQL (serialize with "
+        f"array_to_string or explode to rows): {offenders}"
+    )
+
+
+@pytest.mark.skipif(not Path(SF_DIR).exists(), reason="testdata missing")
 def test_every_query_has_oracle_or_waiver(duck):
     """Every queries() entry should have an oracle; non-SQL-expressible
     ops must be explicitly listed so the weaker rows-only check is a
