@@ -328,8 +328,12 @@ def minhash_bands_df(
         # plan-truncating barrier: Generate re-evaluates its input
         # expression per emitted row, so explode over the live signature
         # pipeline would redo the hash work n_bands times; checkpointing
-        # the compact (id, sig) rows makes the explode read attributes
-        .localCheckpoint(eager=True)
+        # the compact (id, sig) rows makes the explode read attributes.
+        # LAZY (eager=False): the frame has exactly one consumer, so the
+        # consuming action materializes it in the same job — an eager
+        # barrier here only adds a blocking scheduler round-trip (part
+        # of round 2's fixed-cost catalog tax at small scale)
+        .localCheckpoint(eager=False)
     )
     staged = sigs.select(
         "id", F.explode(minhash_band_hashes(F.col("sig"), n_bands, rows)).alias("bh")
@@ -597,9 +601,9 @@ def embedding_near_dups(
       no driver collect, no broadcast of the corpus (the round-1 design
       collected the whole matrix to the driver; this replaces it).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q")
-    )
+    base = cpu_repartition(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), "id"
+    ).select("id", quantize(F.col("__v"), scale).alias("q"))
     if n_planes > 0:
         from dnsflow_clickhouse_spark.operators.similarity import (
             hyperplane_signature,

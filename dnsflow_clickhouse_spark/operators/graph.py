@@ -11,9 +11,11 @@ Scale shape (min-label propagation):
 - each iteration is one equi-join (labels ⋈ symmetric edges) + one
   min-aggregate — both shuffle on the node id, so the partitioning is
   reused and AQE handles skewed hub nodes;
-- ``localCheckpoint`` after every iteration truncates the lineage (an
-  unbounded iterative plan otherwise grows until the optimizer chokes —
-  the standard Spark fixpoint pitfall);
+- a lineage barrier after every iteration (lazy ``localCheckpoint`` by
+  default, reliable ``checkpoint()`` when ``checkpoint_dir`` is given —
+  see :func:`_make_barrier`) truncates the plan (an unbounded iterative
+  plan otherwise grows until the optimizer chokes — the standard Spark
+  fixpoint pitfall);
 - convergence is detected from the monotone label sum (labels only
   ever decrease), costing one tiny aggregate per iteration instead of a
   join-based diff;
@@ -28,12 +30,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _make_barrier(spark, checkpoint_dir: str | None):
+    """Return the per-iteration lineage barrier for a fixpoint loop.
+
+    Cluster-scale durability contract: ``localCheckpoint`` stores
+    blocks on executors and TRUNCATES lineage, so losing one executor
+    mid-loop invalidates the checkpoint and kills the job — acceptable
+    in local mode and for short loops, a real hazard on a 1000-executor
+    cluster where the loop outlives the executors' MTBF. Passing
+    ``checkpoint_dir`` switches every barrier to a reliable
+    ``checkpoint()`` persisted to that (DFS) directory, which survives
+    executor loss; eager, because durability requires the write to
+    finish before the iteration is considered done.
+    """
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.localCheckpoint(eager=False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, comp) for every node appearing in ``edges``; ``comp`` is the
     smallest node id reachable from ``id`` (deterministic canonical
@@ -45,12 +67,24 @@ def connected_components(
     paying per-iteration task overhead on hundreds of near-empty
     partitions; leave None to inherit the session default for
     genuinely large graphs.
+
+    ``checkpoint_dir`` selects the reliable-checkpoint barrier for
+    cluster-scale runs (see :func:`_make_barrier` for the durability
+    contract); unset, barriers are executor-local.
     """
     nparts = num_partitions
+    barrier = _make_barrier(edges.sparkSession, checkpoint_dir)
     # materialize the (often expensive) edge pipeline ONCE — nodes, sym
     # and the first labels frame all derive from it, and without the
-    # barrier each derivation re-runs the full upstream plan
-    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
+    # barrier each derivation re-runs the full upstream plan.  All the
+    # barriers in this loop are LAZY (eager=False): the per-iteration
+    # convergence collect is the materializing action anyway, so eager
+    # checkpoints only added one extra blocking job per iteration
+    # (round 2's fixed-cost regression); lineage truncation — the thing
+    # the barrier exists for — happens at plan-build time either way,
+    # and the localCheckpoint's implicit persist dedupes any multi-
+    # reference compute above shuffle boundaries.
+    edges = barrier(edges.select(F.col(src), F.col(dst)))
     nodes = (
         edges.select(F.col(src).alias("id"))
         .unionByName(edges.select(F.col(dst).alias("id")))
@@ -64,19 +98,18 @@ def connected_components(
     if nparts:
         sym = sym.repartition(nparts, "a")
         nodes = nodes.repartition(nparts, "id")
-    sym = sym.localCheckpoint(eager=True)
-    labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    sym = barrier(sym)
+    labels = barrier(nodes.withColumn("comp", F.col("id")))
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("comp")
         )
-        labels = (
+        labels = barrier(
             labels.select("id", "comp")
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -90,10 +123,14 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster rollup over a near-dup pair list: (comp, n_members) with
     ``comp`` = the cluster's canonical (minimum) member id."""
-    cc = connected_components(pairs, id_a, id_b, num_partitions=num_partitions)
+    cc = connected_components(
+        pairs, id_a, id_b,
+        num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
+    )
     return cc.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
 
 
@@ -103,6 +140,7 @@ def pagerank_exact(
     src: str = "src",
     dst: str = "dst",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact integer micro-units: rank(n) =
     150000 + floor(850 * Σ_in floor(rank(s)/deg(s)) / 1000), starting
@@ -123,6 +161,7 @@ def pagerank_exact(
     checkpointed to keep the lineage flat (the standard Spark fixpoint
     discipline, same as connected_components).
     """
+    barrier = _make_barrier(edges.sparkSession, checkpoint_dir)
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
     if num_partitions:
         # node sets are usually orders smaller than the corpus that
@@ -130,13 +169,12 @@ def pagerank_exact(
         # task overhead on near-empty shuffle partitions (same knob as
         # connected_components)
         e = e.repartition(num_partitions, "__s")
-    e = e.localCheckpoint()
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
-    nodes = (
+    e = barrier(e)
+    deg = barrier(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")))
+    nodes = barrier(
         e.select(F.col("__s").alias("id"))
         .union(e.select(F.col("__d").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("long"))
     for _ in range(iterations):
@@ -154,7 +192,7 @@ def pagerank_exact(
             .groupBy("id")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
+        ranks = barrier(
             nodes.join(contrib, "id", "left")
             .select(
                 "id",
@@ -163,7 +201,6 @@ def pagerank_exact(
                     + F.expr("(coalesce(__in, 0L) * 850) div 1000")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint()
         )
     return ranks
 
@@ -176,6 +213,7 @@ def canonical_representatives(
     id_a: str = "id_a",
     id_b: str = "id_b",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Pick which document survives each near-dup cluster: connected
     components over the pair list, then the highest-``quality`` member
@@ -192,7 +230,10 @@ def canonical_representatives(
     """
     from pyspark.sql import Window
 
-    cc = connected_components(pairs, id_a, id_b, num_partitions=num_partitions)
+    cc = connected_components(
+        pairs, id_a, id_b,
+        num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
+    )
     q = quality.select(
         F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
     )

@@ -108,6 +108,10 @@ def decode_wav(payload: bytes):
     tag, channels, rate, _, _, bits = fmt
     if tag != 1 or bits not in (8, 16, 32):
         raise ValueError(f"unsupported WAV encoding tag={tag} bits={bits}")
+    if channels <= 0:
+        # malformed fmt chunk: fail with a typed error, not the
+        # ZeroDivisionError the sample-count division would raise
+        raise ValueError(f"malformed WAV fmt chunk: channels={channels}")
     dtype = {8: np.dtype("u1"), 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
     n = len(data) // dtype.itemsize // channels * channels
     samples = np.frombuffer(data, dtype=dtype, count=n).reshape(-1, channels)
@@ -148,6 +152,11 @@ def extract_features(
                     w, h, fr = _fake_decode(payload, r["kind"])
                     fw, fh = min(w, target_size[0]), min(h, target_size[1])
                     frames = (fr + frame_stride - 1) // frame_stride
+                elif not payload:
+                    # empty/NULL payload: emit a zero-feature row instead
+                    # of failing the whole Spark stage for one bad asset
+                    # (the stub path already treats b'' this way)
+                    fw = fh = frames = 0
                 elif payload[:2] in (b"P5", b"P6"):
                     resized = resize_nearest(decode_pnm(payload), target_size)
                     fh, fw = resized.shape[0], resized.shape[1]

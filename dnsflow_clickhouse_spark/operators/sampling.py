@@ -145,13 +145,27 @@ def global_positions(
     must see the SAME sampled range boundaries; recomputing the range
     exchange per branch could legally resample. State held: the order
     key columns only, spill-safe.
+
+    The default partition count adapts to the input estimate (16 MiB
+    per range partition, clamped to the session width) — a small frame
+    doesn't pay a full-width exchange, a 100 TB one saturates the clamp.
+    ``pos`` is a long: at the 100 TB design point row counts pass 2^31,
+    where an int position would silently wrap.
     """
     from pyspark import StorageLevel
 
+    from dnsflow_clickhouse_spark.operators.util import est_input_bytes
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    n = n_parts or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if n_parts:
+        n = n_parts
+    else:
+        try:
+            est = est_input_bytes(df)
+        except Exception:
+            est = None
+        n = width if est is None else max(min(8, width), min(width, est >> 24))
     ranged = (
         df.repartitionByRange(n, *cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -172,6 +186,6 @@ def global_positions(
     return (
         ranged.withColumn("__rn", F.row_number().over(local_w))
         .join(F.broadcast(offsets), "__pid")
-        .withColumn(pos_col, (F.col("__off") + F.col("__rn")).cast("int"))
+        .withColumn(pos_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )

@@ -176,8 +176,12 @@ def _plane_coeff(plane: int, dim_idx: Column) -> Column:
     return (x * x % F.lit(1009).cast("long")) - F.lit(504).cast("long")
 
 
-def hyperplane_signature(vec_q: Column, n_planes: int = 8) -> Column:
-    """Bucket id in [0, 2^n_planes): bit p = sign of <v, h_p>."""
+def hyperplane_signature_expr(vec_q: Column, n_planes: int = 8) -> Column:
+    """Bucket id in [0, 2^n_planes): bit p = sign of <v, h_p>.
+
+    Pure-expression form (interpreted; n_planes x dim work per row) —
+    kept as the portable reference the oracles replay and the parity
+    test pins; bulk paths use :func:`hyperplane_signature`."""
     dims = F.sequence(F.lit(0), F.size(vec_q) - 1)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -188,6 +192,49 @@ def hyperplane_signature(vec_q: Column, n_planes: int = 8) -> Column:
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
+
+
+def _plane_matrix(n_planes: int, dim: int):
+    """The (n_planes, dim) coefficient matrix of :func:`_plane_coeff`,
+    replayed in exact int64 numpy arithmetic (x*x stays < 2^53 so every
+    engine agrees)."""
+    import numpy as np
+
+    i = np.arange(dim, dtype=np.int64)
+    p = np.arange(n_planes, dtype=np.int64)
+    x = (i[None, :] + 1) * (2654435761 % 1_000_003) + (p[:, None] * 97 + 13)
+    return (x * x) % 1009 - 504
+
+
+def hyperplane_signature(vec_q: Column, n_planes: int = 8) -> Column:
+    """Bucket id in [0, 2^n_planes): bit p = sign of <v, h_p>.
+
+    Arrow kernel: one int64 GEMM per batch against the deterministic
+    coefficient matrix — bit-identical to
+    :func:`hyperplane_signature_expr` (pinned by test) at a fraction of
+    the interpreted expression's per-row cost."""
+
+    @pandas_udf(LongType())
+    def sig(q: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(q)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        try:
+            mat = np.stack([np.asarray(v, dtype=np.int64) for v in q])
+            proj = mat @ _plane_matrix(n_planes, mat.shape[1]).T
+            out = ((proj > 0).astype(np.int64) @ weights)
+        except ValueError:  # ragged dims
+            out = np.empty(n, dtype=np.int64)
+            for j in range(n):
+                v = np.asarray(q.iloc[j], dtype=np.int64)
+                pr = _plane_matrix(n_planes, len(v)) @ v
+                out[j] = int(((pr > 0).astype(np.int64) * weights).sum())
+        return pd.Series(out)
+
+    return sig(vec_q)
 
 
 def ivf_topk(

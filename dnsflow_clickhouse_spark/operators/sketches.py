@@ -188,7 +188,13 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each row of ``items``: the min over
     the item's ``depth`` counters, an upper bound on its true count.
-    The sketch is depth*width rows — always broadcast."""
+    The sketch is depth*width rows — always broadcast.
+
+    LEFT join + coalesce-to-0: an item absent from the sketched data
+    has (row, bucket) cells that never received a counter; an inner
+    join would silently drop it (and a partial match would min over
+    fewer than ``depth`` counters, breaking the upper-bound contract).
+    Missing cells count 0, so unseen items report est_count = 0."""
     probes = items.select(
         item_col,
         F.explode(
@@ -207,7 +213,7 @@ def cms_estimate(
         ).alias("rb"),
     ).select(item_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )

@@ -18,6 +18,7 @@ from dnsflow_clickhouse_spark.operators.sampling import (
     per_key_sample,
     stratified_sample,
 )
+from dnsflow_clickhouse_spark.operators.util import cpu_repartition
 from dnsflow_clickhouse_spark.queries.catalog_mlops import _sql_poly, _SQL_TOKS
 from dnsflow_clickhouse_spark.sources.tables import load_table
 
@@ -355,7 +356,7 @@ def repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dnsflow_clickhouse_spark.operators.text_analysis import repetition_metrics
 
     d = load_table(spark, sf_dir, "documents")
-    m = repetition_metrics(d, "text", ns=(2, 3))
+    m = repetition_metrics(cpu_repartition(d, "doc_id"), "text", ns=(2, 3))
     cnt = F.count(F.lit(1))
     return (
         m.groupBy("lang")
@@ -474,15 +475,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     final counting aggregate — quality scoring and the resample gate are
     map-side. The per-language rates derive from the *quality survivors*
     (not the raw corpus), which is the order a real pipeline wants."""
-    from pyspark import StorageLevel
-
     from dnsflow_clickhouse_spark.operators.sampling import sample_key
     from dnsflow_clickhouse_spark.operators.text_analysis import score_documents
+    from dnsflow_clickhouse_spark.operators.util import cpu_repartition, maybe_persist
 
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5("text"))
-    flags = (
-        score_documents(d)
+    flags = maybe_persist(
+        # fan the interpreted scoring out before it runs: a single-file
+        # corpus scans as ONE partition (single row group), which would
+        # serialize the stopword/ratio expressions on one core
+        score_documents(cpu_repartition(d, "doc_id"))
         .withColumn("uniq", (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"))
         .withColumn("qm", F.round(F.col("quality") * 1_000_000).cast("long"))
         .withColumn(
@@ -490,14 +493,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("uniq") == 1) & (F.col("qm") >= _FUNNEL_THR)).cast("int"),
         )
         .withColumn("bucket", sample_key("doc_id"))
-        .select("doc_id", "lang", "uniq", "q", "bucket")
+        .select("doc_id", "lang", "uniq", "q", "bucket"),
         # the flags subtree (tokenize + quality-score + md5 dedup window)
-        # feeds BOTH the per-language rate aggregate and the final count;
-        # persisting the slim 5-column projection makes the expensive
-        # scoring run once instead of twice.  Spill-safe (MEMORY_AND_DISK)
-        # and ~50 B/row, so it holds at corpus scale; a long-lived
-        # session would unpersist after the sink action.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # feeds BOTH the per-language rate aggregate and the final count.
+        # At corpus scale, persisting the slim 5-column projection
+        # (~50 B/row, MEMORY_AND_DISK, spill-safe) makes the expensive
+        # scoring run once instead of twice; at test scale recomputing is
+        # cheaper than materializing (round 2's unconditional persist
+        # cost 6.5x at sf0.1), so the persist is gated on the INPUT size
+        # estimate — the scan-rooted source, whose stats are reliable.
+        source=d,
     )
     counts = flags.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_raw"),
@@ -614,7 +619,9 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    scored = repetition_metrics(score_documents(d), "text", ns=(2, 3))
+    scored = repetition_metrics(
+        score_documents(cpu_repartition(d, "doc_id")), "text", ns=(2, 3)
+    )
     feats = F.array(
         F.col("toks"),
         F.round(F.col("quality") * 1_000_000).cast("long"),
@@ -672,7 +679,7 @@ _SHUFFLE_SHARDS_SQL = f"""
 SELECT doc_id, pos, CAST((pos - 1) % 8 AS INT) AS shard
 FROM (
   SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY {_SQL_BUCKET_DOC}, doc_id) AS INT) AS pos
+         CAST(row_number() OVER (ORDER BY {_SQL_BUCKET_DOC}, doc_id) AS BIGINT) AS pos
   FROM documents
 )
 ORDER BY pos

@@ -312,7 +312,9 @@ ORDER BY id_a, id_b
 
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the labeled lang: confusion counts."""
-    d = analyze_documents(load_table(spark, sf_dir, "documents"))
+    d = analyze_documents(
+        cpu_repartition(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
     return (
         d.groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -339,7 +341,9 @@ SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable rolling-hash document fingerprints."""
-    d = analyze_documents(load_table(spark, sf_dir, "documents"))
+    d = analyze_documents(
+        cpu_repartition(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
     return d.select("doc_id", "fp").orderBy("doc_id")
 
 
@@ -659,14 +663,21 @@ def incremental_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the existing corpus are never reread)."""
     d = load_table(spark, sf_dir, "documents")
     # one signature pass carries the content hash alongside the simhash
-    # (keep_cols), so there is no self-join and Catalyst prunes each
-    # branch down to just the derivation it needs: the existing-corpus
-    # hash set never tokenizes, the existing-corpus simhash set never
-    # computes md5.
-    base = simhash_df(
-        d.withColumn("__h", F.md5("text")), "doc_id", "text", 16,
-        keep_cols=["__h"],
-    ).withColumnRenamed("simhash", "__sim")
+    # (keep_cols), so there is no self-join. The LAZY barrier makes the
+    # three consumers below (new-batch probe + the two existing-corpus
+    # build sides) read ONE materialization of the compact
+    # (id, simhash, md5) rows instead of re-running the Arrow signature
+    # kernel per branch; lazy because the first consuming job
+    # materializes it — eager would only add a blocking scheduler
+    # round-trip.
+    base = (
+        simhash_df(
+            d.withColumn("__h", F.md5("text")), "doc_id", "text", 16,
+            keep_cols=["__h"],
+        )
+        .withColumnRenamed("simhash", "__sim")
+        .localCheckpoint(eager=False)
+    )
     new_b = base.filter(F.col("id") % 2 == 1)
     old_h = (
         base.filter(F.col("id") % 2 == 0)

@@ -26,8 +26,11 @@ ZORDER_BITS = 8  # per-dimension resolution (256 buckets)
 
 def _bucketize(c: Column, vmin: float, vmax: float, nb: int) -> Column:
     """Linear rank bucket in [0, nb): planning-time min/max, clamped so
-    late-arriving out-of-range values still land in the edge buckets."""
-    if vmax <= vmin:
+    late-arriving out-of-range values still land in the edge buckets.
+    ``None`` stats (empty frame, or an all-null column) degenerate to
+    bucket 0, same as a constant column — the write still succeeds, it
+    just contributes no clustering on that dimension."""
+    if vmin is None or vmax is None or vmax <= vmin:
         return F.lit(0).cast("long")
     scaled = (
         (c.cast("double") - F.lit(float(vmin)))

@@ -134,6 +134,33 @@ def test_cosine_topk(spark):
         assert [rk for rk, _ in sorted(lst)] == [1, 2]
 
 
+def test_hyperplane_signature_arrow_matches_expr(spark):
+    """The Arrow GEMM signature must be bit-identical to the portable
+    expression form the oracles replay (ragged dims included)."""
+    import random
+
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_signature_expr,
+        quantize,
+    )
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    rows.append((200, [0.5] * 7))  # ragged row exercises the fallback
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", quantize(F.col("embedding").cast("array<float>")).alias("q")
+    )
+    both = vecs.select(
+        "vec_id",
+        hyperplane_signature(F.col("q"), 8).alias("arrow_sig"),
+        hyperplane_signature_expr(F.col("q"), 8).alias("expr_sig"),
+    ).collect()
+    assert len(both) == 201
+    for r in both:
+        assert r.arrow_sig == r.expr_sig, r.vec_id
+
+
 def test_hyperplane_lsh_subset_of_exact(spark):
     import random
 

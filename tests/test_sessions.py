@@ -85,6 +85,39 @@ def test_connected_components_chain(spark):
     assert sizes == {1: 5, 10: 2}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The durable-barrier path (checkpoint_dir -> reliable
+    ``checkpoint()`` instead of localCheckpoint) must produce identical
+    clusters AND actually write checkpoint state to the directory —
+    the cluster-scale durability contract (executor loss mid-loop
+    recovers from the checkpoint dir, not executor-local blocks)."""
+    from dnsflow_clickhouse_spark.operators.graph import (
+        connected_components,
+        pagerank_exact,
+    )
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11)], "src long, dst long"
+    )
+    cc = {
+        r.id: r.comp
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    import os
+
+    written = any(files for _, _, files in os.walk(ckpt))
+    assert written, "reliable checkpoint wrote nothing to the checkpoint dir"
+
+    pr_local = {r.id: r.rank for r in pagerank_exact(edges, iterations=2).collect()}
+    pr_durable = {
+        r.id: r.rank
+        for r in pagerank_exact(edges, iterations=2, checkpoint_dir=ckpt).collect()
+    }
+    assert pr_local == pr_durable
+
+
 def test_canonical_representatives(spark):
     """Highest quality wins each cluster; quality ties break to the
     lowest id; a member missing from the quality table (null score)

@@ -1,0 +1,46 @@
+"""Time a subset of catalog queries in isolation (same harness shape as
+bench.py: warmed session, noop sink). Usage:
+
+    python tools/time_queries.py [sf_dir] q1 q2 ...  [--repeat N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from dnsflow_clickhouse_spark.queries import QUERY_REGISTRY
+from dnsflow_clickhouse_spark.session import get_spark
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    repeat = 1
+    if "--repeat" in args:
+        i = args.index("--repeat")
+        repeat = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    spark = get_spark(app_name="dnsflow-time")
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    warm.limit(32).groupBy("l_returnflag").applyInPandas(
+        lambda pdf: pdf[["l_orderkey"]].head(1), schema="l_orderkey long"
+    ).write.format("noop").mode("overwrite").save()
+    for name in names:
+        fn = QUERY_REGISTRY[name][0]
+        times = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        print(f"{name}: " + " ".join(f"{t:.2f}s" for t in times), flush=True)
+
+
+if __name__ == "__main__":
+    main()
