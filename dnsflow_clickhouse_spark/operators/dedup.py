@@ -738,28 +738,22 @@ def prefix_filtered_jaccard_pairs(
         "id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
     )
     freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-    # global canonical order: (document frequency asc, gram asc)
-    ordered = (
-        exploded.join(freq, "g")
-        .groupBy("id", "n_grams")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("__df"), F.col("g")))
-            ).alias("__ord")
-        )
-    )
     prefix_len = (
         F.col("n_grams")
         - F.ceil(F.lit(threshold) * F.col("n_grams"))
         + F.lit(1)
     ).cast("int")
+    # global canonical order (document frequency asc, gram asc) via a
+    # per-doc window rank — stays in whole-stage codegen and shuffles
+    # once on the id, vs the collect_list + interpreted sort_array +
+    # slice/explode formulation which built every doc's full ordered
+    # gram array in memory just to keep its first prefix_len entries
+    ord_w = Window.partitionBy("id").orderBy("__df", "g")
     prefix = (
-        ordered.select(
-            "id",
-            "n_grams",
-            F.explode(F.slice(F.col("__ord"), 1, prefix_len)).alias("pg"),
-        )
-        .select("id", "n_grams", F.col("pg.g").alias("g"))
+        exploded.join(freq, "g")
+        .withColumn("__rn", F.row_number().over(ord_w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("id", "n_grams", "g")
         # barrier: the candidate join reads this frame on BOTH sides; a
         # live plan would recompute the whole freq+order pipeline per
         # side (and broadcast a re-exploded gram set with it)

@@ -273,7 +273,15 @@ def start_stream(
         if batch_df.isEmpty():
             return
         parsed = parse_raw_lines(batch_df)
-        # process the most recent fully-closed 5-min window per batch
+        # process the most recent fully-closed 5-min window per batch.
+        # DELIBERATE driver collect (the engine's "no driver-side data"
+        # rule has a scalar carve-out): this is ONE aggregated row —
+        # max(event time) — fetched once per 300 s trigger to pick the
+        # window bound, mirroring the reference's batch-time path
+        # enumeration (DnsRptCH.scala:983-1011). Structured Streaming's
+        # own watermark metadata isn't usable here because foreachBatch
+        # sees the raw un-watermarked frame; an aggregate probe is the
+        # batch-parity-preserving equivalent.
         bounds = parsed.agg(F.max("Timestamp").alias("m")).collect()[0]
         if bounds["m"] is None:
             return
