@@ -105,11 +105,32 @@ def connected_components(
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("comp")
         )
-        labels = barrier(
+        stepped = (
             labels.select("id", "comp")
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer-jumping shortcut (label doubling): follow each label to
+        # ITS label — comp(comp(id)) — so a label travels 2^t hops after t
+        # rounds and the loop converges in O(log diameter) blocking
+        # rounds instead of O(diameter). Valid because comp is always a
+        # reachable node id (reachability is transitive), labels only
+        # decrease, and the plain neighbor-min step still runs every
+        # round, so the fixpoint is the same min-reachable-id. The
+        # expensive side of the shortcut join reads stepped's own
+        # aggregation shuffle, which executes once.
+        l2 = stepped.select(
+            F.col("id").alias("__cid"), F.col("comp").alias("__cc")
+        )
+        labels = barrier(
+            stepped.join(l2, stepped["comp"] == l2["__cid"], "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.least(F.col("comp"), F.col("__cc")), F.col("comp")
+                ).alias("comp"),
+            )
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:

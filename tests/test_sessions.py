@@ -85,6 +85,24 @@ def test_connected_components_chain(spark):
     assert sizes == {1: 5, 10: 2}
 
 
+def test_connected_components_deep_chain_converges(spark):
+    """A 100-node chain has diameter 99 — plain one-hop min-label
+    propagation would exhaust max_iter=25 and return unconverged labels.
+    The pointer-jumping shortcut (comp of comp, label travels 2^t hops
+    after t rounds) must converge it well inside the iteration cap."""
+    from dnsflow_clickhouse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 100)], "src long, dst long"
+    )
+    cc = {
+        r.id: r.comp
+        for r in connected_components(edges, num_partitions=4).collect()
+    }
+    assert len(cc) == 100
+    assert set(cc.values()) == {1}, "deep chain did not fully converge"
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """The durable-barrier path (checkpoint_dir -> reliable
     ``checkpoint()`` instead of localCheckpoint) must produce identical
