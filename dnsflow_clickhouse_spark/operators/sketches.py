@@ -1,5 +1,6 @@
 """Deterministic mergeable sketches (engine extension): HyperLogLog
-distinct-count registers and a Count-Min frequency sketch.
+distinct-count registers, a Count-Min frequency sketch, and a Bloom
+membership filter.
 
 Why deterministic: the standard implementations (Spark's
 ``approx_count_distinct``, DataSketches) are engine-specific — no
@@ -144,6 +145,107 @@ def hll_estimate(
 
 CMS_DEPTH = 3
 CMS_WIDTH = 1024
+
+
+BLOOM_BITS = 1024  # 32 words x 32 bits
+BLOOM_WORD_BITS = 32  # 32-bit words stored in longs: no sign-bit games,
+#                       `1 << 31` stays positive in every engine
+BLOOM_K = 4  # hash functions
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Deterministic Bloom filter over ``item_col``: returns the bitmap
+    as (word_idx, word) rows — ``bits // 32`` rows total, engine-portable
+    (the k bit positions come from the seeded portable hash, the words
+    from a ``bit_or`` aggregate).
+
+    Why a Bloom filter at 100 TB: membership gating (decontamination,
+    incremental-ingest dedup, CDC anti-joins) wants "is this item in the
+    reference set?" WITHOUT shuffling the fact table against the
+    reference set. The filter is a few KB regardless of reference-set
+    size modulo FP tuning, broadcasts for free, and the probe is a
+    map-side expression + one tiny broadcast join — no fact shuffle.
+    False positives are possible (bounded by the standard (1-e^{-kn/m})^k
+    curve), false negatives are not; a deterministic build means the FP
+    set itself is replayable by the oracle.
+
+    Like the HLL registers and CMS counters, the bitmap is mergeable:
+    union + ``bit_or`` re-aggregate folds any partitioning of the build
+    data (or yesterday's filter plus today's) into the identical filter.
+    """
+    item = F.col(item_col)
+    probes = F.array(
+        *[
+            (_mixed_hash(item, seed=r + 1) % F.lit(bits)).alias(f"p{r}")
+            for r in range(k)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("pos"))
+        .select(
+            (F.col("pos") / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two Bloom bitmaps built with the same (k, bits) into one:
+    union + bit_or — identical to building over the union of the data."""
+    return (
+        a.unionByName(b).groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+    flag_col: str = "maybe_present",
+) -> DataFrame:
+    """Probe the filter for every row of ``items``: appends ``flag_col``
+    (int 1/0) — 1 iff ALL k probed bits are set (possible member; false
+    positives allowed, false negatives impossible). The bitmap is always
+    broadcast; the probe itself is map-side bit math, so the items side
+    never shuffles."""
+    item = F.col(item_col)
+    probes = F.array(
+        *[
+            (_mixed_hash(item, seed=r + 1) % F.lit(bits)).alias(f"p{r}")
+            for r in range(k)
+        ]
+    )
+    probed = items.select(
+        "*", F.explode(probes).alias("pos")
+    ).select(
+        "*",
+        (F.col("pos") / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word_idx"),
+        F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))").alias(
+            "mask"
+        ),
+    )
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    ).cast("int")
+    keys = [c for c in items.columns]
+    return (
+        probed.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn("__hit", hit)
+        .groupBy(*keys)
+        .agg(F.min("__hit").alias(flag_col))
+    )
 
 
 def cms_sketch(

@@ -1,6 +1,7 @@
 """Sketch query batch: deterministic HyperLogLog distinct estimation
-(with a merge-losslessness demonstration) and Count-Min heavy-hitter
-estimation, over the events table.
+(with a merge-losslessness demonstration), Count-Min heavy-hitter
+estimation over the events table, and Bloom-filter membership gating
+over the documents table.
 
 Both oracles replay the engine's portable polynomial hash and exact
 dyadic float algebra (operators/sketches.py documents why every
@@ -161,7 +162,103 @@ ORDER BY t.n_exact DESC, t.user_id
 """
 
 
+def bloom_membership_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gating, the join-free decontamination
+    primitive: build the filter over a reference slice (doc_id % 10 == 0
+    plays the benchmark/already-ingested set), probe every other
+    document map-side, and report per language how many probes the
+    filter flags vs exact membership — ``n_false_pos`` makes the FP set
+    visible (false negatives are impossible; the oracle replays the
+    identical bit math, FPs included). At 100 TB the filter is a few KB
+    broadcast and the fact table never shuffles; the exact-membership
+    join here exists only to exhibit the FP bound."""
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 10 == 0).select("text")
+    bloom = bloom_build(ref, "text")
+    probes = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "lang", "text")
+    flagged = bloom_probe(bloom, probes, "text")
+    ref_texts = ref.distinct().withColumnRenamed("text", "__rt")
+    with_exact = flagged.join(
+        F.broadcast(ref_texts), flagged["text"] == F.col("__rt"), "left"
+    ).select(
+        "lang",
+        "maybe_present",
+        F.col("__rt").isNotNull().cast("int").alias("exact_dup"),
+    )
+    return (
+        with_exact.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum("maybe_present").alias("n_flagged"),
+            F.sum("exact_dup").alias("n_exact"),
+            F.sum(F.col("maybe_present") - F.col("exact_dup")).alias(
+                "n_false_pos"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_bloom() -> str:
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+    )
+
+    build_pos = " UNION ALL ".join(
+        f"SELECT ({_sql_mixed('text', r + 1)}) % {BLOOM_BITS} AS pos FROM ref"
+        for r in range(BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT doc_id, lang, text,"
+        f" ({_sql_mixed('text', r + 1)}) % {BLOOM_BITS} AS pos FROM probes"
+        for r in range(BLOOM_K)
+    )
+    return f"""
+WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+bp AS ({build_pos}),
+words AS (
+  SELECT CAST(pos // {BLOOM_WORD_BITS} AS INT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS word
+  FROM bp GROUP BY 1
+),
+probes AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
+pp AS ({probe_pos}),
+ph AS (
+  SELECT doc_id, lang, text,
+         CAST(pos // {BLOOM_WORD_BITS} AS INT) AS word_idx,
+         CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT) AS mask
+  FROM pp
+),
+hits AS (
+  SELECT doc_id, lang, text,
+         min(CASE WHEN (COALESCE(w.word, 0) & ph.mask) = ph.mask
+                  THEN 1 ELSE 0 END) AS maybe_present
+  FROM ph LEFT JOIN words w USING (word_idx)
+  GROUP BY 1, 2, 3
+),
+ex AS (
+  SELECT h.lang, h.maybe_present,
+         CASE WHEN EXISTS (SELECT 1 FROM ref r WHERE r.text = h.text)
+              THEN 1 ELSE 0 END AS exact_dup
+  FROM hits h
+)
+SELECT lang, count(*) AS n_probed,
+       CAST(sum(maybe_present) AS BIGINT) AS n_flagged,
+       CAST(sum(exact_dup) AS BIGINT) AS n_exact,
+       CAST(sum(maybe_present - exact_dup) AS BIGINT) AS n_false_pos
+FROM ex GROUP BY lang ORDER BY lang
+"""
+
+
 SKETCH_REGISTRY = {
     "hll_distinct_users": (hll_distinct_users, _HLL_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, _sql_cms()),
+    "bloom_membership_flags": (bloom_membership_flags, _sql_bloom()),
 }

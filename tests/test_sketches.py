@@ -123,3 +123,34 @@ def test_streaming_cms_state_fold_matches_one_shot(spark):
     folded = {(r.row, r.bucket): r.cnt for r in state.collect()}
     whole = {(r.row, r.bucket): r.cnt for r in one_shot.collect()}
     assert folded == whole
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every built item must probe positive (false negatives are
+    impossible by construction); a filter merged from two halves must
+    equal the single-pass filter word-for-word; unseen items may flag
+    FP but the cms-style sanity bound is that most of a disjoint probe
+    set stays unflagged at this fill factor."""
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    df = _items(spark, n=60, dups=1).select("item")
+    bloom = bloom_build(df, "item")
+    # membership: all built items flagged
+    hits = bloom_probe(bloom, df, "item").collect()
+    assert all(r.maybe_present == 1 for r in hits)
+    # merge-losslessness: two halves fold to the identical bitmap
+    left = bloom_build(df.filter(F.substring("item", 6, 9).cast("int") % 2 == 0), "item")
+    right = bloom_build(df.filter(F.substring("item", 6, 9).cast("int") % 2 == 1), "item")
+    merged = {(r.word_idx): r.word for r in bloom_merge(left, right).collect()}
+    whole = {(r.word_idx): r.word for r in bloom.collect()}
+    assert merged == whole
+    # disjoint probes: mostly unflagged (deterministic FPs allowed)
+    other = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(200)], "item string"
+    )
+    fp = sum(r.maybe_present for r in bloom_probe(bloom, other, "item").collect())
+    assert fp < 40, f"implausible FP count {fp} for 240/1024 bits set"
