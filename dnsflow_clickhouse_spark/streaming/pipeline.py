@@ -297,6 +297,20 @@ def start_stream(
     )
 
 
+def merge_bloom_state(state: DataFrame | None, batch_bloom: DataFrame) -> DataFrame:
+    """Cross-batch membership state as a Bloom bitmap
+    (operators.sketches.bloom_build): or-fold one micro-batch's filter
+    into the running state. Same contract as the HLL/CMS folds — the
+    state is <= bits/32 rows FOREVER, the merge is idempotent (replayed
+    batches cannot flip a bit twice), and the same bitmap gates the next
+    batch's admission (seen-before suppression without an ever-growing
+    exact key set; false positives drop a few novel items, never
+    re-admit seen ones)."""
+    from dnsflow_clickhouse_spark.operators.sketches import bloom_merge
+
+    return batch_bloom if state is None else bloom_merge(state, batch_bloom)
+
+
 def merge_sketch_state(
     state: DataFrame | None, batch_regs: DataFrame, key_cols: list[str]
 ) -> DataFrame:

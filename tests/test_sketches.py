@@ -154,3 +154,22 @@ def test_bloom_no_false_negatives_and_merge(spark):
     )
     fp = sum(r.maybe_present for r in bloom_probe(bloom, other, "item").collect())
     assert fp < 40, f"implausible FP count {fp} for 240/1024 bits set"
+
+
+def test_streaming_bloom_state_fold_matches_one_shot(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import bloom_build
+    from dnsflow_clickhouse_spark.streaming.pipeline import merge_bloom_state
+
+    df = _items(spark, n=120, dups=1).withColumn(
+        "batch", F.abs(F.hash("item")) % 3
+    )
+    state = None
+    for b in range(3):
+        state = merge_bloom_state(
+            state, bloom_build(df.filter(F.col("batch") == b), "item")
+        )
+    # replay a batch: idempotent
+    state = merge_bloom_state(state, bloom_build(df.filter(F.col("batch") == 1), "item"))
+    folded = {r.word_idx: r.word for r in state.collect()}
+    whole = {r.word_idx: r.word for r in bloom_build(df, "item").collect()}
+    assert folded == whole
