@@ -462,6 +462,14 @@ def simhash_near_pairs(
     (band, slice-value) — no all-pairs — and the exact hamming filter
     runs only inside buckets. Same groupBy + in-bucket expansion plan as
     MinHash-LSH.
+
+    SIZE THE SIGNATURE TO THE CORPUS (measured in SCALE_SMOKE.md): each
+    band has 2^(n_bits/n_bands) possible values, so expected bucket
+    occupancy is ~corpus_size / (n_bands * 2^(n_bits/n_bands)) and the
+    in-bucket join is quadratic in it. n_bits=16/n_bands=4 (64 buckets
+    total — the oracle-pinned catalog setting) saturates beyond ~10^4
+    docs; at 100 TB use n_bits=48..64 with hash_fn=xxhash64 so bands
+    carry 2^12..2^16 values and occupancy tracks true cluster size.
     """
     width = n_bits // n_bands
     mask = (1 << width) - 1
@@ -592,7 +600,10 @@ def embedding_near_dups(
       construction (recall < 1, same trade as hyperplane_lsh_topk);
       every surviving pair is exact. Shuffle = one hash partition by
       bucket; scale bucket count with ``n_planes`` (2^p buckets) so
-      per-bucket matrices stay executor-sized.
+      per-bucket matrices stay executor-sized — per-bucket GEMM cost is
+      occupancy^2, so pick n_planes with corpus_size / 2^n_planes ~
+      O(expected cluster size): 8 planes at sf scale, ~16-20 planes at
+      100 TB (SCALE_SMOKE.md).
     - ``n_planes = 0`` — exact all-pairs via block-pair GEMM: rows hash
       into ``EXACT_BLOCKS`` blocks, every unordered block pair becomes
       one ``applyInPandas`` group, and each group multiplies its two

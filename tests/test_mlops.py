@@ -177,6 +177,22 @@ def test_hyperplane_lsh_subset_of_exact(spark):
         assert -1.0 <= r.cosine <= 1.0
 
 
+def test_simhash_near_pairs_wide_signature_scale_setting(docs):
+    """The 100 TB setting from SCALE_SMOKE.md — 48-bit signature, 4
+    bands (2^12 values per band), xxhash64 — must keep the same
+    contract: exact dups pair at hamming 0, unrelated docs don't."""
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", n_bits=48, n_bands=4, max_hamming=1,
+            hash_fn=F.xxhash64,
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical docs -> hamming 0
+    for a, b in pairs:
+        assert 3 not in (a, b)  # unrelated doc never pairs
+
+
 def test_simhash_near_pairs_finds_exact_dups(docs):
     pairs = {
         (r.id_a, r.id_b): r.hamming
