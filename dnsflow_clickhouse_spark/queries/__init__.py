@@ -16,7 +16,8 @@ timestamp-LTZ and repartition commits).  Still r1-green and deliberately
 left outside this window (untouched code, lowest drift risk):
 day_pivot_counts, set_ops_users, cube_day_type, multiset_ops_events and
 the TPC-H q2-q8/q10/q13/q17/q22 block — rotate those in round 4, along
-with any round-3 additions past the window (bloom_membership_flags).
+with the round-3 additions past the window (bloom_membership_flags,
+duplicate_span_report, semdedup_keep).
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE

@@ -783,7 +783,60 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span mass per document (the distributed
+    stand-in for suffix-array exact-substring dedup): token 8-gram
+    shingles shared by >= 2 distinct docs, overlapping positions merged
+    into maximal spans, reported as exact-integer ppm of each doc's
+    tokens. Docs with no duplicated span report zeros."""
+    from dnsflow_clickhouse_spark.operators.spans import duplicate_span_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", k=8, min_df=2).orderBy(
+        "doc_id"
+    )
+
+
+_DUP_SPAN_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM t, UNNEST(CASE WHEN len(toks) >= 8
+                 THEN generate_series(1, len(toks) - 7)
+                 ELSE CAST([] AS BIGINT[]) END) AS u(i)
+),
+dup AS (SELECT gram FROM p GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT p.doc_id, p.pos FROM p JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM d
+),
+i AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM m
+),
+sp AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + 8 AS e
+       FROM i GROUP BY doc_id, span_id),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+       coalesce(agg.n_spans, 0) AS n_spans,
+       coalesce(agg.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN len(t.toks) = 0 THEN 0
+            ELSE CAST(floor(1000000.0 * coalesce(agg.dup_tokens, 0)
+                            / len(t.toks)) AS BIGINT) END AS dup_ppm
+FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 CORPUS_REGISTRY = {
+    "duplicate_span_report": (duplicate_span_report, _DUP_SPAN_SQL),
     "incremental_report_merge": (incremental_report_merge, _INCR_MERGE_SQL),
     "normalized_dedup_docs": (normalized_dedup_docs, _NORMALIZED_DEDUP_SQL),
     "deterministic_shuffle_shards": (

@@ -558,6 +558,56 @@ WHERE {_NEARDUP_PAIR_EXPR} >= 0.4
 ORDER BY id_a, id_b
 """
 
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup decision record: embedding-cosine
+    near-dup pairs (hyperplane-bucketed, threshold 0.4 — the same 100 TB
+    kernel as embedding_neardup) -> connected components -> per-cluster
+    survivor by document quality (n_chars via the shared doc_id/vec_id
+    key, ties -> lowest id). The lexical twin is dedup_canonical_keep;
+    this one catches paraphrase-level duplicates lexical shingles miss.
+    Oracle: the bucketed pair join replayed under a recursive CTE."""
+    from dnsflow_clickhouse_spark.operators.dedup import embedding_near_dups
+    from dnsflow_clickhouse_spark.operators.graph import canonical_representatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    pairs = embedding_near_dups(
+        e, "vec_id", "embedding", threshold=0.4, n_planes=N_PLANES
+    )
+    return canonical_representatives(
+        pairs, d, id_col="doc_id", quality_col="n_chars", num_partitions=8
+    ).orderBy("comp")
+
+
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE
+q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
+bq AS (SELECT vec_id, qv, {_sql_bucket('qv')} AS bucket FROM q),
+edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_NEARDUP_PAIR_EXPR} >= 0.4
+),
+nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+qq AS (SELECT cc.id, cc.comp, d.n_chars AS qual
+       FROM cc JOIN documents d ON d.doc_id = cc.id),
+r AS (SELECT comp, id,
+             row_number() OVER (PARTITION BY comp ORDER BY qual DESC, id) AS rn,
+             count(*) OVER (PARTITION BY comp) AS nm
+      FROM qq)
+SELECT comp, id AS keep_id, CAST(nm AS BIGINT) AS n_members,
+       CAST(nm - 1 AS BIGINT) AS n_dropped
+FROM r WHERE rn = 1 ORDER BY comp
+"""
+
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
@@ -743,6 +793,7 @@ MLOPS_REGISTRY = {
     ),
     "embedding_lsh_ann": (embedding_lsh_ann, _LSH_ANN_SQL),
     "embedding_neardup": (embedding_neardup, _NEARDUP_SQL),
+    "semdedup_keep": (semdedup_keep, _SEMDEDUP_SQL),
     "embedding_neardup_exact": (embedding_neardup_exact, _NEARDUP_EXACT_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
 }
