@@ -269,3 +269,99 @@ def canonical_representatives(
         )
         .withColumn("n_dropped", F.col("n_members") - F.lit(1))
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Global triangle enumeration over an undirected edge list
+    (upper-triangle convention ``id_a < id_b`` enforced internally):
+    returns one row per triangle ``(a, b, c)`` with ``a < b < c``.
+
+    The classic two-join formulation: wedges = edges(a,b) ⋈ edges(b,c)
+    on the middle node, closed by a semi-join of (a,c) against the edge
+    list. Each triangle is emitted exactly once because every join step
+    preserves the ``<`` order. Both joins are equi-joins on node ids —
+    shuffle-partitioned, AQE skew-splits hub nodes; at 100 TB the
+    standard refinement (orienting edges by degree so wedges pivot on
+    the LOW-degree endpoint) drops hub blowup and slots into the same
+    two-join plan. Output is bounded by the true triangle count —
+    like duplicate-span detection, no quadratic-in-cluster pair
+    inflation beyond what the answer itself contains.
+    """
+    e = edges.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+    ).distinct()
+    wedges = e.alias("x").join(
+        e.alias("y"), F.col("x.b") == F.col("y.a")
+    ).select(
+        F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c")
+    )
+    # the USING-style semi-join moves its keys first (a, c, b) — restore
+    # the a < b < c reading order
+    return wedges.join(
+        e.select(F.col("a").alias("a"), F.col("b").alias("c")),
+        ["a", "c"],
+        "semi",
+    ).select("a", "b", "c")
+
+
+def component_census(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Per-cluster structure census for near-dup graphs: ``(comp,
+    n_members, n_edges, n_triangles, is_clique)``. Tight cliques are
+    true duplicate families (every member pairwise-similar — safe to
+    keep one); sparse chains are similarity DRIFT (A~B~C with A!~C —
+    the transitive closure over-merges, keep-one loses real content).
+    ``is_clique`` pins the distinction exactly: n_edges == C(n,2) and
+    n_triangles == C(n,3).
+
+    One CC fixpoint + two broadcast-sized joins of edges/triangles onto
+    their component labels; all aggregates map-side combinable.
+    """
+    e = edges.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("a"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+    ).distinct()
+    cc = connected_components(
+        e, "a", "b",
+        num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
+    )
+    members = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    ecnt = (
+        e.join(cc.withColumnRenamed("id", "a"), "a")
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    tris = triangle_counts(e, "a", "b")
+    tcnt = (
+        tris.join(cc.withColumnRenamed("id", "a"), "a")
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n = F.col("n_members")
+    return (
+        members.join(ecnt, "comp", "left")
+        .join(tcnt, "comp", "left")
+        .select(
+            "comp",
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .withColumn(
+            "is_clique",
+            (
+                (F.col("n_edges") == n * (n - 1) / 2)
+                & (F.col("n_triangles") == n * (n - 1) * (n - 2) / 6)
+            ).cast("int"),
+        )
+    )

@@ -319,3 +319,126 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram sketch (HDR-histogram bucketing)
+# ---------------------------------------------------------------------------
+
+QH_SUB_BITS = 5  # 2^5 linear sub-buckets per octave -> relative error <= 1/32
+
+
+def qh_bucket(v: Column, sub_bits: int = QH_SUB_BITS) -> Column:
+    """HDR-histogram bucket id for a non-negative long: exact for values
+    below ``2^(sub_bits+1)``, then ``2^sub_bits`` linear sub-buckets per
+    binary octave — so the bucket lower bound is within a factor of
+    ``1 + 2^-sub_bits`` of the true value. Pure integer bit math (the
+    bit length comes from the decimal->binary string trick hll_rank
+    uses), so any engine computes the identical id:
+
+        shift = max(0, bitlength(v) - sub_bits - 1)
+        id    = (shift << sub_bits) + (v >> shift)
+
+    Monotone in v and contiguous across octave boundaries.
+    """
+    bitlen = F.when(v == 0, F.lit(0)).otherwise(
+        F.length(F.conv(v.cast("string"), 10, 2))
+    )
+    shift = F.greatest(bitlen - F.lit(sub_bits + 1), F.lit(0)).cast("int")
+    # SQL shiftleft/shiftright take expression shift counts (the Python
+    # wrappers insist on int literals, hence call_function)
+    return F.shiftleft(shift.cast("long"), sub_bits) + F.call_function(
+        "shiftright", v, shift
+    )
+
+
+def qh_bucket_floor(bucket_id: Column, sub_bits: int = QH_SUB_BITS) -> Column:
+    """Exact lower bound of a bucket — the sketch's answer value:
+    ids below ``2^(sub_bits+1)`` are exact (floor == id); above,
+    ``shift = (id >> sub_bits) - 1`` and ``floor = sub << shift`` with
+    ``sub = id - (shift << sub_bits)``. Integer-only."""
+    shift = (F.shiftright(bucket_id, sub_bits) - F.lit(1)).cast("int")
+    sub = bucket_id - F.shiftleft(shift.cast("long"), sub_bits)
+    return F.when(bucket_id < F.lit(1 << (sub_bits + 1)), bucket_id).otherwise(
+        F.call_function("shiftleft", sub, shift)
+    )
+
+
+def qh_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    sub_bits: int = QH_SUB_BITS,
+) -> DataFrame:
+    """Per-key quantile-histogram state: (*key_cols, bucket_id, cnt).
+
+    Like the HLL registers / CMS counters / Bloom words, this is an
+    ALGEBRAIC aggregate: one map-side-combinable groupBy builds it, the
+    shuffle carries at most (keys x occupied buckets) rows (a few dozen
+    per key — bucket count grows with log(max_value), not data volume),
+    and states built over any partitioning of the data merge losslessly
+    with :func:`qh_merge` (cnt sums). Negative values are rejected by
+    contract (curation metrics are counts/micro-units, always >= 0).
+    """
+    b = qh_bucket(F.col(value_col).cast("long"), sub_bits)
+    return (
+        df.select(*key_cols, b.alias("bucket_id"))
+        .groupBy(*key_cols, "bucket_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qh_merge(states: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fold sketch states (e.g. one per day) down to ``key_cols``:
+    union first, then one sum per (key, bucket) — identical to building
+    over the unioned data."""
+    return states.groupBy(*key_cols, "bucket_id").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def qh_quantiles(
+    state: DataFrame,
+    key_cols: list[str],
+    quantiles_ppm: list[int],
+    sub_bits: int = QH_SUB_BITS,
+) -> DataFrame:
+    """Answer quantile queries from the sketch state: for each key and
+    each q (in ppm), the LOWER BOUND of the bucket holding the rank-
+    ``ceil(q * n / 1e6)`` value — within relative ``2^-sub_bits`` of the
+    exact quantile, rank arithmetic all-integer so every engine picks
+    the identical bucket.
+
+    One window per key over the occupied buckets (dozens of rows — the
+    state, not the data), then a min per (key, q).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = Window.partitionBy(*key_cols)
+    cum = state.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(n)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).alias(f"q{q}") for q in quantiles_ppm])
+    ).alias("q_ppm")
+    # rank = ceil(q_ppm * n / 1e6), integer-exact
+    ranked = cum.select(*key_cols, "bucket_id", "cum", "n", qs).withColumn(
+        "rank", ((F.col("q_ppm") * F.col("n") + F.lit(999_999)) / F.lit(1_000_000)).cast("long")
+    )
+    hit = ranked.filter(F.col("cum") >= F.col("rank"))
+    return (
+        hit.groupBy(*key_cols, "q_ppm")
+        .agg(F.min("bucket_id").alias("bucket_id"))
+        .select(
+            *key_cols,
+            "q_ppm",
+            qh_bucket_floor(F.col("bucket_id"), sub_bits)
+            .cast("long")
+            .alias("value_floor"),
+        )
+    )

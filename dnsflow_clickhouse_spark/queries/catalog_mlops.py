@@ -558,6 +558,57 @@ WHERE {_NEARDUP_PAIR_EXPR} >= 0.4
 ORDER BY id_a, id_b
 """
 
+def neardup_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure census of each near-dup cluster: members, edges,
+    triangles, and the is_clique verdict separating true duplicate
+    families (pairwise-similar cliques — safe to keep one) from
+    similarity DRIFT chains (A~B~C with A!~C, where transitive closure
+    over-merges and keep-one would drop real content). Triangles via
+    the classic two-equi-join wedge closure (operators.graph
+    .triangle_counts) — the distributed-graph staple."""
+    from dnsflow_clickhouse_spark.operators.graph import component_census
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    return component_census(pairs, num_partitions=8).orderBy("comp")
+
+
+_CENSUS_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  WHERE round(inter / (na + nb - inter), 6) >= 0.5
+),
+nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+mem AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members FROM cc GROUP BY comp),
+ec AS (SELECT cc.comp, CAST(count(*) AS BIGINT) AS n_edges
+       FROM edges e JOIN cc ON cc.id = e.a GROUP BY 1),
+tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM edges x JOIN edges y ON x.b = y.a
+  WHERE EXISTS (SELECT 1 FROM edges z WHERE z.a = x.a AND z.b = y.b)
+),
+tc AS (SELECT cc.comp, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM tri JOIN cc ON cc.id = tri.a GROUP BY 1)
+SELECT m.comp, m.n_members,
+       coalesce(ec.n_edges, 0) AS n_edges,
+       coalesce(tc.n_triangles, 0) AS n_triangles,
+       CAST(coalesce(ec.n_edges, 0) = m.n_members * (m.n_members - 1) // 2
+            AND coalesce(tc.n_triangles, 0)
+                = m.n_members * (m.n_members - 1) * (m.n_members - 2) // 6
+            AS INT) AS is_clique
+FROM mem m LEFT JOIN ec USING (comp) LEFT JOIN tc USING (comp)
+ORDER BY m.comp
+"""
+
+
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup decision record: embedding-cosine
     near-dup pairs (hyperplane-bucketed, threshold 0.4 — the same 100 TB
@@ -779,6 +830,7 @@ MLOPS_REGISTRY = {
     "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
     "prefix_jaccard_pairs": (prefix_jaccard_pairs, _JACCARD_SQL),
     "neardup_components": (neardup_components, _COMPONENTS_SQL),
+    "neardup_component_census": (neardup_component_census, _CENSUS_SQL),
     "dedup_canonical_keep": (dedup_canonical_keep, _CANONICAL_SQL),
     "simhash_docs": (simhash_docs, _sql_simhash16()),
     "simhash_near_docs": (simhash_near_docs, _sql_simhash_pairs()),

@@ -346,3 +346,20 @@ def merge_cms_state(state: DataFrame | None, batch_sketch: DataFrame) -> DataFra
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def merge_qh_state(
+    state: DataFrame | None, batch_state: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Cross-batch quantile state as mergeable HDR-histogram buckets
+    (operators.sketches.qh_sketch): counts are additive, so the fold is
+    union + sum per (key, bucket). State stays (keys x occupied buckets)
+    rows forever — bucket count grows with log(max_value), not volume —
+    and qh_quantiles answers p50/p99 from the folded state at any point
+    without rescanning history. Like the CMS fold this is NOT
+    replay-idempotent (counts re-add); pair with the idempotent batch-id
+    sink when retries are possible."""
+    from dnsflow_clickhouse_spark.operators.sketches import qh_merge
+
+    both = batch_state if state is None else state.unionByName(batch_state)
+    return qh_merge(both, key_cols)

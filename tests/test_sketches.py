@@ -173,3 +173,73 @@ def test_streaming_bloom_state_fold_matches_one_shot(spark):
     folded = {r.word_idx: r.word for r in state.collect()}
     whole = {r.word_idx: r.word for r in bloom_build(df, "item").collect()}
     assert folded == whole
+
+
+def test_qh_bucket_monotone_and_floor_bound(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        qh_bucket,
+        qh_bucket_floor,
+    )
+
+    vals = [0, 1, 31, 32, 63, 64, 65, 100, 127, 128, 1000, 2**20, 2**40 + 7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (
+        df.select("v", qh_bucket(F.col("v")).alias("b"))
+        .withColumn("f", qh_bucket_floor(F.col("b")))
+        .orderBy("v")
+        .collect()
+    )
+    prev_b = -1
+    for r in rows:
+        assert r.b >= prev_b, "bucket id must be monotone in v"
+        prev_b = r.b
+        assert r.f <= r.v, (r.v, r.f)
+        if r.v < 64:
+            assert r.f == r.v  # exact low range
+        else:
+            # relative error bound: floor within 1/32 of the value
+            assert r.v <= r.f + (r.f >> 5) + 1, (r.v, r.f)
+
+
+def test_qh_merge_is_lossless_and_quantiles_within_bound(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        qh_merge,
+        qh_quantiles,
+        qh_sketch,
+    )
+
+    d = spark.createDataFrame(
+        [(k, i) for k in ("a", "b") for i in range(1, 1001)], "k string, v long"
+    )
+    full = qh_sketch(d, ["k"], "v")
+    parts = qh_sketch(d.filter("v <= 300"), ["k"], "v").unionByName(
+        qh_sketch(d.filter("v > 300"), ["k"], "v")
+    )
+    assert sorted(map(tuple, qh_merge(parts, ["k"]).collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = {
+        (r.k, r.q_ppm): r.value_floor
+        for r in qh_quantiles(full, ["k"], [500_000, 990_000]).collect()
+    }
+    for k in ("a", "b"):
+        for q_ppm, exact in ((500_000, 500), (990_000, 990)):
+            est = got[(k, q_ppm)]
+            assert est <= exact <= est + (est >> 5) + 1, (k, q_ppm, est)
+
+
+def test_streaming_qh_state_fold_matches_one_shot(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import qh_sketch
+    from dnsflow_clickhouse_spark.streaming.pipeline import merge_qh_state
+
+    d = spark.createDataFrame(
+        [("k", i) for i in range(1, 301)], "k string, v long"
+    ).withColumn("batch", F.col("v") % 3)
+    state = None
+    for b in range(3):
+        state = merge_qh_state(
+            state, qh_sketch(d.filter(F.col("batch") == b), ["k"], "v"), ["k"]
+        )
+    folded = sorted(map(tuple, state.collect()))
+    whole = sorted(map(tuple, qh_sketch(d, ["k"], "v").collect()))
+    assert folded == whole

@@ -111,3 +111,26 @@ def test_semdedup_composition_keeps_highest_quality(spark):
     assert len(reps) == 1
     r = reps[0]
     assert r.comp == 0 and r.keep_id == 1 and r.n_members == 3 and r.n_dropped == 2
+
+
+def test_triangle_counts_exact(spark):
+    from dnsflow_clickhouse_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles) + a chain 4-5-6 (0 triangles),
+    # edges given in mixed orientation and with a duplicate
+    edges = [(0, 1), (0, 2), (0, 3), (2, 1), (1, 3), (3, 2), (4, 5), (6, 5), (1, 0)]
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    tris = sorted(map(tuple, triangle_counts(e).collect()))
+    assert tris == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_component_census_clique_vs_chain(spark):
+    from dnsflow_clickhouse_spark.operators.graph import component_census
+
+    # component A: triangle {0,1,2} (clique); component B: chain 10-11-12
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12)]
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = {r.comp: r for r in component_census(e, num_partitions=2).collect()}
+    a, b = out[0], out[10]
+    assert (a.n_members, a.n_edges, a.n_triangles, a.is_clique) == (3, 3, 1, 1)
+    assert (b.n_members, b.n_edges, b.n_triangles, b.is_clique) == (3, 2, 0, 0)
