@@ -226,3 +226,80 @@ def chunk_documents(
             F.element_at("c.chunk_toks", F.size("c.chunk_toks")).alias("last_token"),
         )
     )
+
+
+def budget_allocation(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+) -> DataFrame:
+    """Data-mixing budget split: allocate an EXACT global token budget
+    across strata by target weights (ppm, must sum to 1_000_000) with
+    largest-remainder rounding — the deterministic integer form of the
+    mixture-weights step every pretraining run performs before sampling.
+
+    Per stratum: ``alloc = (B * w) // 1e6`` plus one extra token for the
+    ``B - sum(alloc)`` strata with the largest remainders (ties -> name
+    order), so ``sum(alloc) == B`` exactly. The allocation is then
+    capped by what the stratum actually has (``quota``), with the
+    uncovered remainder reported as ``shortfall`` — surfacing
+    under-supplied strata is the point; silently reflowing their budget
+    into over-represented strata is the mixing bug this op exists to
+    prevent.
+
+    Scale shape: one map-side-combinable sum per stratum, then all logic
+    runs on the strata frame (rows = distinct strata, i.e. tiny); the
+    window ordering the remainders never sees the corpus.
+    """
+    if sum(weights_ppm.values()) != 1_000_000:
+        raise ValueError("weights_ppm must sum to 1_000_000")
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        list(weights_ppm.items()), f"{strata_col} string, target_ppm long"
+    )
+    avail = df.groupBy(strata_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("avail_tokens")
+    )
+    base = w.join(avail, strata_col, "left").select(
+        strata_col,
+        F.coalesce("avail_tokens", F.lit(0)).alias("avail_tokens"),
+        "target_ppm",
+        ((F.lit(budget_tokens) * F.col("target_ppm")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("__base"),
+        ((F.lit(budget_tokens) * F.col("target_ppm")) % F.lit(1_000_000)).alias(
+            "__rem"
+        ),
+    )
+    from pyspark.sql import Window
+
+    # leftover = B - sum(base): how many +1s to hand out. The windows run
+    # over the strata frame only (a handful of rows).
+    leftover = Window.partitionBy(F.lit(1))
+    rank_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("__rem"), F.asc(strata_col)
+    )
+    alloc = base.withColumn(
+        "__leftover", F.lit(budget_tokens) - F.sum("__base").over(leftover)
+    ).withColumn("__rk", F.row_number().over(rank_w)).withColumn(
+        "alloc_tokens",
+        F.col("__base")
+        + F.when(F.col("__rk") <= F.col("__leftover"), 1).otherwise(0),
+    )
+    return alloc.select(
+        strata_col,
+        "avail_tokens",
+        "target_ppm",
+        "alloc_tokens",
+        F.least("alloc_tokens", "avail_tokens").alias("quota_tokens"),
+        (
+            F.col("alloc_tokens") - F.least("alloc_tokens", "avail_tokens")
+        ).alias("shortfall"),
+        F.floor(
+            F.lit(1_000_000)
+            * F.least("alloc_tokens", "avail_tokens")
+            / F.lit(budget_tokens)
+        ).alias("achieved_ppm"),
+    )

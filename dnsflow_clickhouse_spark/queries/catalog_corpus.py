@@ -835,8 +835,68 @@ FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id
 """
 
 
+_MIX_WEIGHTS = {
+    "en": 500_000, "zh": 150_000, "de": 120_000,
+    "es": 120_000, "fr": 80_000, "ja": 30_000,  # ja: no supply -> shortfall
+}
+_MIX_BUDGET = 20_000
+
+
+def mixture_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixing step: split an exact 20k-token budget
+    across languages by target weights (largest-remainder rounding so
+    the allocations sum to the budget EXACTLY), cap each language by its
+    actual supply, and surface under-supplied strata as ``shortfall``
+    (the 'ja' weight has zero supply by construction). Integer-exact
+    end to end; all allocation logic runs on the tiny strata frame."""
+    from dnsflow_clickhouse_spark.functions.textfn import token_count
+    from dnsflow_clickhouse_spark.operators.corpus import budget_allocation
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", token_count(F.col("text")).alias("toks")
+    )
+    return budget_allocation(
+        d, "lang", "toks", _MIX_WEIGHTS, _MIX_BUDGET
+    ).orderBy("lang")
+
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
+
+_MIXTURE_SQL = f"""
+WITH w(lang, target_ppm) AS (VALUES {_MIX_VALUES}),
+t AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+a AS (SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS avail_tokens
+      FROM t GROUP BY 1),
+b AS (
+  SELECT w.lang, coalesce(a.avail_tokens, 0) AS avail_tokens,
+         CAST(w.target_ppm AS BIGINT) AS target_ppm,
+         (CAST({_MIX_BUDGET} AS BIGINT) * w.target_ppm) // 1000000 AS base,
+         (CAST({_MIX_BUDGET} AS BIGINT) * w.target_ppm) % 1000000 AS rem
+  FROM w LEFT JOIN a USING (lang)
+),
+l AS (
+  SELECT *, {_MIX_BUDGET} - sum(base) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM b
+),
+al AS (
+  SELECT lang, avail_tokens, target_ppm,
+         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_tokens
+  FROM l
+)
+SELECT lang, avail_tokens, target_ppm, alloc_tokens,
+       least(alloc_tokens, avail_tokens) AS quota_tokens,
+       alloc_tokens - least(alloc_tokens, avail_tokens) AS shortfall,
+       CAST(floor(1000000.0 * least(alloc_tokens, avail_tokens)
+                  / {_MIX_BUDGET}) AS BIGINT) AS achieved_ppm
+FROM al ORDER BY lang
+"""
+
+
 CORPUS_REGISTRY = {
     "duplicate_span_report": (duplicate_span_report, _DUP_SPAN_SQL),
+    "mixture_budget_report": (mixture_budget_report, _MIXTURE_SQL),
     "incremental_report_merge": (incremental_report_merge, _INCR_MERGE_SQL),
     "normalized_dedup_docs": (normalized_dedup_docs, _NORMALIZED_DEDUP_SQL),
     "deterministic_shuffle_shards": (

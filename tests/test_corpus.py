@@ -243,3 +243,34 @@ def test_global_positions_matches_single_partition_ranking(spark):
         )
     }
     assert got == want  # dense 1..n, identical to the global ordering
+
+
+def test_budget_allocation_sums_exactly_and_reports_shortfall(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import budget_allocation
+
+    d = spark.createDataFrame(
+        [("en", 10_000), ("en", 5_000), ("zh", 50), ("de", 4_000)],
+        ["lang", "toks"],
+    )
+    weights = {"en": 600_000, "zh": 250_000, "de": 100_000, "ja": 50_000}
+    out = {r.lang: r for r in budget_allocation(d, "lang", "toks", weights, 1_003).collect()}
+    # allocations sum to the budget EXACTLY despite // rounding
+    assert sum(r.alloc_tokens for r in out.values()) == 1_003
+    # largest-remainder: base shares are 601/250/100/50 (sum 1001),
+    # remainders .8/.75/.3/.15 -> the 2 leftover tokens go to en, zh
+    assert out["en"].alloc_tokens == 602 and out["zh"].alloc_tokens == 251
+    assert out["de"].alloc_tokens == 100 and out["ja"].alloc_tokens == 50
+    # supply caps: zh has only 50 tokens, ja none
+    assert out["zh"].quota_tokens == 50 and out["zh"].shortfall == 201
+    assert out["ja"].quota_tokens == 0 and out["ja"].shortfall == 50
+    assert out["en"].shortfall == 0
+
+
+def test_budget_allocation_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from dnsflow_clickhouse_spark.operators.corpus import budget_allocation
+
+    d = spark.createDataFrame([("en", 10)], ["lang", "toks"])
+    with _pytest.raises(ValueError):
+        budget_allocation(d, "lang", "toks", {"en": 999_999}, 100)
