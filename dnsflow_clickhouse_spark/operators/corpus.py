@@ -303,3 +303,35 @@ def budget_allocation(
             / F.lit(budget_tokens)
         ).alias("achieved_ppm"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Corpus-version diff (the CDC primitive of incremental curation):
+    per id, ``status`` in {added, removed, changed, unchanged} computed
+    by full-outer-joining the two snapshots on the id and comparing md5
+    fingerprints of the content columns. Texts are never shipped through
+    the join — each side reduces to (id, 16-byte fingerprint) first, so
+    the shuffle carries fingerprints even when documents are megabytes.
+
+    One equi-join on the id; both fingerprint projections are map-only.
+    The output is one row per id in either snapshot — feed it to a
+    groupBy(status) for the audit report, or semi-join 'added'/'changed'
+    ids back against the new snapshot to get the incremental work list.
+    """
+    fp = F.md5(F.concat_ws("\x01", *[F.col(c) for c in content_cols]))
+    o = old.select(F.col(id_col).alias("id"), fp.alias("__old_fp"))
+    n = new.select(F.col(id_col).alias("id"), fp.alias("__new_fp"))
+    j = o.join(n, "id", "full_outer")
+    return j.select(
+        "id",
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

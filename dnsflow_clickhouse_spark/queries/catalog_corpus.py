@@ -894,9 +894,69 @@ FROM al ORDER BY lang
 """
 
 
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version CDC audit: synthesize the 'previous' snapshot from
+    the documents table (docs with doc_id % 11 == 3 absent -> they read
+    as 'added'; docs with doc_id % 9 == 0 carry an old-revision marker
+    -> 'changed'; shadow ids +1000000 exist only in the old snapshot ->
+    'removed'), then diff against the current table per id and roll up
+    per (status, lang). Fingerprint-only join — texts never shuffle."""
+    from dnsflow_clickhouse_spark.operators.corpus import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    old = (
+        d.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" [v1]"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 5).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    diff = snapshot_diff(old, d.select("doc_id", "text"), "doc_id", ["text"])
+    lang = d.select("doc_id", "lang")
+    return (
+        diff.join(lang, diff.id == lang.doc_id, "left")
+        .groupBy("status", F.coalesce("lang", F.lit("-")).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status", "lang")
+    )
+
+
+_SNAPSHOT_SQL = """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' [v1]' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 != 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 5
+),
+o AS (SELECT doc_id AS id, md5(text) AS ofp FROM old),
+n AS (SELECT doc_id AS id, md5(text) AS nfp FROM documents),
+j AS (
+  SELECT coalesce(o.id, n.id) AS id,
+         CASE WHEN o.id IS NULL THEN 'added'
+              WHEN n.id IS NULL THEN 'removed'
+              WHEN ofp = nfp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN n ON o.id = n.id
+)
+SELECT j.status, coalesce(d.lang, '-') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j LEFT JOIN documents d ON d.doc_id = j.id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 CORPUS_REGISTRY = {
     "duplicate_span_report": (duplicate_span_report, _DUP_SPAN_SQL),
     "mixture_budget_report": (mixture_budget_report, _MIXTURE_SQL),
+    "snapshot_diff_report": (snapshot_diff_report, _SNAPSHOT_SQL),
     "incremental_report_merge": (incremental_report_merge, _INCR_MERGE_SQL),
     "normalized_dedup_docs": (normalized_dedup_docs, _NORMALIZED_DEDUP_SQL),
     "deterministic_shuffle_shards": (

@@ -274,3 +274,16 @@ def test_budget_allocation_rejects_bad_weights(spark):
     d = spark.createDataFrame([("en", 10)], ["lang", "toks"])
     with _pytest.raises(ValueError):
         budget_allocation(d, "lang", "toks", {"en": 999_999}, 100)
+
+
+def test_snapshot_diff_statuses(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], ["doc_id", "text"]
+    )
+    out = {r.id: r.status for r in snapshot_diff(old, new, "doc_id", ["text"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
