@@ -90,3 +90,60 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_partitioned(
+    spark,
+    in_path: str,
+    out_path: str,
+    partition_cols: list[str],
+    target_bytes: int = 128 << 20,
+) -> None:
+    """Small-file compaction for a hive-partitioned parquet table — the
+    OPTIMIZE/maintenance pass every streaming or micro-batch sink needs
+    (each trigger writes a few files per partition; a month later the
+    table is 100k tiny files and planning time + scan setup dominate
+    every query).
+
+    Per-partition output file counts are derived from the partition's
+    estimated byte share (rows-proportional split of the table's scan
+    size), clamped to >= 1: a partition with 10 MB becomes one file, one
+    with 10 GB becomes ~80. Rows are routed with an explicit
+    ``repartition(partition_cols + __file)`` so each output file is one
+    shuffle task's worth of co-located rows — no global sort, no
+    single-partition stage, and the shuffle is the unavoidable one any
+    re-bucketing write pays. Row order within a partition is not
+    preserved (compaction contract); pair with write_zordered when
+    clustering matters.
+    """
+    df = spark.read.parquet(in_path)
+    from dnsflow_clickhouse_spark.operators.util import est_input_bytes
+
+    try:
+        total_bytes = est_input_bytes(df)
+    except Exception:
+        total_bytes = None
+    counts = df.groupBy(*partition_cols).count()
+    total_rows = df.count()
+    if total_bytes is None or not total_rows:
+        files = counts.select(*partition_cols, F.lit(1).alias("__nf"))
+    else:
+        bpr = total_bytes / total_rows
+        files = counts.select(
+            *partition_cols,
+            F.greatest(
+                F.ceil(F.col("count") * F.lit(bpr) / F.lit(target_bytes)),
+                F.lit(1),
+            ).cast("int").alias("__nf"),
+        )
+    routed = df.join(F.broadcast(files), partition_cols).withColumn(
+        "__file",
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.col("__nf")),
+    )
+    (
+        routed.repartition(*partition_cols, "__file")
+        .drop("__nf", "__file")
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(out_path)
+    )

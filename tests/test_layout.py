@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -65,3 +66,32 @@ def test_zorder_key_rejects_int64_overflow(spark):
 
     with pytest.raises(ValueError):
         zorder_key([F.col("a")] * 8, [(0.0, 1.0)] * 8, bits=8)
+
+
+def test_compact_partitioned_shrinks_file_count(spark, tmp_path):
+    from dnsflow_clickhouse_spark.sources.layout import compact_partitioned
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("day"), F.col("id").alias("v")
+    )
+    # fragment: 20 shuffle partitions x 3 partition dirs -> ~60 small files
+    df.repartition(20).write.partitionBy("day").parquet(src)
+    n_before = sum(1 for p in Path(src).rglob("*.parquet"))
+    assert n_before >= 30  # genuinely fragmented fixture
+
+    compact_partitioned(spark, src, out, ["day"])
+    n_after = sum(1 for p in Path(out).rglob("*.parquet"))
+    got = spark.read.parquet(out)
+    assert got.count() == 3000
+    # tiny partitions (~KB each vs the 128MB target) -> one file apiece
+    assert n_after == 3
+    # partition dirs survive
+    assert sorted(
+        p.name for p in Path(out).iterdir() if p.name.startswith("day=")
+    ) == ["day=0", "day=1", "day=2"]
+    # same data, partition column intact
+    assert got.groupBy("day").count().orderBy("day").collect() == df.groupBy(
+        "day"
+    ).count().orderBy("day").collect()
