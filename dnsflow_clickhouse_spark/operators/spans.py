@@ -61,6 +61,7 @@ def duplicate_span_stats(
     text_col: str,
     k: int = 8,
     min_df: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span record: ``(doc_id, n_toks, n_spans,
     dup_tokens, dup_ppm)`` where a position is duplicated iff the
@@ -73,6 +74,14 @@ def duplicate_span_stats(
     Every document of the input appears in the output (docs with no
     duplicated span report zeros), so the result is directly usable as
     a filter/penalty column source in a curation funnel.
+
+    ``hash_grams=True`` is the 100 TB shuffle knob: the DF groupBy and
+    the semi-join key become ``xxhash64(gram)`` (8 bytes) instead of the
+    raw k-token string (~50-100 bytes) — ~an order of magnitude less
+    shuffle traffic for the heaviest stage. A 64-bit collision falsely
+    marks one k-gram position duplicated (~n^2/2^65 expected over the
+    corpus — vanishing); the catalog query keeps raw grams so the
+    DuckDB oracle replays the join bit-exactly.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
@@ -83,10 +92,13 @@ def duplicate_span_stats(
     staged = base.select(
         "doc_id", F.size("toks").alias("n_toks"), "toks"
     ).localCheckpoint(eager=False)
+    gram_key = (
+        F.xxhash64(F.col("pg.gram")) if hash_grams else F.col("pg.gram")
+    )
     pos = staged.select(
         "doc_id",
         F.explode(positional_ngrams(F.col("toks"), k)).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("g"))
+    ).select("doc_id", F.col("pg.pos").alias("pos"), gram_key.alias("g"))
     # Shingles seen in >= min_df distinct docs. countDistinct is exact;
     # the groupBy partially aggregates map-side on (g, doc_id) pairs.
     dup_grams = (

@@ -953,8 +953,53 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate leaderboard (the C4-style shared-lines diagnostic,
+    gram-granular because this corpus has no line structure): the 20
+    token 8-grams appearing in the most distinct documents (df >= 3),
+    with occurrence counts. What a curation run reads before deciding a
+    removal pattern. One map-side gram explode + one hash aggregate;
+    the top-k lowers to TakeOrderedAndProject."""
+    from dnsflow_clickhouse_spark.functions.textfn import tokens
+    from dnsflow_clickhouse_spark.operators.spans import positional_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            positional_ngrams(tokens(F.col("text")), 8)
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.gram").alias("gram"))
+    return (
+        pos.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("df") >= 3)
+        .orderBy(F.desc("df"), "gram")
+        .limit(20)
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM t, UNNEST(CASE WHEN len(toks) >= 8
+                 THEN generate_series(1, len(toks) - 7)
+                 ELSE CAST([] AS BIGINT[]) END) AS u(i)
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM p GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+ORDER BY df DESC, gram LIMIT 20
+"""
+
+
 CORPUS_REGISTRY = {
     "duplicate_span_report": (duplicate_span_report, _DUP_SPAN_SQL),
+    "boilerplate_grams": (boilerplate_grams, _BOILERPLATE_SQL),
     "mixture_budget_report": (mixture_budget_report, _MIXTURE_SQL),
     "snapshot_diff_report": (snapshot_diff_report, _SNAPSHOT_SQL),
     "incremental_report_merge": (incremental_report_merge, _INCR_MERGE_SQL),

@@ -134,3 +134,18 @@ def test_component_census_clique_vs_chain(spark):
     a, b = out[0], out[10]
     assert (a.n_members, a.n_edges, a.n_triangles, a.is_clique) == (3, 3, 1, 1)
     assert (b.n_members, b.n_edges, b.n_triangles, b.is_clique) == (3, 2, 0, 0)
+
+
+def test_hash_grams_path_matches_raw_path(spark):
+    """The xxhash64 shuffle-key variant must produce identical span
+    stats on collision-free data (collisions are ~n^2/2^65)."""
+    rows = [
+        (0, _toks(12) + " " + _toks(6, 100)),
+        (1, _toks(12) + " " + _toks(6, 200)),
+        (2, _toks(18, 300)),
+    ]
+    raw = duplicate_span_stats(_mk(spark, rows), "doc_id", "text", k=8)
+    hashed = duplicate_span_stats(
+        _mk(spark, rows), "doc_id", "text", k=8, hash_grams=True
+    )
+    assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, hashed.collect()))
