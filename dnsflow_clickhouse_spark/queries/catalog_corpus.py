@@ -964,11 +964,16 @@ def boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dnsflow_clickhouse_spark.operators.spans import positional_ngrams
 
     d = load_table(spark, sf_dir, "documents")
-    pos = d.select(
+    # generate-input rule: explode re-evaluates its input per emitted
+    # row, so the token pipeline must be staged behind a barrier or the
+    # query does O(tokens^2) splitting per document (measured 25s vs
+    # 1s at sf0.1)
+    staged = d.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
+    pos = staged.select(
         "doc_id",
-        F.explode(
-            positional_ngrams(tokens(F.col("text")), 8)
-        ).alias("pg"),
+        F.explode(positional_ngrams(F.col("toks"), 8)).alias("pg"),
     ).select("doc_id", F.col("pg.gram").alias("gram"))
     return (
         pos.groupBy("gram")
