@@ -393,3 +393,84 @@ def hyperplane_lsh_topk(
         ).alias("cosine"),
     )
     return _rank_topk(scored, k)
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = QUANT_SCALE,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic Lloyd k-means over integer-quantized vectors — the
+    offline centroid-training step :func:`ivf_topk`'s docstring defers
+    to, built so an external engine can replay it bit-exactly:
+
+    - vectors quantize to int64 micro-units (``quantize``), so every
+      distance is an exact integer sum of squares;
+    - init: the quantized vectors of the ``k`` smallest ids;
+    - assignment: nearest centroid by squared L2, ties -> lowest cid,
+      computed IN-ROW against centroid literals (no join, no shuffle —
+      centroids are planning metadata, exactly like a broadcast dim);
+    - update: per-dimension ``floor(sum/count)`` (exact: the double
+      division sees integers < 2^53), empty clusters keep their
+      previous centroid;
+    - fixed ``iters`` rounds — convergence-free so the oracle can
+      unroll the loop as CTEs.
+
+    Per iteration the ONLY shuffle is the (cid, dim) mean aggregate
+    (map-side combinable, k*dim rows out); the k*dim centroid ints
+    collected per round are scalar planning state, the engine's
+    documented driver-data carve-out. Returns (assignments frame
+    ``(id, cid, dist)``, final centroids as ints).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q")
+    ).localCheckpoint(eager=False)
+
+    first = base.orderBy("id").limit(k).collect()
+    cents: list[list[int]] = [list(r.q) for r in sorted(first, key=lambda r: r.id)]
+    dim = len(cents[0])
+
+    def dist_to(c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(int(v)) for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(frame: DataFrame) -> DataFrame:
+        # in-row argmin over the k centroid literals: min of (dist, cid)
+        # structs — ties resolve to the lowest cid by struct ordering
+        best = F.least(
+            *[
+                F.struct(dist_to(c).alias("dist"), F.lit(ci).alias("cid"))
+                for ci, c in enumerate(cents)
+            ]
+        )
+        return frame.select(
+            "id", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
+        )
+
+    for _ in range(iters):
+        assigned = assign(base)
+        means = (
+            assigned.select(
+                "cid", F.posexplode("q").alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).alias("m"))
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in means:
+            new.setdefault(r.cid, [0] * dim)[r.pos] = int(r.m)
+        # empty cluster -> previous centroid survives
+        cents = [new.get(ci, cents[ci]) for ci in range(k)]
+
+    return assign(base).select("id", "cid", "dist"), cents

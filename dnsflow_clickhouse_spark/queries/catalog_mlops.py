@@ -558,6 +558,93 @@ WHERE {_NEARDUP_PAIR_EXPR} >= 0.4
 ORDER BY id_a, id_b
 """
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def kmeans_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=4, 2 fixed iterations) over the
+    integer-quantized embeddings — the offline centroid training the
+    IVF quantizer defers to, with the whole fixpoint hash-verified: the
+    oracle unrolls both assignment/update rounds as CTEs and must land
+    on identical cluster sizes, inertia, and centroid norms. Per-round
+    cost: one in-row argmin against centroid literals (no join) + one
+    map-side-combinable (cid, dim) mean aggregate."""
+    from dnsflow_clickhouse_spark.operators.similarity import kmeans_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_quantized(
+        e, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    norms = [(ci, sum(v * v for v in c)) for ci, c in enumerate(cents)]
+    cn = spark.createDataFrame(norms, "cid int, c_norm long")
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .join(F.broadcast(cn), "cid")
+        .orderBy("cid")
+    )
+
+
+def _sql_kmeans(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = 64) -> str:
+    """Unrolled-CTE replay of kmeans_quantized: one (assign, update)
+    CTE pair per iteration, then a final assignment + rollup."""
+    sqdist = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (q.qv[i] - {c}.c[i]) * (q.qv[i] - {c}.c[i]))) AS BIGINT)"
+    )
+
+    def assign(name: str, prev: str) -> str:
+        d = sqdist.format(d=dim, c=prev)
+        return f"""{name} AS (
+  SELECT vec_id, qv, cid, dist FROM (
+    SELECT q.vec_id, q.qv, {prev}.cid, {d} AS dist,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d}, {prev}.cid) AS rn
+    FROM q CROSS JOIN {prev}) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS c
+       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(assign(f"a{t}", prev))
+        parts.append(
+            f"""u{t} AS (
+  SELECT cid, i, CAST(floor(sum(qv[i]) * 1.0 / count(*)) AS BIGINT) AS m
+  FROM a{t}, generate_series(1, {dim}) AS g(i) GROUP BY cid, i
+)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT p.cid, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN
+       (SELECT cid, list(m ORDER BY i) AS c FROM u{t} GROUP BY cid) n
+       USING (cid)
+)"""
+        )
+        prev = f"c{t}"
+    parts.append(assign("af", prev))
+    parts.append(
+        f"""cn AS (SELECT cid, CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT)
+                AS c_norm FROM {prev})"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT af.cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(af.dist) AS BIGINT) AS inertia, cn.c_norm
+FROM af JOIN cn USING (cid)
+GROUP BY af.cid, cn.c_norm ORDER BY af.cid
+"""
+
+
 def neardup_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structure census of each near-dup cluster: members, edges,
     triangles, and the is_clique verdict separating true duplicate
@@ -835,6 +922,7 @@ MLOPS_REGISTRY = {
     "simhash_docs": (simhash_docs, _sql_simhash16()),
     "simhash_near_docs": (simhash_near_docs, _sql_simhash_pairs()),
     "embedding_ivf_ann": (embedding_ivf_ann, _IVF_ANN_SQL),
+    "kmeans_cluster_report": (kmeans_cluster_report, _sql_kmeans()),
     "embedding_ivf_probe2": (embedding_ivf_probe2, _sql_ivf(2)),
     "lang_id_confusion": (lang_id_confusion, _sql_langid()),
     "doc_fingerprints": (doc_fingerprints, _FP_SQL),

@@ -504,3 +504,39 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
 
     # flipping one plane bit can only ADD reachable neighbors
     assert hits(True) >= hits(False)
+
+
+def test_kmeans_quantized_separates_two_blobs(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import kmeans_quantized
+
+    # two tight blobs; ids 0 and 1 (the k=2 seeds) land one in each
+    pts = [
+        (0, [0.0, 0.0]), (2, [0.01, 0.0]), (4, [0.0, 0.02]),
+        (1, [1.0, 1.0]), (3, [0.99, 1.0]), (5, [1.0, 0.98]),
+    ]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    assigned, cents = kmeans_quantized(df, "vec_id", "embedding", k=2, iters=2)
+    got = {r.id: r.cid for r in assigned.collect()}
+    assert got[0] == got[2] == got[4] == 0
+    assert got[1] == got[3] == got[5] == 1
+    # centroid 0 = floor-mean of quantized blob members
+    assert cents[0] == [
+        (0 + 100 + 0) // 3,
+        (0 + 0 + 200) // 3,
+    ]
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import kmeans_quantized
+
+    # identical seeds [0],[0]: round 1 ties all points to cid 0 (struct
+    # ordering -> lowest cid), cluster 1 goes EMPTY and must keep its
+    # init centroid [0]. Round 2 assigns against ([750],[0]): the two
+    # zero-points defect to the surviving cluster 1, the rest stay.
+    # Hand trace: c0 [0]->750->1500, c1 [0] (kept) -> 0.
+    pts = [(0, [0.0]), (1, [0.0]), (2, [0.1]), (3, [0.2])]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    assigned, cents = kmeans_quantized(df, "vec_id", "embedding", k=2, iters=2)
+    got = {r.id: r.cid for r in assigned.collect()}
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0}
+    assert cents == [[1500], [0]]
