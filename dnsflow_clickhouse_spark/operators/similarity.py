@@ -246,15 +246,19 @@ def ivf_topk(
     n_cells: int = 8,
     exclude_self: bool = True,
     nprobe: int = 1,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to its
     nearest centroid cell; search probes the query's ``nprobe`` nearest
     cells (the standard recall/cost dial — nprobe = n_cells degrades to
     exact brute force, pinned by test).
 
-    The quantizer here is deliberately model-free and deterministic —
-    the centroids are the ``n_cells`` lowest-id corpus vectors (a real
-    deployment would train k-means offline and broadcast the same way).
+    The default quantizer is deliberately model-free and deterministic —
+    the centroids are the ``n_cells`` lowest-id corpus vectors. Pass
+    ``centroids`` (quantized int vectors, e.g. the output of
+    :func:`kmeans_quantized`) to search against a trained quantizer
+    instead: balanced cells mean balanced probe costs, the reason real
+    deployments train the coarse quantizer offline.
 
     Plan shape (same broadcast-GEMM kernel as :func:`cosine_topk`): the
     query matrix is small by construction, so its vectors AND cell
@@ -269,13 +273,16 @@ def ivf_topk(
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    cents = sorted(
-        corpus.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
-        .collect(),
-        key=lambda r: r.id,
-    )
-    c_mat = np.array([r.q for r in cents], dtype=np.int64)
+    if centroids is not None:
+        c_mat = np.array(centroids, dtype=np.int64)
+    else:
+        cents = sorted(
+            corpus.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+            .collect(),
+            key=lambda r: r.id,
+        )
+        c_mat = np.array([r.q for r in cents], dtype=np.int64)
     c_norms = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64))
 
     def _assign(mat: "np.ndarray", norms: "np.ndarray", cm, cn) -> "np.ndarray":

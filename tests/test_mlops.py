@@ -540,3 +540,29 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     got = {r.id: r.cid for r in assigned.collect()}
     assert got == {0: 1, 1: 1, 2: 0, 3: 0}
     assert cents == [[1500], [0]]
+
+
+def test_ivf_with_trained_centroids_exhaustive_probe_is_exact(spark):
+    """kmeans centroids plug into the IVF quantizer; probing every cell
+    must reproduce brute-force top-k regardless of the quantizer."""
+    import random
+
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_quantized,
+    )
+
+    rnd = random.Random(7)
+    vecs = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    _, cents = kmeans_quantized(df, "vec_id", "embedding", k=4, iters=2)
+    q = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(q, df, "vec_id", "embedding", k=3)
+    ivf = ivf_topk(
+        q, df, "vec_id", "embedding", k=3, n_cells=4, nprobe=4,
+        centroids=cents,
+    )
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
