@@ -415,3 +415,73 @@ def test_stream_folds_hll_sketch_state_across_microbatches(spark, tmp_path):
         ).collect()
     }
     assert folded == whole and set(folded) == {"g0", "g1"}
+
+
+def test_stream_folds_quantile_sketch_state_across_microbatches(spark, tmp_path):
+    """End-to-end streaming quantile state: each micro-batch builds
+    HDR-histogram buckets that foreachBatch folds into a parquet state
+    table; quantiles answered from the folded state equal the one-shot
+    batch answer over the union of all inputs."""
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        qh_quantiles,
+        qh_sketch,
+    )
+    from dnsflow_clickhouse_spark.streaming.pipeline import merge_qh_state
+
+    inp = tmp_path / "qh_in"
+    inp.mkdir()
+    state_dir = str(tmp_path / "qh_state")
+
+    def handle(batch_df, batch_id):
+        st = qh_sketch(
+            batch_df.select(
+                F.split("value", ",")[0].alias("grp"),
+                F.split("value", ",")[1].cast("long").alias("v"),
+            ),
+            ["grp"],
+            "v",
+        )
+        try:
+            prev = spark.read.parquet(state_dir)
+        except Exception:
+            prev = None
+        merged = merge_qh_state(prev, st, ["grp"])
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    (inp / "b1.txt").write_text(
+        "\n".join(f"g{i % 2},{i}" for i in range(1, 500)), encoding="utf-8"
+    )
+    raw = spark.readStream.format("text").load(str(inp))
+    q = (
+        raw.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "qh_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (inp / "b2.txt").write_text(
+            "\n".join(f"g{i % 2},{i}" for i in range(500, 1001)),
+            encoding="utf-8",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    qs = [500_000, 990_000]
+    folded = sorted(
+        map(
+            tuple,
+            qh_quantiles(spark.read.parquet(state_dir), ["grp"], qs).collect(),
+        )
+    )
+    whole_df = spark.createDataFrame(
+        [(f"g{i % 2}", i) for i in range(1, 1001)], "grp string, v long"
+    )
+    whole = sorted(
+        map(tuple, qh_quantiles(qh_sketch(whole_df, ["grp"], "v"), ["grp"], qs).collect())
+    )
+    assert folded == whole
