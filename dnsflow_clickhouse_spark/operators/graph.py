@@ -327,10 +327,15 @@ def component_census(
     One CC fixpoint + two broadcast-sized joins of edges/triangles onto
     their component labels; all aggregates map-side combinable.
     """
-    e = edges.select(
-        F.least(F.col(id_a), F.col(id_b)).alias("a"),
-        F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
-    ).distinct()
+    # one barrier before the three-way fan-out (components, edge counts,
+    # triangles) — without it the often-expensive pair pipeline above
+    # `edges` re-evaluates once per consumer
+    e = _make_barrier(edges.sparkSession, checkpoint_dir)(
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        ).distinct()
+    )
     cc = connected_components(
         e, "a", "b",
         num_partitions=num_partitions, checkpoint_dir=checkpoint_dir,
