@@ -696,6 +696,59 @@ ORDER BY m.comp
 """
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the ANN family: per query vector, how many of
+    the exact top-k neighbors the single-probe hyperplane-LSH path
+    recovers (``recall_ppm`` = floor(1e6 * hits / k)). The quality dial
+    every ANN deployment monitors before trading recall for cost —
+    computed entirely in-engine by joining the two catalog kernels'
+    outputs on (query, neighbor)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding", KNN_K
+    ).select("query_id", "neighbor_id")
+    ann = hyperplane_lsh_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding",
+        KNN_K, N_PLANES,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.floor(
+                F.lit(1_000_000) * F.coalesce("n_hits", F.lit(0)) / F.col("n_exact")
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_KNN_SQL}) x),
+ann AS (SELECT query_id, neighbor_id FROM ({_LSH_ANN_SQL}) y),
+hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN ann a USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+per_q AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+          FROM exact GROUP BY 1)
+SELECT p.query_id, p.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(floor(1000000.0 * coalesce(h.n_hits, 0) / p.n_exact) AS BIGINT)
+         AS recall_ppm
+FROM per_q p LEFT JOIN hits h USING (query_id)
+ORDER BY p.query_id
+"""
+
+
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup decision record: embedding-cosine
     near-dup pairs (hyperplane-bucketed, threshold 0.4 — the same 100 TB
@@ -934,6 +987,7 @@ MLOPS_REGISTRY = {
     "embedding_lsh_ann": (embedding_lsh_ann, _LSH_ANN_SQL),
     "embedding_neardup": (embedding_neardup, _NEARDUP_SQL),
     "semdedup_keep": (semdedup_keep, _SEMDEDUP_SQL),
+    "ann_recall_report": (ann_recall_report, _ANN_RECALL_SQL),
     "embedding_neardup_exact": (embedding_neardup_exact, _NEARDUP_EXACT_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
 }
