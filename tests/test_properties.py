@@ -1,0 +1,138 @@
+"""Property tests (hypothesis): the portable integer kernels checked
+against INDEPENDENT pure-python references on randomized inputs. The
+DuckDB oracles prove cross-engine agreement on the fixed testdata;
+these prove the algebra itself holds across the input space — each
+example batches many values into one DataFrame so Spark round-trips
+stay cheap."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.operators.sketches import (
+    QH_SUB_BITS,
+    qh_bucket,
+    qh_bucket_floor,
+)
+
+
+def _py_qh_bucket(v: int, sub_bits: int = QH_SUB_BITS) -> int:
+    shift = max(v.bit_length() - sub_bits - 1, 0)
+    return (shift << sub_bits) + (v >> shift)
+
+
+def _py_qh_floor(b: int, sub_bits: int = QH_SUB_BITS) -> int:
+    if b < 1 << (sub_bits + 1):
+        return b
+    shift = (b >> sub_bits) - 1
+    return (b - (shift << sub_bits)) << shift
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62 - 1), min_size=1, max_size=80
+    )
+)
+def test_qh_bucket_matches_python_reference(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (
+        df.select("v", qh_bucket(F.col("v")).alias("b"))
+        .withColumn("f", qh_bucket_floor(F.col("b")))
+        .collect()
+    )
+    for r in rows:
+        assert r.b == _py_qh_bucket(r.v), (r.v, r.b)
+        assert r.f == _py_qh_floor(r.b), (r.b, r.f)
+        # the bound the sketch's accuracy contract rests on
+        assert r.f <= r.v
+        assert r.v < (_py_qh_floor(r.b + 1) if r.v > 0 else 1) or r.b == _py_qh_bucket(r.v)
+
+
+def _py_dup_spans(docs: list[list[str]], k: int):
+    """Brute-force reference: positions whose k-gram occurs in >= 2
+    distinct docs, merged into maximal intervals per doc."""
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            where[tuple(toks[i : i + k])].add(d)
+    out = []
+    for d, toks in enumerate(docs):
+        pos = [
+            i
+            for i in range(len(toks) - k + 1)
+            if len(where[tuple(toks[i : i + k])]) >= 2
+        ]
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        out.append(
+            (d, len(toks), len(spans), sum(e - s for s, e in spans))
+        )
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_duplicate_spans_match_python_reference(spark, docs):
+    from dnsflow_clickhouse_spark.operators.spans import duplicate_span_stats
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_toks, r.n_spans, r.dup_tokens)
+        for r in duplicate_span_stats(df, "doc_id", "text", k=k).collect()
+    }
+    for d, n_toks, n_spans, dup_tokens in _py_dup_spans(docs, k):
+        assert got[d] == (n_toks, n_spans, dup_tokens), (d, docs)
+
+
+def _py_budget(weights: dict[str, int], budget: int):
+    base = {s: budget * w // 1_000_000 for s, w in weights.items()}
+    rem = {s: budget * w % 1_000_000 for s, w in weights.items()}
+    leftover = budget - sum(base.values())
+    for s in sorted(weights, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    return base
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=999_997), min_size=2, max_size=6
+    ),
+    st.integers(min_value=1, max_value=10**9),
+)
+def test_budget_allocation_matches_python_reference(spark, raw, budget):
+    from dnsflow_clickhouse_spark.operators.corpus import budget_allocation
+
+    # normalize raw weights to exactly 1e6 ppm (remainder to the first)
+    total = sum(raw)
+    weights = {f"s{i}": w * 1_000_000 // total for i, w in enumerate(raw)}
+    weights["s0"] += 1_000_000 - sum(weights.values())
+    d = spark.createDataFrame(
+        [(s, 10) for s in weights], ["lang", "toks"]
+    )
+    out = {
+        r.lang: r.alloc_tokens
+        for r in budget_allocation(d, "lang", "toks", weights, budget).collect()
+    }
+    assert out == _py_budget(weights, budget)
+    assert sum(out.values()) == budget
