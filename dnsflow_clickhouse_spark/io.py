@@ -213,3 +213,91 @@ def observed_write(
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     writer(observed)
     return obs.get
+
+
+def _id_hash(id_col: str):
+    """Mixed portable hash of the id — shard router and checksum input."""
+    from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD, poly_hash
+    from dnsflow_clickhouse_spark.operators.sampling import MIX_MULT
+
+    return (poly_hash(F.col(id_col).cast("string")) * MIX_MULT) % POLY_MOD
+
+
+def write_sharded_export(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Reproducible sharded training-data export with a verifiable
+    manifest — the delivery contract a downstream trainer consumes:
+
+    - shard assignment is a pure function of the row id (the portable
+      mixed hash mod ``n_shards``), so re-running the export on the
+      same corpus yields identical shard membership;
+    - data lands partitioned by ``__shard`` (one directory per shard);
+    - a ``_manifest`` parquet records per shard: row count and an
+      order-insensitive id checksum (``bit_xor`` of the id hashes —
+      associative/commutative/self-inverse, so any partitioning of the
+      data computes the same value, and a duplicated row cancels out of
+      the xor but still trips the row count).
+
+    :func:`validate_sharded_export` recomputes the manifest from the
+    shipped data and diffs it — a lost, truncated, duplicated, or
+    foreign shard shows up as a count or checksum mismatch without
+    reading any payload column (column pruning keeps validation
+    id-only). Returns the manifest frame.
+    """
+    sharded = df.withColumn(
+        "__shard", (_id_hash(id_col) % n_shards).cast("int")
+    )
+    sharded.write.mode("overwrite").partitionBy("__shard").parquet(
+        os.path.join(path, "data")
+    )
+    manifest = _shard_manifest(sharded, id_col)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_manifest")
+    )
+    return manifest
+
+
+def _shard_manifest(sharded: DataFrame, id_col: str) -> DataFrame:
+    return (
+        sharded.withColumn("__idh", _id_hash(id_col))
+        .groupBy("__shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__idh)").alias("id_checksum"),
+        )
+        .withColumnRenamed("__shard", "shard")
+    )
+
+
+def validate_sharded_export(
+    spark: SparkSession, path: str, id_col: str
+) -> DataFrame:
+    """Recompute the export manifest from the shipped data and diff it
+    against the stored ``_manifest``: returns rows ONLY for shards that
+    disagree — empty result == export verified."""
+    stored = spark.read.parquet(os.path.join(path, "_manifest"))
+    data = spark.read.parquet(os.path.join(path, "data"))
+    actual = _shard_manifest(data, id_col)
+    m, d = stored.alias("m"), actual.alias("d")
+    return (
+        m.join(d, F.col("m.shard") == F.col("d.shard"), "full_outer")
+        .filter(
+            F.col("m.n_rows").isNull()
+            | F.col("d.n_rows").isNull()
+            | (F.col("m.n_rows") != F.col("d.n_rows"))
+            | (F.col("m.id_checksum") != F.col("d.id_checksum"))
+        )
+        .select(
+            F.coalesce(F.col("m.shard"), F.col("d.shard")).alias("shard"),
+            F.col("m.n_rows").alias("manifest_rows"),
+            F.col("d.n_rows").alias("actual_rows"),
+            (
+                F.coalesce(F.col("m.id_checksum"), F.lit(-1))
+                != F.coalesce(F.col("d.id_checksum"), F.lit(-1))
+            ).cast("int").alias("checksum_mismatch"),
+        )
+    )

@@ -385,3 +385,31 @@ def test_merge_additive_histogram_state_gives_exact_merged_percentiles(spark):
     merged = p50_from_hist(state).collect()
     whole = p50_from_hist(hist(raw)).collect()
     assert sorted(merged) == sorted(whole)
+
+
+def test_sharded_export_validates_and_catches_loss(spark, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from dnsflow_clickhouse_spark.io import (
+        validate_sharded_export,
+        write_sharded_export,
+    )
+
+    out = str(tmp_path / "export")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("payload")
+    )
+    manifest = write_sharded_export(df, "doc_id", out, n_shards=8)
+    assert manifest.count() == 8
+    assert manifest.agg(F.sum("n_rows")).collect()[0][0] == 500
+    # re-export is byte-identical membership: manifests agree
+    again = write_sharded_export(df, "doc_id", str(tmp_path / "e2"), n_shards=8)
+    assert sorted(map(tuple, manifest.collect())) == sorted(map(tuple, again.collect()))
+    # intact export validates clean
+    assert validate_sharded_export(spark, out, "doc_id").count() == 0
+    # drop one shard directory -> exactly that shard is flagged
+    victim = next(Path(out, "data").glob("__shard=3*"))
+    shutil.rmtree(victim)
+    bad = validate_sharded_export(spark, out, "doc_id").collect()
+    assert len(bad) == 1 and bad[0].shard == 3 and bad[0].actual_rows is None
