@@ -44,6 +44,34 @@ def parse_raw_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     ).drop("_corrupt_record")
 
 
+def parse_with_quarantine(
+    lines: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`parse_raw_lines`, but returns ``(good, quarantine)``
+    instead of silently dropping: the quarantine frame carries the raw
+    line plus a ``reason`` ('corrupt' | 'missing_timestamp') for a side
+    sink — the pattern that turns the reference's log-and-drop
+    (DnsRptCH.scala:866-873) into an auditable dead-letter table.
+    One parse; both frames are filters over the same projection, so
+    Catalyst shares the scan when both are written in one job."""
+    parsed = lines.select(
+        F.col(value_col).alias("__raw"),
+        F.from_json(F.col(value_col), RAW_EVENT_SCHEMA).alias("r"),
+    ).select("__raw", "r.*")
+    good = parsed.filter(
+        F.col("_corrupt_record").isNull() & F.col("Timestamp").isNotNull()
+    ).drop("_corrupt_record", "__raw")
+    bad = parsed.filter(
+        F.col("_corrupt_record").isNotNull() | F.col("Timestamp").isNull()
+    ).select(
+        F.col("__raw").alias("raw_line"),
+        F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+        .otherwise("missing_timestamp")
+        .alias("reason"),
+    )
+    return good, bad
+
+
 def _a_answers(answers: Column) -> Column:
     return F.filter(answers, lambda a: a["Type"] == "A")
 

@@ -168,3 +168,27 @@ def test_full_fanout_smoke(spark):
     # key reports non-empty on the fixture window
     assert out["dns_flow_qps"].count() >= 2
     assert out["dns_flow_clear"].count() > 0
+
+
+def test_parse_with_quarantine_accounts_for_every_line(spark):
+    from dnsflow_clickhouse_spark.sources.events import (
+        parse_raw_lines,
+        parse_with_quarantine,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ('{"Timestamp": 1700000000, "Domain": "a.com", "Qr": 1}',),
+            ("not json at all",),
+            ('{"Domain": "no-timestamp.com"}',),
+        ],
+        ["value"],
+    )
+    good, bad = parse_with_quarantine(lines)
+    assert good.count() == 1
+    reasons = {r.raw_line: r.reason for r in bad.collect()}
+    assert reasons["not json at all"] == "corrupt"
+    assert reasons['{"Domain": "no-timestamp.com"}'] == "missing_timestamp"
+    # quarantine + good == input, and good matches the drop-path parse
+    assert good.count() + bad.count() == 3
+    assert good.count() == parse_raw_lines(lines).count()
