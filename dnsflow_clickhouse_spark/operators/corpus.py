@@ -335,3 +335,49 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def rare_token_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Log-free perplexity stand-in: per document, the share of token
+    OCCURRENCES whose corpus-wide count is <= ``rare_max_count``
+    (``rare_ppm``, exact-integer). High rare-mass flags gibberish /
+    OCR noise / boilerplate-free junk the way an LM-perplexity filter
+    would, without a model and without transcendental math (a real
+    logprob needs ln, which is not correctly-rounded-portable across
+    engines — the reason this engine's quality gates are all integer).
+
+    Two hash aggregates (corpus term counts, then per-doc rare mass)
+    plus one equi-join on the term; all map-side combinable. Docs with
+    zero tokens report rare_ppm = 0.
+    """
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    counts = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    flagged = occ.join(counts, "term").select(
+        "doc_id", (F.col("n") <= rare_max_count).cast("long").alias("is_rare")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("is_rare").alias("n_rare"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+            F.when(F.coalesce("n_toks", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(F.lit(1_000_000) * F.col("n_rare") / F.col("n_toks"))
+            )
+            .alias("rare_ppm"),
+        )
+    )

@@ -1002,9 +1002,41 @@ ORDER BY df DESC, gram LIMIT 20
 """
 
 
+def rare_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token mass (corpus count <= 2) in exact ppm —
+    the model-free, log-free perplexity filter stand-in. Output ordered
+    per doc; every doc appears (zeros for empty)."""
+    from dnsflow_clickhouse_spark.operators.corpus import rare_token_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return rare_token_stats(d, "doc_id", "text", rare_max_count=2).orderBy(
+        "doc_id"
+    )
+
+
+_RARE_TOKEN_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+occ AS (SELECT doc_id, unnest(toks) AS term FROM t),
+c AS (SELECT term, count(*) AS n FROM occ GROUP BY 1),
+f AS (SELECT occ.doc_id, CASE WHEN c.n <= 2 THEN 1 ELSE 0 END AS is_rare
+      FROM occ JOIN c USING (term)),
+p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(is_rare) AS BIGINT) AS n_rare
+      FROM f GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(p.n_toks, 0) AS n_toks,
+       coalesce(p.n_rare, 0) AS n_rare,
+       CASE WHEN coalesce(p.n_toks, 0) = 0 THEN 0
+            ELSE CAST(floor(1000000.0 * p.n_rare / p.n_toks) AS BIGINT)
+       END AS rare_ppm
+FROM t LEFT JOIN p USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 CORPUS_REGISTRY = {
     "duplicate_span_report": (duplicate_span_report, _DUP_SPAN_SQL),
     "boilerplate_grams": (boilerplate_grams, _BOILERPLATE_SQL),
+    "rare_token_report": (rare_token_report, _RARE_TOKEN_SQL),
     "mixture_budget_report": (mixture_budget_report, _MIXTURE_SQL),
     "snapshot_diff_report": (snapshot_diff_report, _SNAPSHOT_SQL),
     "incremental_report_merge": (incremental_report_merge, _INCR_MERGE_SQL),

@@ -287,3 +287,21 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r.id: r.status for r in snapshot_diff(old, new, "doc_id", ["text"]).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_rare_token_stats_masses(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import rare_token_stats
+
+    # 'x' appears once (rare), 'a' appears 4x (common); doc 2 empty
+    rows = [(0, "a a x"), (1, "a a"), (2, "")]
+    out = {
+        r.doc_id: (r.n_toks, r.n_rare, r.rare_ppm)
+        for r in rare_token_stats(_corpus_df(spark, rows), "doc_id", "text", 2).collect()
+    }
+    assert out[0] == (3, 1, 333_333)
+    assert out[1] == (2, 0, 0)
+    assert out[2] == (0, 0, 0)
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
