@@ -206,3 +206,101 @@ def quota_admit(keyed: DataFrame, cap: int, backend: str = "groupstate") -> Data
     return keyed.groupBy("key").applyInPandasWithState(
         fn, QUOTA_OUTPUT, _QUOTA_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# --- gap-based streaming sessionizer (applyInPandasWithState) --------------
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    keyed: DataFrame,
+    gap_seconds: int,
+    idle_timeout_minutes: int = 1,
+) -> DataFrame:
+    """Custom stateful gap sessionizer: closes a session when the gap
+    between consecutive event times exceeds ``gap_seconds``, emitting
+    ``(key, session_start, session_end, n_events)`` per CLOSED session
+    — the explicit-state twin of the native ``session_window`` path in
+    streaming/pipeline.py, for payloads the built-in can't carry (the
+    state here is three longs, but any session accumulator slots into
+    the state schema).
+
+    Input columns: ``key string, ts long`` (epoch seconds). Sessions
+    also close via processing-time timeout (``idle_timeout_minutes``)
+    when a key goes quiet, so the final session is not held forever.
+    State per key is O(1); the shuffle is the groupBy on the key —
+    exactly the distribution the 100 TB run needs (RocksDB state store
+    for large key spaces, same note as :func:`first_seen`).
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "session_start": [s],
+                        "session_end": [last],
+                        "n_events": [n],
+                    }
+                )
+            return
+        ts = sorted(
+            int(t) for pdf in pdfs if len(pdf) for t in pdf["ts"].tolist()
+        )
+        if not ts:
+            return
+        if state.exists:
+            s, last, n = state.get
+        else:
+            s = last = n = None  # loop opens the first session
+        closed = []
+        for t in ts:
+            if s is None:
+                s, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((s, last, n))
+                s, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((s, last, n))
+        state.setTimeoutDuration(idle_timeout_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT,
+        _SESSION_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -180,3 +180,54 @@ def test_quota_processor_tws_pure_logic():
     # second batch: budget exhausted -> nothing
     out2 = list(p.handleInputRows(("a",), iter([pd.DataFrame({"id": [5]})]), None))
     assert out2 == []
+
+
+def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
+    """Two micro-batches: batch 1 opens sessions; batch 2's events past
+    the gap close them and open new ones; the idle timeout flushes the
+    final open sessions."""
+    import time
+
+    from dnsflow_clickhouse_spark.streaming.stateful import sessionize_stream
+
+    inp = tmp_path / "sess_in"
+    inp.mkdir()
+    out: list = []
+
+    def sink(df, _bid):
+        out.extend(df.collect())
+
+    # u1: events 100,105 then (batch 2) 300 -> gap 60 closes [100,105]
+    # u2: single event 50, nothing later -> closed only by idle timeout
+    (inp / "b1.txt").write_text("u1,100\nu1,105\nu2,50\n", encoding="utf-8")
+    raw = spark.readStream.format("text").load(str(inp))
+    keyed = raw.selectExpr(
+        "split(value, ',')[0] AS key", "CAST(split(value, ',')[1] AS LONG) AS ts"
+    )
+    sessions = sessionize_stream(keyed, gap_seconds=60, idle_timeout_minutes=1)
+    q = (
+        sessions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert out == []  # nothing closed yet
+        (inp / "b2.txt").write_text("u1,300\n", encoding="utf-8")
+        q.processAllAvailable()
+        closed = {(r.key, r.session_start, r.session_end, r.n_events) for r in out}
+        assert ("u1", 100, 105, 2) in closed  # gap-closed
+        # idle timeout: wait past 1 min, then poke the stream so the
+        # timed-out state is flushed
+        deadline = time.time() + 90
+        while time.time() < deadline and len(out) < 3:
+            (inp / f"poke_{int(time.time())}.txt").write_text(
+                "zz,9999\n", encoding="utf-8"
+            )
+            q.processAllAvailable()
+            time.sleep(5)
+        closed = {(r.key, r.session_start, r.session_end, r.n_events) for r in out}
+        assert ("u2", 50, 50, 1) in closed  # timeout-closed
+        assert ("u1", 300, 300, 1) in closed
+    finally:
+        q.stop()
