@@ -442,3 +442,155 @@ def qh_quantiles(
             .alias("value_floor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (distinct counts AND distinct-set intersection)
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # retained minimum hash values per key
+KMV_BANDS = 64  # first-stage top-k fan-out (see kmv_sketch)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    k: int = KMV_K,
+    seed: int = 0,
+    bands: int = KMV_BANDS,
+) -> DataFrame:
+    """Per-key KMV (k-minimum-values / theta) sketch: the ``k`` smallest
+    DISTINCT portable hashes of ``item_col`` — (*key_cols, hv) rows,
+    at most ``k`` per key.
+
+    Why a fourth sketch: HLL answers "how many distinct" but its
+    registers cannot be intersected; the KMV state is an actual uniform
+    sample of the distinct-hash space below a threshold theta, so two
+    sketches support SET operations — distinct intersection / union /
+    Jaccard between corpora (train-vs-benchmark contamination at the
+    distinct-item level) without ever joining the corpora themselves.
+
+    Build shape for 100 TB: one map-side-combinable distinct aggregate
+    (the only pass over the data), then top-k in two stages — k smallest
+    per (key, hv % bands) band, then k smallest of the ≤ bands*k
+    survivors. The second window sorts a bounded frame; the first gets
+    ``bands``-way parallelism per key, so a single hot key cannot pin
+    the sort on one task. The result is independent of ``bands``.
+
+    Like the other sketch states the rows are mergeable: sketches built
+    over any partitioning of the data fold losslessly via
+    :func:`kmv_merge` (union -> k smallest survive).
+    """
+    from pyspark.sql import Window
+
+    h = _mixed_hash(F.col(item_col), seed)
+    hashed = df.select(*key_cols, h.alias("hv")).distinct()
+    band_w = Window.partitionBy(*key_cols, F.col("hv") % F.lit(bands)).orderBy(
+        "hv"
+    )
+    stage1 = (
+        hashed.withColumn("__r", F.row_number().over(band_w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    key_w = Window.partitionBy(*key_cols).orderBy("hv")
+    return (
+        stage1.withColumn("__r", F.row_number().over(key_w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, key_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Fold two KMV states with the same (k, seed) into one — identical
+    to building over the unioned data: union, re-distinct (a hash seen
+    by both sides collapses), keep the k smallest per key."""
+    from pyspark.sql import Window
+
+    merged = a.unionByName(b).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("hv")
+    return (
+        merged.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, key_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per key: with n = stored hashes and
+    theta = the k-th smallest hash, ``est = (k-1) * M div theta`` —
+    the standard unbiased KMV estimator, integer-exact (one bigint
+    multiply + integer divide, identical in every engine). A key with
+    fewer than k distinct items stores ALL its hashes, so the sketch is
+    EXACT there: est = n."""
+    return (
+        sketch.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("theta"))
+        .select(
+            *key_cols,
+            "n_kept",
+            F.when(F.col("n_kept") < k, F.col("n_kept"))
+            .otherwise(
+                F.expr(f"CAST({k - 1} AS BIGINT) * {POLY_MOD} div theta")
+            )
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch set algebra over two single-key KMV states (columns:
+    just ``hv``): one row with distinct-intersection / union / Jaccard
+    estimates.
+
+    theta = min of the two sketches' thresholds (a sketch with < k
+    hashes is exhaustive -> its threshold is M). Every stored hash
+    below theta is a uniform sample of the combined distinct space, so
+
+        est_inter = |{hv in A and B : hv < theta}| * M div theta
+        est_union = |{hv in A or  B : hv < theta}| * M div theta
+
+    and jaccard_est_ppm = inter_below * 1e6 div union_below (the M/theta
+    scaling cancels). Both sketches are tiny (<= k rows) — the joins
+    below are broadcast; nothing here touches the original data."""
+    ta = a.agg(
+        F.count(F.lit(1)).alias("n"), F.max("hv").alias("mx")
+    ).select(
+        F.when(F.col("n") < k, F.lit(POLY_MOD)).otherwise(F.col("mx")).alias(
+            "theta_a"
+        )
+    )
+    tb = b.agg(
+        F.count(F.lit(1)).alias("n"), F.max("hv").alias("mx")
+    ).select(
+        F.when(F.col("n") < k, F.lit(POLY_MOD)).otherwise(F.col("mx")).alias(
+            "theta_b"
+        )
+    )
+    theta = ta.crossJoin(tb).select(
+        F.least("theta_a", "theta_b").alias("theta")
+    )
+    tagged = (
+        a.select("hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(b.select("hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+        .groupBy("hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    below = tagged.crossJoin(F.broadcast(theta)).filter(F.col("hv") < F.col("theta"))
+    return below.groupBy("theta").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("inter_below"),
+        F.count(F.lit(1)).alias("union_below"),
+    ).select(
+        F.expr(f"inter_below * {POLY_MOD} div theta").alias("est_inter"),
+        F.expr(f"union_below * {POLY_MOD} div theta").alias("est_union"),
+        F.expr("CASE WHEN union_below = 0 THEN 0 ELSE inter_below * 1000000 div union_below END").alias(
+            "jaccard_est_ppm"
+        ),
+    )

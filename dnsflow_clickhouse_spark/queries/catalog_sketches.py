@@ -380,9 +380,134 @@ ORDER BY event_type, q_ppm
 """
 
 
+
+
+def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-vocabulary overlap between two corpus halves (even vs
+    odd doc_id) via the KMV/theta sketch, with the exact answers beside
+    the estimates.
+
+    This is the sketch family's SET-ALGEBRA member: HLL counts
+    distincts but cannot intersect; the KMV states here estimate
+    distinct intersection / union / Jaccard between corpora from two
+    ~k-row samples — the shape a 100 TB train-vs-benchmark
+    contamination check at the distinct-token level needs (the corpora
+    themselves are never joined; each is scanned once to build its
+    sketch). The halves share most vocabulary by construction, so the
+    estimates land near the exact values while the theta threshold is
+    genuinely exercised: items are token TRIGRAMS (the decontamination
+    granularity), ~10k distinct per side at sf0.01 — far past k=256, so
+    both sketches run in the estimator regime, not the exhaustive
+    small-set shortcut."""
+    from dnsflow_clickhouse_spark.operators.dedup import token_ngrams
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(token_ngrams(F.lower(F.col("text")))).alias("tok"),
+    )
+    tagged = toks.groupBy("tok").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    exact = tagged.agg(
+        F.sum("in_a").alias("n_exact_a"),
+        F.sum("in_b").alias("n_exact_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_exact_inter"),
+        F.count(F.lit(1)).alias("n_exact_union"),
+    ).select(
+        "*",
+        F.expr("n_exact_inter * 1000000 div n_exact_union").alias("jaccard_ppm"),
+    )
+    side_a = toks.filter(F.col("side") == 0).select("tok")
+    side_b = toks.filter(F.col("side") == 1).select("tok")
+    ska = kmv_sketch(side_a, [], "tok")
+    skb = kmv_sketch(side_b, [], "tok")
+    est_a = kmv_estimate(ska, []).select(F.col("est_distinct").alias("est_a"))
+    est_b = kmv_estimate(skb, []).select(F.col("est_distinct").alias("est_b"))
+    sets = kmv_set_estimates(ska.select("hv"), skb.select("hv"), KMV_K)
+    return (
+        exact.crossJoin(est_a).crossJoin(est_b).crossJoin(sets).select(
+            "n_exact_a",
+            "n_exact_b",
+            "n_exact_inter",
+            "n_exact_union",
+            "jaccard_ppm",
+            "est_a",
+            "est_b",
+            "est_inter",
+            "est_union",
+            "jaccard_est_ppm",
+        )
+    )
+
+
+def _sql_kmv() -> str:
+    """DuckDB replay of kmv_corpus_overlap: same mixed polynomial hash,
+    same k-smallest-distinct states, same integer theta algebra. Sums
+    are cast to BIGINT (DuckDB sums to HUGEINT, which the driver's
+    canonicalizer cannot hash — tests/test_oracle_types.py)."""
+    k = 256
+    mixed = _sql_mixed("tok")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+  FROM documents),
+tok AS (
+  SELECT doc_id % 2 AS side, unnest(CASE
+    WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+          generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE CAST([] AS VARCHAR[]) END) AS tok
+  FROM tk),
+tag AS (SELECT tok,
+               max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+        FROM tok GROUP BY tok),
+exact AS (SELECT CAST(sum(in_a) AS BIGINT) AS n_exact_a,
+                 CAST(sum(in_b) AS BIGINT) AS n_exact_b,
+                 CAST(sum(in_a * in_b) AS BIGINT) AS n_exact_inter,
+                 count(*) AS n_exact_union,
+                 CAST(sum(in_a * in_b) * 1000000 // count(*) AS BIGINT) AS jaccard_ppm
+          FROM tag),
+ha AS (SELECT DISTINCT {mixed} AS hv FROM tag WHERE in_a = 1),
+hb AS (SELECT DISTINCT {mixed} AS hv FROM tag WHERE in_b = 1),
+ka AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM ha) WHERE r <= {k}),
+kb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM hb) WHERE r <= {k}),
+ea AS (SELECT CAST(CASE WHEN count(*) < {k} THEN count(*)
+                        ELSE CAST({k - 1} AS BIGINT) * 1000000007 // max(hv) END AS BIGINT) AS est_a,
+              CASE WHEN count(*) < {k} THEN 1000000007 ELSE max(hv) END AS theta_a
+       FROM ka),
+eb AS (SELECT CAST(CASE WHEN count(*) < {k} THEN count(*)
+                        ELSE CAST({k - 1} AS BIGINT) * 1000000007 // max(hv) END AS BIGINT) AS est_b,
+              CASE WHEN count(*) < {k} THEN 1000000007 ELSE max(hv) END AS theta_b
+       FROM kb),
+th AS (SELECT least(theta_a, theta_b) AS theta FROM ea, eb),
+mg AS (SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+         SELECT hv, 1 AS in_a, 0 AS in_b FROM ka
+         UNION ALL SELECT hv, 0, 1 FROM kb) GROUP BY hv),
+below AS (SELECT mg.* FROM mg, th WHERE hv < theta),
+sets AS (SELECT CAST(CAST(sum(in_a * in_b) AS BIGINT) * 1000000007 // theta AS BIGINT) AS est_inter,
+                CAST(count(*) * 1000000007 // theta AS BIGINT) AS est_union,
+                CAST(CASE WHEN count(*) = 0 THEN 0
+                          ELSE CAST(sum(in_a * in_b) AS BIGINT) * 1000000 // count(*) END AS BIGINT) AS jaccard_est_ppm
+         FROM below, th GROUP BY theta)
+SELECT exact.*, ea.est_a, eb.est_b, sets.est_inter, sets.est_union, sets.jaccard_est_ppm
+FROM exact, ea, eb, sets
+"""
+
+
 SKETCH_REGISTRY = {
     "quantile_sketch_values": (quantile_sketch_values, _QH_SQL),
     "hll_distinct_users": (hll_distinct_users, _HLL_SQL),
     "cms_heavy_hitters": (cms_heavy_hitters, _sql_cms()),
     "bloom_membership_flags": (bloom_membership_flags, _sql_bloom()),
+    "kmv_corpus_overlap": (kmv_corpus_overlap, _sql_kmv()),
 }

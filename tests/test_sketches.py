@@ -243,3 +243,90 @@ def test_streaming_qh_state_fold_matches_one_shot(spark):
     folded = sorted(map(tuple, state.collect()))
     whole = sorted(map(tuple, qh_sketch(d, ["k"], "v").collect()))
     assert folded == whole
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    # 100 distinct items with k=128 -> the sketch is exhaustive: exact
+    small = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(100) for _ in range(3)], "item string"
+    )
+    est = kmv_estimate(kmv_sketch(small, [], "item", k=128), [], k=128).collect()
+    assert est[0].est_distinct == 100 and est[0].n_kept == 100
+    # 4000 distinct with k=256 -> estimator regime, within 25%
+    big = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(4000)], "item string"
+    )
+    est2 = kmv_estimate(kmv_sketch(big, [], "item"), []).collect()[0]
+    assert est2.n_kept == 256
+    assert 3000 <= est2.est_distinct <= 5000, est2
+
+
+def test_kmv_is_independent_of_banding_and_partitioning(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(3000)], "item string"
+    )
+    a = sorted(r.hv for r in kmv_sketch(df, [], "item", bands=64).collect())
+    b = sorted(
+        r.hv
+        for r in kmv_sketch(
+            df.repartition(13), [], "item", bands=7
+        ).collect()
+    )
+    assert a == b and len(a) == 256
+
+
+def test_kmv_merge_is_lossless(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 4, f"item-{i}") for i in range(3000)], "slice int, item string"
+    )
+    whole = sorted(
+        r.hv for r in kmv_sketch(df.select("item"), [], "item").collect()
+    )
+    parts = [
+        kmv_sketch(df.filter(F.col("slice") == s).select("item"), [], "item")
+        for s in range(4)
+    ]
+    folded = parts[0]
+    for p in parts[1:]:
+        folded = kmv_merge(folded, p, [])
+    assert sorted(r.hv for r in folded.collect()) == whole
+
+
+def test_kmv_set_estimates_track_exact_overlap(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    # A = 0..2999, B = 1500..4499 -> |inter| = 1500, |union| = 4500,
+    # true Jaccard = 1/3
+    a = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(3000)], "item string"
+    )
+    b = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(1500, 4500)], "item string"
+    )
+    row = kmv_set_estimates(
+        kmv_sketch(a, [], "item").select("hv"),
+        kmv_sketch(b, [], "item").select("hv"),
+    ).collect()[0]
+    assert 1000 <= row.est_inter <= 2000, row
+    assert 3500 <= row.est_union <= 5500, row
+    assert 233_000 <= row.jaccard_est_ppm <= 433_000, row
