@@ -37,6 +37,9 @@ from dnsflow_clickhouse_spark.queries.catalog_mlops import MLOPS_REGISTRY as _ML
 from dnsflow_clickhouse_spark.queries.catalog_sketches import (
     SKETCH_REGISTRY as _SKETCHES,
 )
+from dnsflow_clickhouse_spark.queries.catalog_tokenizer import (
+    TOKENIZER_REGISTRY as _TOKENIZER,
+)
 from dnsflow_clickhouse_spark.queries.catalog_tpch2 import TPCH2_REGISTRY as _TPCH2
 from dnsflow_clickhouse_spark.queries.catalog_tpch3 import TPCH3_REGISTRY as _TPCH3
 from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TPCH4
@@ -44,6 +47,7 @@ from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TP
 _MERGED = {
     **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_TPCH3, **_TPCH4,
     **_MLOPS, **_CORPUS, **_CURATION, **_PROFILING, **_SKETCHES,
+    **_TOKENIZER,
 }
 
 # First 50 = driver correctness window for this round (round 3).

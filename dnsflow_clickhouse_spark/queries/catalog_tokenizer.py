@@ -1,0 +1,75 @@
+"""Tokenizer-training query batch: BPE merge induction over the
+documents table, oracle-checked by unrolling every merge round as a
+DuckDB CTE (the same unrolled-iteration oracle pattern the k-means and
+PageRank queries use — the oracle replays the exact loop, not a proxy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dnsflow_clickhouse_spark.operators.tokenizer import bpe_learn
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+N_MERGES = 8
+
+
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges over the documents corpus; the output IS the
+    tokenizer artifact — the ordered merge table (round, left_sym,
+    right_sym, pair_count).
+
+    Scale shape (operators/tokenizer.py): the corpus is scanned once
+    into a word-frequency table; each round is one pair hash-aggregate
+    + global top-1 (TakeOrderedAndProject) + one broadcast of the
+    single winning pair — no collects, no driver loop state. Ties
+    break by (left_sym, right_sym) ascending, so the learned tokenizer
+    is a pure function of the corpus in every engine."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_learn(docs, "text", N_MERGES)
+
+
+def _sql_bpe(n_merges: int = N_MERGES) -> str:
+    """Unrolled replay of bpe_learn: w{r} = symbol states entering
+    round r, p{r} = weighted adjacent pairs, t{r} = winning pair.
+    Pair strings split on the FIRST space — symbols never contain
+    spaces, so 'a b' is unambiguous. Sums cast to BIGINT (DuckDB
+    HUGEINT is un-canonicalizable by the driver)."""
+    parts = [
+        """w1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         array_to_string(string_split(word, ''), '  ') AS sym
+  FROM (SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                           ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS word
+        FROM documents)
+  GROUP BY word)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT split_part(p, ' ', 1) AS a, split_part(p, ' ', 2) AS b,
+         CAST(sum(cnt) AS BIGINT) AS total
+  FROM (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i+1])) AS p, cnt
+        FROM (SELECT string_split(sym, '  ') AS l, cnt FROM w{r}))
+  GROUP BY 1, 2),
+t{r} AS (SELECT a, b, total FROM p{r} ORDER BY total DESC, a, b LIMIT 1)"""
+        )
+        if r < n_merges:
+            parts.append(
+                f"""w{r + 1} AS (
+  SELECT cnt, trim(replace(' ' || sym || ' ',
+                           ' ' || a || '  ' || b || ' ',
+                           ' ' || a || b || ' ')) AS sym
+  FROM w{r}, t{r})"""
+            )
+    union = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym, total AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY round"
+
+
+TOKENIZER_REGISTRY = {
+    "bpe_merge_training": (bpe_merge_training, _sql_bpe()),
+}
