@@ -481,3 +481,125 @@ def kmeans_quantized(
         cents = [new.get(ci, cents[ci]) for ci in range(k)]
 
     return assign(base).select("id", "cid", "dist"), cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codebook training, encoding, ADC search
+# ---------------------------------------------------------------------------
+
+
+def pq_train_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = QUANT_SCALE,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Product-quantize a corpus: split each ``dim``-d vector into ``m``
+    contiguous subspaces and train an independent deterministic k-means
+    codebook (:func:`kmeans_quantized`) per subspace; every vector is
+    then ``m`` small codes instead of ``dim`` floats.
+
+    Why PQ at 100 TB: the IVF/LSH paths above shrink the CANDIDATE SET;
+    PQ shrinks the BYTES — the searchable index is m codes (a few bytes)
+    per vector, ~dim*4/m x smaller than the raw embeddings, which is
+    what lets a billion-vector index live in executor memory. Training
+    cost is m small k-means runs over the vocabulary of subvectors; the
+    corpus is never shuffled (assignment is in-row against codeword
+    literals, inherited from kmeans_quantized).
+
+    Returns (codes, codebooks): codes = (id, s, code) — m rows per
+    vector; codebooks[s][c] = quantized codeword ints.
+    """
+    sub = dim // m
+    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    codes: DataFrame | None = None
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        sub_df = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("__sv"),
+        )
+        assigned, cents = kmeans_quantized(
+            sub_df, id_col, "__sv", k=k, iters=iters, scale=scale
+        )
+        books.append(cents)
+        tagged = assigned.select(
+            "id", F.lit(s).alias("s"), F.col("cid").alias("code")
+        )
+        codes = tagged if codes is None else codes.unionByName(tagged)
+    return codes, books
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    books: list[list[list[int]]],
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int,
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ index: each query
+    precomputes its distance to every codeword of every subspace — an
+    m*k entry table built IN-ROW against codeword literals — and a
+    vector's approximate squared-L2 distance is the sum of its m
+    table lookups.
+
+    Execution shape: the distance table (queries x m*k rows, integer
+    exact) broadcasts; the corpus side is the (id, s, code) code table
+    — an equi-join on (s, code) + one map-side-combinable sum per
+    (query, id). The raw embeddings are never touched at query time.
+    Output: (query_id, neighbor_id, approx_dist, rnk), self excluded,
+    ties by neighbor_id.
+    """
+    m = len(books)
+    sub = len(books[0][0])
+    q = queries.select(
+        F.col(id_col).alias("qid"), quantize(F.col(vec_col), scale).alias("qv")
+    )
+
+    def dist_entry(s: int, ci: int, cw: list[int]) -> Column:
+        sv = F.slice(F.col("qv"), s * sub + 1, sub)
+        d = F.aggregate(
+            F.zip_with(
+                sv,
+                F.array(*[F.lit(int(v)) for v in cw]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            F.lit(s).alias("s"), F.lit(ci).alias("code"), d.alias("d")
+        )
+
+    entries = [
+        dist_entry(s, ci, cw)
+        for s in range(m)
+        for ci, cw in enumerate(books[s])
+    ]
+    table = q.select("qid", F.explode(F.array(*entries)).alias("e")).select(
+        "qid", F.col("e.s").alias("s"), F.col("e.code").alias("code"),
+        F.col("e.d").alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["s", "code"])
+        .filter(F.col("qid") != F.col("id"))
+        .groupBy("qid", "id")
+        .agg(F.sum("d").alias("approx_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist", "id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neighbors)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "approx_dist",
+            "rnk",
+        )
+    )

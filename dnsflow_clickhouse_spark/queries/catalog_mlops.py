@@ -962,6 +962,116 @@ ORDER BY doc_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_K, PQ_ITERS, PQ_DIM = 4, 8, 2, 64
+
+
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC ANN top-3 for the first 20 query vectors: per-subspace
+    deterministic k-means codebooks (4 subspaces x 8 codewords over the
+    64-d embeddings), corpus encoded to 4 codes per vector, queries
+    scored by asymmetric distance — the sum of 4 broadcast table
+    lookups. This is the BYTES dial of the ANN family (IVF/LSH shrink
+    the candidate set; PQ shrinks the index ~64x so a billion-vector
+    index fits executor memory). The oracle replays codebook training
+    (every k-means round unrolled per subspace), encoding, and the ADC
+    scan — full value-hash parity including distances."""
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes, books = pq_train_encode(
+        e, "vec_id", "embedding", dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+    )
+    return pq_adc_topk(
+        codes, books, e.filter(F.col("vec_id") < KNN_QUERIES), "vec_id",
+        "embedding", KNN_K,
+    ).orderBy("query_id", "rnk")
+
+
+def _sql_pq(
+    m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS, dim: int = PQ_DIM
+) -> str:
+    """Per-subspace replay of pq_train_encode + pq_adc_topk: the
+    _sql_kmeans unrolled-iteration pattern repeated for each subspace
+    over the sliced quantized vectors, then codes UNION ALL, the
+    query-side ADC distance table, and the (s, code) join + sum."""
+    sub = dim // m
+    sqd = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (q.qv[i] - {c}.c[i]) * (q.qv[i] - {c}.c[i]))) AS BIGINT)"
+    )
+    parts = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"""qs{s} AS (SELECT vec_id, ({_sql_quant('embedding')})[{lo}:{hi}] AS qv
+        FROM embeddings),
+c{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS c
+       FROM (SELECT vec_id, qv FROM qs{s} ORDER BY vec_id LIMIT {k}))"""
+        )
+        prev = f"c{s}_0"
+        for t in range(1, iters + 1):
+            d = sqd.format(d=sub, c=prev)
+            parts.append(
+                f"""a{s}_{t} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, {prev}.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {d}, {prev}.cid) AS rn
+    FROM qs{s} q CROSS JOIN {prev}) WHERE rn = 1
+),
+u{s}_{t} AS (
+  SELECT cid, i, CAST(floor(sum(qv[i]) * 1.0 / count(*)) AS BIGINT) AS mval
+  FROM a{s}_{t}, generate_series(1, {sub}) AS g(i) GROUP BY cid, i
+),
+c{s}_{t} AS (
+  SELECT p.cid, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN
+       (SELECT cid, list(mval ORDER BY i) AS c FROM u{s}_{t} GROUP BY cid) n
+       USING (cid)
+)"""
+            )
+            prev = f"c{s}_{t}"
+        d = sqd.format(d=sub, c=prev)
+        parts.append(
+            f"""enc{s} AS (
+  SELECT vec_id, {s} AS s, cid AS code FROM (
+    SELECT q.vec_id, {prev}.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {d}, {prev}.cid) AS rn
+    FROM qs{s} q CROSS JOIN {prev}) WHERE rn = 1
+),
+qt{s} AS (
+  SELECT q.vec_id AS qid, {s} AS s, {prev}.cid AS code, {d} AS d
+  FROM qs{s} q CROSS JOIN {prev} WHERE q.vec_id < {KNN_QUERIES}
+)"""
+        )
+    codes = " UNION ALL ".join(f"SELECT * FROM enc{s}" for s in range(m))
+    qtab = " UNION ALL ".join(f"SELECT * FROM qt{s}" for s in range(m))
+    parts.append(f"codes AS ({codes})")
+    parts.append(f"qtab AS ({qtab})")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+scored AS (
+  SELECT t.qid, c.vec_id, CAST(sum(t.d) AS BIGINT) AS approx_dist
+  FROM codes c JOIN qtab t USING (s, code)
+  WHERE t.qid != c.vec_id
+  GROUP BY t.qid, c.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_dist, vec_id) AS rnk
+      FROM scored)
+SELECT qid AS query_id, vec_id AS neighbor_id, approx_dist, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
+"""
+
+
 MLOPS_REGISTRY = {
     "incremental_dedup_flags": (incremental_dedup_flags, _sql_incremental()),
     "multimodal_frame_index": (multimodal_frame_index, _FRAME_INDEX_SQL),
@@ -975,6 +1085,7 @@ MLOPS_REGISTRY = {
     "simhash_docs": (simhash_docs, _sql_simhash16()),
     "simhash_near_docs": (simhash_near_docs, _sql_simhash_pairs()),
     "embedding_ivf_ann": (embedding_ivf_ann, _IVF_ANN_SQL),
+    "embedding_pq_ann": (embedding_pq_ann, _sql_pq()),
     "kmeans_cluster_report": (kmeans_cluster_report, _sql_kmeans()),
     "embedding_ivf_probe2": (embedding_ivf_probe2, _sql_ivf(2)),
     "lang_id_confusion": (lang_id_confusion, _sql_langid()),

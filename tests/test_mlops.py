@@ -566,3 +566,66 @@ def test_ivf_with_trained_centroids_exhaustive_probe_is_exact(spark):
         centroids=cents,
     )
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_blobs(spark, n_per=12, dim=8):
+    # two well-separated blobs in every subspace: PQ must rank
+    # same-blob vectors above cross-blob ones
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [1.0 + rng.uniform(-0.05, 0.05) for _ in range(dim)]))
+    for i in range(n_per):
+        rows.append(
+            (100 + i, [-1.0 + rng.uniform(-0.05, 0.05) for _ in range(dim)])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import pq_train_encode
+
+    df = _pq_blobs(spark)
+    codes, books = pq_train_encode(df, "vec_id", "embedding", dim=8, m=2, k=4)
+    rows = codes.collect()
+    assert len(rows) == 24 * 2  # m rows per vector
+    assert all(0 <= r.code < 4 and r.s in (0, 1) for r in rows)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    # independent of input partitioning
+    codes2, books2 = pq_train_encode(
+        df.repartition(7), "vec_id", "embedding", dim=8, m=2, k=4
+    )
+    assert books == books2
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, codes2.collect()))
+
+
+def test_pq_adc_ranks_same_blob_first(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    df = _pq_blobs(spark)
+    codes, books = pq_train_encode(df, "vec_id", "embedding", dim=8, m=2, k=4)
+    out = pq_adc_topk(
+        codes, books, df.filter(F.col("vec_id").isin(0, 100)), "vec_id",
+        "embedding", 5,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 100}
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == [1, 2, 3, 4, 5]
+        for r in rows:
+            assert r.neighbor_id != qid  # self excluded
+            # same blob: ids 0-11 vs 100-111
+            assert (r.neighbor_id >= 100) == (qid >= 100)
