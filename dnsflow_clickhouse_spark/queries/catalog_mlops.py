@@ -1072,6 +1072,47 @@ FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
 """
 
 
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the quantized embeddings:
+    min/max/floor-mean plus the exact integer sum of squares (variance
+    and energy derive from it without any float aggregation). This is
+    the embedding-health monitor a vector pipeline runs before/after
+    every ingest — dead dimensions (min == max), scale drift, and
+    per-dim energy shifts all read directly off the 64-row output.
+    One posexplode (constant fan-out 64) into one map-side-combinable
+    hash aggregate; nothing else."""
+    from dnsflow_clickhouse_spark.operators.similarity import quantize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(quantize(F.col("embedding")).alias("qv"))
+    return (
+        q.select(F.posexplode("qv").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("v").alias("min_q"),
+            F.max("v").alias("max_q"),
+            F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("mean_q"),
+            F.sum(F.col("v") * F.col("v")).alias("sum_sq"),
+        )
+        .orderBy("dim")
+    )
+
+
+_DIM_STATS_SQL = f"""
+WITH q AS (SELECT {_sql_quant('embedding')} AS qv FROM embeddings),
+x AS (SELECT CAST(i - 1 AS INT) AS dim, qv[i] AS v
+      FROM q, generate_series(1, 64) AS g(i))
+SELECT dim, count(*) AS n_vecs,
+       CAST(min(v) AS BIGINT) AS min_q, CAST(max(v) AS BIGINT) AS max_q,
+       CAST(floor(sum(v) * 1.0 / count(*)) AS BIGINT) AS mean_q,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq
+FROM x GROUP BY dim ORDER BY dim
+"""
+
+
 MLOPS_REGISTRY = {
     "incremental_dedup_flags": (incremental_dedup_flags, _sql_incremental()),
     "multimodal_frame_index": (multimodal_frame_index, _FRAME_INDEX_SQL),
@@ -1086,6 +1127,7 @@ MLOPS_REGISTRY = {
     "simhash_near_docs": (simhash_near_docs, _sql_simhash_pairs()),
     "embedding_ivf_ann": (embedding_ivf_ann, _IVF_ANN_SQL),
     "embedding_pq_ann": (embedding_pq_ann, _sql_pq()),
+    "embedding_dim_stats": (embedding_dim_stats, _DIM_STATS_SQL),
     "kmeans_cluster_report": (kmeans_cluster_report, _sql_kmeans()),
     "embedding_ivf_probe2": (embedding_ivf_probe2, _sql_ivf(2)),
     "lang_id_confusion": (lang_id_confusion, _sql_langid()),

@@ -363,3 +363,25 @@ def merge_qh_state(
 
     both = batch_state if state is None else state.unionByName(batch_state)
     return qh_merge(both, key_cols)
+
+
+def merge_kmv_state(
+    state: DataFrame | None,
+    batch_state: DataFrame,
+    key_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Cross-batch distinct-SET state as a KMV/theta sketch
+    (operators.sketches.kmv_sketch): fold one micro-batch's k-minimum
+    hash table into the running state with union + distinct + keep-k.
+    Like the HLL fold this is replay-IDEMPOTENT (a re-delivered batch
+    re-inserts hashes that dedupe away, so retries are safe) and the
+    state stays <= k rows per key forever — but unlike HLL the folded
+    state also answers SET questions (kmv_set_estimates): the running
+    "corpus so far" sketch can be intersected against a benchmark
+    sketch every batch for streaming contamination tracking."""
+    from dnsflow_clickhouse_spark.operators.sketches import kmv_merge
+
+    if state is None:
+        return batch_state
+    return kmv_merge(state, batch_state, key_cols, k)

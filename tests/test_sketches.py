@@ -330,3 +330,26 @@ def test_kmv_set_estimates_track_exact_overlap(spark):
     assert 1000 <= row.est_inter <= 2000, row
     assert 3500 <= row.est_union <= 5500, row
     assert 233_000 <= row.jaccard_est_ppm <= 433_000, row
+
+
+def test_streaming_kmv_state_fold_matches_one_shot_and_replay(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import kmv_sketch
+    from dnsflow_clickhouse_spark.streaming.pipeline import merge_kmv_state
+
+    d = spark.createDataFrame(
+        [("k", f"item-{i}") for i in range(900)], "k string, item string"
+    ).withColumn("batch", F.ascii(F.substring("item", 6, 1)) % 3)
+    state = None
+    for b in range(3):
+        batch = kmv_sketch(
+            d.filter(F.col("batch") == b), ["k"], "item"
+        )
+        state = merge_kmv_state(state, batch, ["k"])
+    folded = sorted(map(tuple, state.collect()))
+    whole = sorted(map(tuple, kmv_sketch(d, ["k"], "item").collect()))
+    assert folded == whole
+    # replay-idempotent: re-folding batch 0 changes nothing
+    replay = merge_kmv_state(
+        state, kmv_sketch(d.filter(F.col("batch") == 0), ["k"], "item"), ["k"]
+    )
+    assert sorted(map(tuple, replay.collect())) == folded
