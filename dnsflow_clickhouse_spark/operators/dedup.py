@@ -445,6 +445,75 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    n_bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Near-pairs at hamming distance <= ``max_hamming`` over ANY
+    long-encoded bit signature column — the banded self-join core shared
+    by SimHash text dedup and perceptual-hash image dedup.
+
+    Scale shape: banding the signature into ``n_bands`` bit-slices
+    guarantees any pair within ``n_bands - 1`` bit flips shares at least
+    one band (pigeonhole; lossless for ``max_hamming < n_bands``), so
+    candidates come from a codegen self-equi-join on (band, slice) — no
+    all-pairs — and the exact hamming filter runs inside buckets before
+    the pair dedup's exchange. A hot bucket spreads across shuffle
+    partitions and AQE splits the skewed key (vs the collect_list
+    expansion, which would build the m^2/2 array on one task).
+
+    Output: (id_a, id_b, hamming), id_a < id_b, one row per pair.
+    """
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    bands = (
+        sig.select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("__sig"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col(hash_col), b * width)
+                            .bitwiseAND(mask)
+                            .alias("nib"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .select(
+            "id", "__sig",
+            F.col("bh.band").alias("band"), F.col("bh.nib").alias("nib"),
+        )
+        # barrier: the join below must read these compact columns, not
+        # re-run the signature pipeline once per side
+        .localCheckpoint(eager=True)
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.nib") == F.col("b.nib"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        hamming64(F.col("a.__sig"), F.col("b.__sig")).cast("int").alias("hamming"),
+    )
+    return (
+        cand.filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -470,56 +539,12 @@ def simhash_near_pairs(
     total — the oracle-pinned catalog setting) saturates beyond ~10^4
     docs; at 100 TB use n_bits=48..64 with hash_fn=xxhash64 so bands
     carry 2^12..2^16 values and occupancy tracks true cluster size.
+
+    Banding + join live in :func:`banded_hamming_pairs` (shared with
+    the perceptual-hash image dedup path).
     """
-    width = n_bits // n_bands
-    mask = (1 << width) - 1
     sh = simhash_df(df, id_col, text_col, n_bits, hash_fn)
-    bands = (
-        sh.select(
-            "id",
-            "simhash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col("simhash"), b * width)
-                            .bitwiseAND(mask)
-                            .alias("nib"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bh"),
-        )
-        .select("id", "simhash", F.col("bh.band").alias("band"), F.col("bh.nib").alias("nib"))
-        # barrier: the join below must read these 4 compact columns, not
-        # re-run the signature pipeline once per side
-        .localCheckpoint(eager=True)
-    )
-    # Pair candidates via a self-equi-join on the bucket key rather than
-    # collect_list + in-row expansion: a hot bucket (near-dup cluster of
-    # m docs) makes the array plan build an m^2/2 struct array inside ONE
-    # interpreted expression on ONE task, while the join form is
-    # whole-stage-codegen'd, spreads across shuffle partitions, and AQE
-    # splits the skewed key. The hamming cut runs codegen-side before the
-    # pair dedup, so only qualifying pairs reach the distinct's exchange.
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.nib") == F.col("b.nib"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        hamming64(F.col("a.simhash"), F.col("b.simhash")).cast("int").alias("hamming"),
-    )
-    return (
-        cand.filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "hamming")
-    )
+    return banded_hamming_pairs(sh, "id", "simhash", n_bits, n_bands, max_hamming)
 
 
 def ngram_jaccard_pairs(

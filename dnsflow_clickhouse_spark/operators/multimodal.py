@@ -191,3 +191,89 @@ def extract_features(
     return assets.select("asset_id", "kind", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate image pairs
+# ---------------------------------------------------------------------------
+
+DHASH_W, DHASH_H = 9, 8  # 9x8 luma grid -> 8x8 = 64 difference bits
+
+
+def dhash64_expr(pixels, width: int = DHASH_W, height: int = DHASH_H):
+    """64-bit difference hash from a row-major luma grid (width x
+    height = ``width*height`` pixels): bit ``r*(width-1)+c`` is set iff
+    ``p[r][c] < p[r][c+1]``. The standard perceptual hash for image
+    near-dup detection — robust to re-encoding/resizing because it keys
+    on luminance GRADIENTS, not bytes (an exact-md5 pass cannot see a
+    re-encoded copy). Pure integer column expressions: any engine
+    computes the identical signature, and banded_hamming_pairs
+    (operators.dedup) gives the no-all-pairs join.
+
+    ``pixels``: either an ``array<int>`` Column, or a LIST of ``width*
+    height`` integer Columns. Prefer the list form when pixels are
+    derived expressions — element_at over a live ``transform(...)``
+    array re-evaluates the whole lambda per access (the repo's
+    generate-input rule), while a list of scalar expressions stays in
+    whole-stage codegen with no re-evaluation.
+
+    Bits combine with bitwise OR (not addition): bit 63 is the sign
+    bit, carried as the min-long literal — addition would overflow
+    under ANSI, OR cannot.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(pixels, list):
+        at = lambda i: pixels[i]  # noqa: E731
+    else:
+        at = lambda i: F.element_at(pixels, i + 1)  # noqa: E731
+    out = F.lit(0).cast("long")
+    for r in range(height):
+        for c in range(width - 1):
+            bit = r * (width - 1) + c
+            mask = (1 << bit) if bit < 63 else -(1 << 63)
+            lt = at(r * width + c) < at(r * width + c + 1)
+            out = out.bitwiseOR(
+                F.when(lt, F.lit(mask).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+    return out
+
+
+def dhash_from_image(payload: bytes) -> int:
+    """Reference path: REAL decode (PNM via numpy) -> grayscale ->
+    nearest-neighbor resize to the 9x8 grid -> the same 64 difference
+    bits as :func:`dhash64_expr`. Used by the pixel-source-agnostic
+    tests to prove the expression and the decoded path agree."""
+    import numpy as np
+
+    img = decode_pnm(payload)
+    if img.ndim == 3:  # P6 RGB -> integer luma (exact, no float weights)
+        img = (
+            img[:, :, 0].astype(np.int64)
+            + img[:, :, 1].astype(np.int64)
+            + img[:, :, 2].astype(np.int64)
+        ) // 3
+    small = resize_nearest(img.astype(np.int64), (DHASH_W, DHASH_H))  # target is (w, h)
+    h = 0
+    for r in range(DHASH_H):
+        for c in range(DHASH_W - 1):
+            if small[r, c] < small[r, c + 1]:
+                h |= 1 << (r * (DHASH_W - 1) + c)
+    return h - (1 << 64) if h >= (1 << 63) else h  # signed, matches the column
+
+
+def image_near_dup_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs over a dHash column: the banded
+    hamming self-join shared with SimHash text dedup (lossless for
+    ``max_hamming < n_bands``; see dedup.banded_hamming_pairs)."""
+    from dnsflow_clickhouse_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(sig, id_col, hash_col, 64, n_bands, max_hamming)

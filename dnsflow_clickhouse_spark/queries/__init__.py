@@ -18,7 +18,10 @@ day_pivot_counts, set_ops_users, cube_day_type, multiset_ops_events and
 the TPC-H q2-q8/q10/q13/q17/q22 block — rotate those in round 4, along
 with the round-3 additions past the window (bloom_membership_flags,
 duplicate_span_report, semdedup_keep, quantile_sketch_values,
-neardup_component_census, mixture_budget_report, snapshot_diff_report, boilerplate_grams, kmeans_cluster_report, ann_recall_report, rare_token_report).
+neardup_component_census, mixture_budget_report, snapshot_diff_report,
+boilerplate_grams, kmeans_cluster_report, ann_recall_report,
+rare_token_report, kmv_corpus_overlap, bpe_merge_training,
+bpe_vocab_report, embedding_pq_ann, embedding_dim_stats).
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE

@@ -1113,6 +1113,79 @@ FROM x GROUP BY dim ORDER BY dim
 """
 
 
+
+
+def image_dhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) image near-duplicate pairs — the
+    multimodal member of the dedup family: an exact-md5 pass cannot see
+    a re-encoded or slightly re-processed copy of an image, but the
+    64-bit difference hash over the 9x8 luma grid keys on luminance
+    gradients and survives such edits; near-dups are pairs within
+    hamming distance 3, found by the same lossless banded self-join as
+    SimHash text dedup (dedup.banded_hamming_pairs — no all-pairs).
+
+    Pixel source: the documents table stands in for an image corpus the
+    way multimodal_features' assets do — each doc becomes a
+    deterministic 9x8 luma grid (byte values of its text, wrapped),
+    computed in-row so DuckDB replays the identical signature. The REAL
+    decode path (PNM -> grayscale -> nearest resize -> the same 64
+    bits) is operators.multimodal.dhash_from_image, pinned equal to
+    this expression by the unit tests."""
+    from dnsflow_clickhouse_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        dhash64_expr,
+        image_near_dup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = (
+        d.select("doc_id", F.trim(F.col("text")).alias("t"))
+        .filter(F.length("t") > 0)
+        .withColumn("l", F.length("t"))
+    )
+    px = [
+        F.expr(f"ascii(substring(t, ({k} % l) + 1, 1))")
+        for k in range(DHASH_W * DHASH_H)
+    ]
+    sig = base.select(
+        F.col("doc_id").alias("id"), dhash64_expr(px).alias("dhash")
+    )
+    return image_near_dup_pairs(sig, "id", "dhash", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_dhash(w: int = 9, h: int = 8) -> str:
+    def pix(i: int) -> str:
+        return f"ascii(substr(t, (({i}) % l) + 1, 1))"
+
+    terms = []
+    for r in range(h):
+        for c in range(w - 1):
+            bit = r * (w - 1) + c
+            lit = (
+                "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+                if bit == 63
+                else f"CAST({1 << bit} AS BIGINT)"
+            )
+            terms.append(
+                f"(CASE WHEN {pix(r * w + c)} < {pix(r * w + c + 1)}"
+                f" THEN {lit} ELSE CAST(0 AS BIGINT) END)"
+            )
+    expr = " | ".join(terms)
+    return f"""
+WITH d AS (SELECT doc_id, trim(text) AS t, length(trim(text)) AS l
+           FROM documents WHERE length(trim(text)) > 0),
+s AS (SELECT doc_id, {expr} AS hh FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.hh, b.hh)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hh, b.hh)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 MLOPS_REGISTRY = {
     "incremental_dedup_flags": (incremental_dedup_flags, _sql_incremental()),
     "multimodal_frame_index": (multimodal_frame_index, _FRAME_INDEX_SQL),
@@ -1128,6 +1201,7 @@ MLOPS_REGISTRY = {
     "embedding_ivf_ann": (embedding_ivf_ann, _IVF_ANN_SQL),
     "embedding_pq_ann": (embedding_pq_ann, _sql_pq()),
     "embedding_dim_stats": (embedding_dim_stats, _DIM_STATS_SQL),
+    "image_dhash_neardups": (image_dhash_neardups, _sql_dhash()),
     "kmeans_cluster_report": (kmeans_cluster_report, _sql_kmeans()),
     "embedding_ivf_probe2": (embedding_ivf_probe2, _sql_ivf(2)),
     "lang_id_confusion": (lang_id_confusion, _sql_langid()),

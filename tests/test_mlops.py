@@ -629,3 +629,72 @@ def test_pq_adc_ranks_same_blob_first(spark):
             assert r.neighbor_id != qid  # self excluded
             # same blob: ids 0-11 vs 100-111
             assert (r.neighbor_id >= 100) == (qid >= 100)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash)
+# ---------------------------------------------------------------------------
+
+
+def _pgm(pixels):
+    # P5 grayscale payload from a 2-D numpy array (maxval 255)
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape
+    return b"P5 %d %d 255\n" % (w, h) + a.tobytes()
+
+
+def test_dhash_real_decode_matches_column_expression(spark):
+    import numpy as np
+
+    from dnsflow_clickhouse_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        dhash64_expr,
+        dhash_from_image,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(32, 36))
+    # reference path: real P5 decode -> resize -> 64 bits
+    h_ref = dhash_from_image(_pgm(img))
+    # column path over the same resized grid
+    small = resize_nearest(img.astype(np.int64), (DHASH_W, DHASH_H))
+    flat = [int(v) for v in small.flatten()]
+    row = (
+        spark.createDataFrame([(flat,)], "px array<int>")
+        .select(
+            dhash64_expr([F.element_at("px", i + 1) for i in range(72)]).alias("h")
+        )
+        .collect()[0]
+    )
+    assert row.h == h_ref
+
+
+def test_dhash_survives_reencoding_and_banded_join_finds_the_pair(spark):
+    import numpy as np
+
+    from dnsflow_clickhouse_spark.operators.multimodal import (
+        dhash_from_image,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 250, size=(32, 36))
+    # a "re-processed copy": +2 brightness (gradients survive) vs an
+    # unrelated image; md5 of the payloads obviously differs
+    bright = np.clip(base + 2, 0, 255)
+    other = rng.randint(0, 250, size=(32, 36))
+    sigs = [
+        (1, dhash_from_image(_pgm(base))),
+        (2, dhash_from_image(_pgm(bright))),
+        (3, dhash_from_image(_pgm(other))),
+    ]
+    pairs = image_near_dup_pairs(
+        spark.createDataFrame(sigs, "id long, dhash long"), "id", "dhash"
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(p == (1, 2) for p in found), f"unrelated image matched: {found}"
