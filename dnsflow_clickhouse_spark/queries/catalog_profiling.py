@@ -214,6 +214,68 @@ FROM t a JOIN t b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.probe, b.probe) <= 8
 """
 
+
+
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations report over the events table — the
+    pre-publish contract check (operators/expectations.py): five row
+    rules folded into ONE aggregate pass plus two uniqueness rules,
+    each a tiny separate distinct-aggregate. The rule set includes a
+    deliberately failing expectation (a (user_id, event_type) "natural
+    key") so the report demonstrates both verdicts; a real gate filters
+    passed = 0 and refuses to publish."""
+    from dnsflow_clickhouse_spark.operators.expectations import (
+        expect_report,
+        row_rule,
+        unique_rule,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        row_rule("event_type_known",
+                 F.col("event_type").isin("view", "click", "purchase",
+                                          "signup", "error")),
+        row_rule("props_is_json_object",
+                 F.col("props").startswith("{") & F.col("props").endswith("}")),
+        row_rule("ts_not_null", F.col("ts").isNotNull()),
+        row_rule("user_id_not_null", F.col("user_id").isNotNull()),
+        row_rule("value_in_range",
+                 (F.col("value") >= 0) & (F.col("value") < 10000)),
+        unique_rule("event_id_unique", "event_id"),
+        unique_rule("user_event_natural_key", "user_id", "event_type"),
+    ]
+    return expect_report(ev, rules)
+
+
+_EXPECT_SQL = """
+WITH rowpass AS (
+  SELECT count(*) AS n_rows,
+    CAST(sum(CASE WHEN event_type IN ('view','click','purchase','signup','error')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS v_type,
+    CAST(sum(CASE WHEN props LIKE '{%' AND props LIKE '%}' THEN 0 ELSE 1 END) AS BIGINT) AS v_props,
+    CAST(sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_ts,
+    CAST(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_user,
+    CAST(sum(CASE WHEN value >= 0 AND value < 10000 THEN 0 ELSE 1 END) AS BIGINT) AS v_value
+  FROM events),
+uniq AS (
+  SELECT count(*) AS n_rows,
+         count(*) - count(DISTINCT event_id) AS v_eid,
+         count(*) - count(DISTINCT (CAST(user_id AS VARCHAR) || '/' || event_type)) AS v_nk
+  FROM events),
+rows_out AS (
+  SELECT 'event_type_known' AS rule, 'row' AS kind, n_rows, v_type AS n_violations FROM rowpass
+  UNION ALL SELECT 'props_is_json_object', 'row', n_rows, v_props FROM rowpass
+  UNION ALL SELECT 'ts_not_null', 'row', n_rows, v_ts FROM rowpass
+  UNION ALL SELECT 'user_id_not_null', 'row', n_rows, v_user FROM rowpass
+  UNION ALL SELECT 'value_in_range', 'row', n_rows, v_value FROM rowpass
+  UNION ALL SELECT 'event_id_unique', 'unique', n_rows, v_eid FROM uniq
+  UNION ALL SELECT 'user_event_natural_key', 'unique', n_rows, v_nk FROM uniq)
+SELECT rule, kind, n_rows, n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM rows_out ORDER BY rule
+"""
+
+
 PROFILING_REGISTRY = {
     "column_profile_events": (column_profile_events, _PROFILE_SQL),
     "event_gini_concentration": (event_gini_concentration, _GINI_SQL),
@@ -222,4 +284,5 @@ PROFILING_REGISTRY = {
     "grouping_sets_events": (grouping_sets_events, _GSETS_SQL),
     "weighted_doc_sample": (weighted_doc_sample, _WSAMPLE_SQL),
     "fuzzy_near_titles": (fuzzy_near_titles, _FUZZY_SQL),
+    "data_quality_expectations": (data_quality_expectations, _EXPECT_SQL),
 }

@@ -81,3 +81,47 @@ def test_fuzzy_pairs_blocks_and_threshold(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     pairs = fuzzy_pairs(df, "doc_id", "text", "lang", max_dist=8).collect()
     assert [(p.doc_a, p.doc_b, p.edit_dist) for p in pairs] == [(1, 2, 1)]
+
+
+def test_expect_report_counts_and_null_predicates(spark):
+    from dnsflow_clickhouse_spark.operators.expectations import (
+        expect_report,
+        row_rule,
+        unique_rule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", -1), (3, None, 7), (3, "c", None)],
+        "id long, name string, v int",
+    )
+    out = {
+        r.rule: (r.n_rows, r.n_violations, r.passed)
+        for r in expect_report(
+            df,
+            [
+                row_rule("v_non_negative", F.col("v") >= 0),
+                row_rule("name_not_null", F.col("name").isNotNull()),
+                unique_rule("id_unique", "id"),
+            ],
+        ).collect()
+    }
+    # NULL v fails the range predicate (a rule that can't evaluate did
+    # not hold), NULL name fails not-null, duplicate id 3 -> 1 violation
+    assert out["v_non_negative"] == (4, 2, 0)
+    assert out["name_not_null"] == (4, 1, 0)
+    assert out["id_unique"] == (4, 1, 0)
+
+
+def test_expect_report_all_green(spark):
+    from dnsflow_clickhouse_spark.operators.expectations import (
+        expect_report,
+        row_rule,
+        unique_rule,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id long, v int")
+    rows = expect_report(
+        df,
+        [row_rule("v_pos", F.col("v") > 0), unique_rule("id_unique", "id")],
+    ).collect()
+    assert all(r.passed == 1 and r.n_violations == 0 for r in rows)
