@@ -276,6 +276,75 @@ FROM rows_out ORDER BY rule
 """
 
 
+
+
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history built from snapshots: each user's daily
+    dominant event type (a stand-in for any mutable dimension
+    attribute) collapses into [valid_from, valid_to) validity intervals
+    with a version counter — the history table
+    operators.sessions.asof_join consumes for reproducible backfills
+    (the reference keeps only LATEST dimension state, so re-running
+    last month silently uses today's dimensions; SURVEY §3).
+    Build cost: two shuffles of the dimension-sized frame only
+    (operators/history.py)."""
+    from dnsflow_clickhouse_spark.operators.history import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .groupBy("user_id", "day", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dominant = (
+        counts.groupBy("user_id", "day")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("event_type").alias("t"),
+                )
+            ).alias("m")
+        )
+        .select("user_id", "day", F.col("m.t").alias("dominant_type"))
+    )
+    hist = scd2_history(dominant, ["user_id"], ["dominant_type"], "day")
+    return hist.select(
+        "user_id", "dominant_type", "valid_from", "valid_to",
+        F.col("version").cast("long").alias("version"),
+    ).orderBy("user_id", "version")
+
+
+_SCD2_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+d AS (
+  SELECT user_id, day, event_type AS dominant_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                 ORDER BY cnt DESC, event_type) AS rn
+    FROM c) WHERE rn = 1),
+v0 AS (
+  SELECT user_id, day, dominant_type,
+         CASE WHEN dominant_type IS DISTINCT FROM
+                   lag(dominant_type) OVER (PARTITION BY user_id ORDER BY day)
+              THEN 1 ELSE 0 END AS chg
+  FROM d),
+v AS (
+  SELECT user_id, day, dominant_type,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS version
+  FROM v0),
+s AS (
+  SELECT user_id, version, any_value(dominant_type) AS dominant_type,
+         min(day) AS valid_from
+  FROM v GROUP BY user_id, version)
+SELECT user_id, dominant_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       version
+FROM s ORDER BY user_id, version
+"""
+
+
 PROFILING_REGISTRY = {
     "column_profile_events": (column_profile_events, _PROFILE_SQL),
     "event_gini_concentration": (event_gini_concentration, _GINI_SQL),
@@ -285,4 +354,5 @@ PROFILING_REGISTRY = {
     "weighted_doc_sample": (weighted_doc_sample, _WSAMPLE_SQL),
     "fuzzy_near_titles": (fuzzy_near_titles, _FUZZY_SQL),
     "data_quality_expectations": (data_quality_expectations, _EXPECT_SQL),
+    "user_state_history": (user_state_history, _SCD2_SQL),
 }

@@ -157,3 +157,65 @@ def test_canonical_representatives(spark):
     # cluster {1,2,3}: 2 and 3 tie at 9.0 -> lowest id 2 wins
     # cluster {10,11}: 10 has no quality row (null) -> 11 wins
     assert got == {1: (2, 3, 2), 10: (11, 2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_collapses_runs_and_versions(spark):
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.history import scd2_history
+
+    snaps = spark.createDataFrame(
+        [
+            ("u1", 1, "gold", "EU"),
+            ("u1", 2, "gold", "EU"),   # unchanged -> same interval
+            ("u1", 3, "gold", "US"),   # region change -> new version
+            ("u1", 5, "silver", "US"), # sparse day 4 skipped: carry
+            ("u2", 1, "bronze", None), # null attribute value
+            ("u2", 2, "bronze", None), # null == null (null-safe) -> same
+            ("u2", 3, "bronze", "EU"),
+        ],
+        "k string, snap int, tier string, region string",
+    )
+    out = {
+        (r.k, r.version): (r.tier, r.region, r.valid_from, r.valid_to)
+        for r in scd2_history(snaps, ["k"], ["tier", "region"], "snap").collect()
+    }
+    assert out[("u1", 1)] == ("gold", "EU", 1, 3)
+    assert out[("u1", 2)] == ("gold", "US", 3, 5)
+    assert out[("u1", 3)] == ("silver", "US", 5, None)  # open interval
+    assert out[("u2", 1)] == ("bronze", None, 1, 3)
+    assert out[("u2", 2)] == ("bronze", "EU", 3, None)
+    assert len(out) == 5
+
+
+def test_scd2_history_feeds_asof_join(spark):
+    """Intervals from scd2_history answer point-in-time lookups: an
+    event at snap t sees the state whose valid_from <= t < valid_to."""
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.history import scd2_history
+    from dnsflow_clickhouse_spark.operators.sessions import asof_join
+
+    snaps = spark.createDataFrame(
+        [("u1", 1, "gold"), ("u1", 4, "silver")],
+        "k string, snap int, tier string",
+    )
+    hist = scd2_history(snaps, ["k"], ["tier"], "snap")
+    events = spark.createDataFrame(
+        [("u1", 2), ("u1", 4), ("u1", 9)], "k string, t int"
+    )
+    # asof_join matches the greatest valid_from STRICTLY before t, so
+    # an event AT a transition snapshot still sees the prior state
+    got = {
+        r.t: r.asof_tier
+        for r in asof_join(
+            events, hist.select("k", F.col("valid_from").alias("snap"), "tier"),
+            "k", "t", "snap", ["tier"],
+        ).collect()
+    }
+    assert got == {2: "gold", 4: "gold", 9: "silver"}
