@@ -100,3 +100,39 @@ def salt_column(spread: Column | str, buckets: int) -> Column:
     exposed for callers composing their own salted plans."""
     c = F.col(spread) if isinstance(spread, str) else spread
     return F.pmod(F.xxhash64(c), F.lit(buckets))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    spread_col: str,
+    buckets: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Deterministic salted equi-join for a skewed FACT side against a
+    small-ish DIM side, for when the runtime paths are unavailable: AQE
+    skew-split only fires on sort-merge joins (bucketed tables pin SMJ
+    without runtime re-splitting) and a broadcast is off the table when
+    the dim exceeds the driver/executor broadcast budget.
+
+    Shape: the fact side gains a deterministic salt (hash of
+    ``spread_col`` mod ``buckets``; never ``rand()`` — retries and
+    speculative tasks must land identically), the dim side is
+    replicated ``buckets`` times via a constant-fan-out explode, and
+    the join key becomes (*on, salt) — a hot key's rows spread over
+    ``buckets`` reducers instead of pinning one. Dim replication cost
+    is buckets * |dim| rows, which is the explicit price: size
+    ``buckets`` to the hot key's imbalance, not higher.
+
+    Supported ``how``: inner / left — the fact side's semantics are
+    preserved exactly (pinned against the unsalted join in tests).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_fact = fact.withColumn("__salt", salt_column(spread_col, buckets))
+    rep = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(b) for b in range(buckets)])),
+    )
+    return salted_fact.join(rep, [*on, "__salt"], how).drop("__salt")

@@ -128,7 +128,82 @@ FROM m GROUP BY lang ORDER BY lang
 """
 
 
+
+
+from dnsflow_clickhouse_spark.functions.textfn import STOPWORDS_EN as _SW
+
+_SW_LIST2 = ", ".join(f"'{w}'" for w in _SW)
+_CAPS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         round(
+           0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 200.0)
+           + 0.4 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END))
+           + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(toks, x -> lower(x) IN ({_SW_LIST2}))) AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) END),
+           6) AS quality
+  FROM t
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id) AS rn FROM q),
+k AS (SELECT source, count(*) AS n_kept, min(quality) AS min_kept_quality
+      FROM r WHERE rn <= 15 GROUP BY source),
+n AS (SELECT source, count(*) AS n_docs FROM q GROUP BY source)
+SELECT n.source, n.n_docs, k.n_kept, n.n_docs - k.n_kept AS n_dropped,
+       k.min_kept_quality
+FROM n JOIN k USING (source) ORDER BY n.source
+"""
+
+PER_SOURCE_CAP = 15
+
+
+def per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the C4/Common-Crawl curation stage
+    that stops any single domain from dominating the mix: within each
+    source, keep the top-``PER_SOURCE_CAP`` documents by quality score
+    (ties by doc_id) and report per source what the cap did: n_docs,
+    n_kept, n_dropped, and the admission bar (the lowest quality that
+    still made the cut). One window shuffle on the source key
+    (operators.topk.grouped_topk) + one aggregate; at 100 TB the window
+    carries (source, quality, doc_id) triples, never the texts."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        score_documents,
+    )
+    from dnsflow_clickhouse_spark.operators.topk import grouped_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = score_documents(d).select("doc_id", "source", "quality")
+    kept = grouped_topk(
+        scored, ["source"], [F.desc("quality"), F.col("doc_id")],
+        PER_SOURCE_CAP,
+    )
+    totals = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("quality").alias("min_kept_quality"),
+    )
+    return (
+        totals.join(kept_agg, "source")
+        .select(
+            "source", "n_docs", "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "min_kept_quality",
+        )
+        .orderBy("source")
+    )
+
+
 CURATION_REGISTRY = {
     "group_split_leakproof": (group_split_leakproof, _GROUP_SPLIT_SQL),
     "pii_redaction_report": (pii_redaction_report, _PII_SQL),
+    "per_source_caps": (per_source_caps, _CAPS_SQL),
 }

@@ -88,3 +88,34 @@ def test_salted_distinct_count_excludes_nulls(spark):
     # key "b" has only NULLs -> COUNT(DISTINCT)=0 -> no output row,
     # matching groupBy-count semantics on the filtered set
     assert got == {"a": 2, "c": 1}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.skew import salted_join
+
+    # hot key: 'a' carries 500 of 520 fact rows
+    fact = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(20)],
+        "k string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta"), ("c", "unused")], "k string, name string"
+    )
+    plain = fact.join(dim, ["k"]).select("k", "v", "name")
+    salted = salted_join(fact, dim, ["k"], spread_col="v", buckets=8).select(
+        "k", "v", "name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join preserves unmatched fact rows exactly once
+    fact2 = fact.union(spark.createDataFrame([("zz", 1)], "k string, v long"))
+    left_plain = fact2.join(dim, ["k"], "left").select("k", "v", "name")
+    left_salted = salted_join(
+        fact2, dim, ["k"], spread_col="v", buckets=8, how="left"
+    ).select("k", "v", "name")
+    assert sorted(map(tuple, left_salted.collect())) == sorted(
+        map(tuple, left_plain.collect())
+    )
