@@ -488,6 +488,24 @@ def kmeans_quantized(
 # ---------------------------------------------------------------------------
 
 
+def _subspace_frame(src: DataFrame, vec_col: str, m: int, sub: int) -> DataFrame:
+    """(id, g, q): explode an integer vector column into its m
+    contiguous subspace slices — the input shape grouped subspace
+    training consumes. Constant fan-out m, in-row slices."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("g"),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias("q"),
+            )
+            for s in range(m)
+        ]
+    )
+    return src.select("id", F.explode(slices).alias("e")).select(
+        "id", F.col("e.g").alias("g"), F.col("e.q").alias("q")
+    )
+
+
 def pq_train_encode(
     df: DataFrame,
     id_col: str,
@@ -516,21 +534,14 @@ def pq_train_encode(
     """
     sub = dim // m
     assert sub * m == dim, "dim must divide evenly into m subspaces"
-    codes: DataFrame | None = None
-    books: list[list[list[int]]] = []
-    for s in range(m):
-        sub_df = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub + 1, sub).alias("__sv"),
-        )
-        assigned, cents = kmeans_quantized(
-            sub_df, id_col, "__sv", k=k, iters=iters, scale=scale
-        )
-        books.append(cents)
-        tagged = assigned.select(
-            "id", F.lit(s).alias("s"), F.col("cid").alias("code")
-        )
-        codes = tagged if codes is None else codes.unionByName(tagged)
+    base = df.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("qv")
+    )
+    subs = _subspace_frame(base, "qv", m, sub)
+    # joint training: one blocking job per iteration for ALL m subspaces
+    codes, books = grouped_kmeans_quantized(
+        subs, "id", "g", "q", m, k=k, iters=iters
+    )
     return codes, books
 
 
@@ -603,3 +614,290 @@ def pq_adc_topk(
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual product quantization (FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def _centroid_pick(cents: list[list[int]], cid_col: Column) -> Column:
+    """Select a centroid (array<long>) from literal codebook rows by a
+    cid column: element_at over a nested array literal — planning
+    metadata, no join."""
+    nested = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in cents]
+    )
+    return F.element_at(nested, (cid_col + 1).cast("int"))
+
+
+def _assign_cells(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """In-row nearest-centroid assignment against literal centroids
+    (kmeans_quantized's argmin shape, re-applied to any quantized
+    frame): adds ``cid``."""
+
+    def dist_to(c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(int(v)) for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.least(
+        *[
+            F.struct(dist_to(c).alias("dist"), F.lit(ci).alias("cid"))
+            for ci, c in enumerate(cents)
+        ]
+    )
+    return qdf.withColumn("cid", best["cid"])
+
+
+def ivfpq_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = QUANT_SCALE,
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
+    """Build a FAISS-style IVF-PQ index: a coarse quantizer assigns each
+    vector to one of ``n_cells`` cells (deterministic k-means), and the
+    RESIDUAL (vector minus its cell centroid) is product-quantized into
+    ``m`` codes — residual encoding is what makes PQ codes tight, since
+    residuals cluster around zero regardless of where the cell sits.
+
+    This is the composition a billion-vector deployment actually runs:
+    IVF prunes the candidate set (only probed cells are touched), PQ
+    shrinks the bytes (m codes per vector), and both training loops are
+    the same replayable kmeans_quantized kernel. The corpus is never
+    shuffled: cell assignment and residuals are in-row against literal
+    centroids; each subspace codebook trains over a sliced residual
+    projection.
+
+    Returns (codes, cells, books): codes = (id, cid, s, code) — m rows
+    per vector, carrying its cell; cells = coarse centroids; books[s] =
+    residual codewords for subspace s.
+    """
+    sub = dim // m
+    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    _, cells = kmeans_quantized(df, id_col, vec_col, k=n_cells, iters=iters, scale=scale)
+    base = df.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q")
+    )
+    assigned = _assign_cells(base, cells)
+    resid = assigned.select(
+        "id",
+        "cid",
+        F.zip_with(
+            "q", _centroid_pick(cells, F.col("cid")), lambda a, b: a - b
+        ).alias("rv"),
+    ).localCheckpoint(eager=False)
+    subs = _subspace_frame(resid, "rv", m, sub)
+    # joint residual-codebook training: one blocking job per iteration
+    # for ALL m subspaces (grouped_kmeans_quantized)
+    codes, books = grouped_kmeans_quantized(
+        subs, "id", "g", "q", m, k=k, iters=iters
+    )
+    coded = resid.select("id", "cid").join(codes, "id")
+    return coded, cells, books
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    cells: list[list[int]],
+    books: list[list[list[int]]],
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int,
+    nprobe: int = 2,
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """ADC search over an IVF-PQ index: each query ranks the coarse
+    cells in-row, probes the nearest ``nprobe``, and for each probed
+    cell builds the m*k residual distance table against that cell's
+    residual frame of reference; a database vector's approximate
+    distance is the sum of its m code lookups. The table (queries x
+    nprobe x m*k integer rows) broadcasts; scoring is one (cid, s,
+    code) equi-join + a map-side-combinable sum — raw embeddings are
+    never touched at query time. Output: (query_id, neighbor_id,
+    approx_dist, rnk), self excluded, ties by neighbor_id."""
+    m = len(books)
+    sub = len(books[0][0])
+    q = queries.select(
+        F.col(id_col).alias("qid"), quantize(F.col(vec_col), scale).alias("q")
+    )
+
+    def dist_to(c: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(int(v)) for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cell_structs = F.array(
+        *[
+            F.struct(dist_to(c).alias("cd"), F.lit(ci).alias("cid"))
+            for ci, c in enumerate(cells)
+        ]
+    )
+    ranked = (
+        q.select("qid", "q", F.explode(cell_structs).alias("e"))
+        .select("qid", "q", F.col("e.cd").alias("cd"), F.col("e.cid").alias("cid"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("cd", "cid")
+            ),
+        )
+        .filter(F.col("__rn") <= nprobe)
+    )
+    probed = ranked.select(
+        "qid",
+        "cid",
+        F.zip_with(
+            "q", _centroid_pick(cells, F.col("cid")), lambda a, b: a - b
+        ).alias("rv"),
+    )
+
+    def entry(s: int, ci: int, cw: list[int]) -> Column:
+        sv = F.slice(F.col("rv"), s * sub + 1, sub)
+        d = F.aggregate(
+            F.zip_with(
+                sv,
+                F.array(*[F.lit(int(v)) for v in cw]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(F.lit(s).alias("s"), F.lit(ci).alias("code"), d.alias("d"))
+
+    entries = [
+        entry(s, ci, cw) for s in range(m) for ci, cw in enumerate(books[s])
+    ]
+    dtab = probed.select(
+        "qid", "cid", F.explode(F.array(*entries)).alias("e")
+    ).select(
+        "qid", "cid", F.col("e.s").alias("s"), F.col("e.code").alias("code"),
+        F.col("e.d").alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["cid", "s", "code"])
+        .filter(F.col("qid") != F.col("id"))
+        .groupBy("qid", "id")
+        .agg(F.sum("d").alias("approx_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist", "id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neighbors)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "approx_dist",
+            "rnk",
+        )
+    )
+
+
+def grouped_kmeans_quantized(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    vec_col: str,
+    n_groups: int,
+    k: int = 4,
+    iters: int = 2,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Deterministic Lloyd k-means over MANY groups at once — the joint
+    form of running :func:`kmeans_quantized` once per group, with
+    identical per-group semantics (init from the k smallest ids' INT
+    vectors, squared-L2 argmin with ties to the lowest cid, floor
+    means, empty clusters keep their centroid) but ONE blocking job per
+    iteration regardless of group count: assignment stays in-row (the
+    group id selects its centroid set from a nested literal), and the
+    update is a single (group, cid, dim) mean aggregate. This is what
+    PQ training wants — m subspaces = m groups, and at cluster scale
+    the barrier count stays constant as m grows.
+
+    ``vec_col`` must already be integer micro-units (array<long>).
+    Returns (codes (id, group, code), books[group][cid] = centroid
+    ints).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        F.col(vec_col).alias("q"),
+    ).localCheckpoint(eager=False)
+
+    init = (
+        base.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("g").orderBy("id")),
+        )
+        .filter(F.col("__rn") <= k)
+        .select("g", "__rn", "q")
+        .collect()
+    )
+    books: list[list[list[int]]] = [[None] * k for _ in range(n_groups)]
+    dims: dict[int, int] = {}
+    for r in init:
+        books[r.g][r["__rn"] - 1] = [int(v) for v in r.q]
+        dims[r.g] = len(r.q)
+
+    def assign(frame: DataFrame) -> DataFrame:
+        def dist_to(ci: int) -> Column:
+            nested = F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in books[g][ci]])
+                    for g in range(n_groups)
+                ]
+            )
+            cent = F.element_at(nested, (F.col("g") + 1).cast("int"))
+            return F.aggregate(
+                F.zip_with(F.col("q"), cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        best = F.least(
+            *[
+                F.struct(dist_to(ci).alias("dist"), F.lit(ci).alias("cid"))
+                for ci in range(k)
+            ]
+        )
+        return frame.select(
+            "id", "g", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
+        )
+
+    for _ in range(iters):
+        means = (
+            assign(base)
+            .select("g", "cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("g", "cid", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).alias("m"))
+            .collect()
+        )
+        new: dict[tuple[int, int], list[int]] = {}
+        for r in means:
+            new.setdefault((r.g, r.cid), [0] * dims[r.g])[r.pos] = int(r.m)
+        for g in range(n_groups):
+            for ci in range(k):
+                if (g, ci) in new:
+                    books[g][ci] = new[(g, ci)]
+    codes = assign(base).select(
+        "id", F.col("g").alias("s"), F.col("cid").alias("code")
+    )
+    return codes, books

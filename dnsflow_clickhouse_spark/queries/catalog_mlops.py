@@ -1186,6 +1186,165 @@ ORDER BY id_a, id_b
 """
 
 
+
+
+IVFPQ_CELLS, IVFPQ_NPROBE = 8, 2
+
+
+def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-3 (the FAISS-style composition, nprobe=2): coarse
+    k-means cells prune the candidate set, per-subspace RESIDUAL
+    codebooks shrink each vector to 4 codes, and queries score
+    candidates by summed ADC table lookups — cells cut the work, codes
+    cut the bytes, and both training loops are the replayable
+    kmeans_quantized kernel. The oracle replays the coarse training,
+    residual computation, all four residual codebook trainings,
+    encoding, cell probing, and the ADC scan — every stage unrolled."""
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes, cells, books = ivfpq_build(
+        e, "vec_id", "embedding", dim=PQ_DIM, n_cells=IVFPQ_CELLS,
+        m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+    )
+    return ivfpq_topk(
+        codes, cells, books, e.filter(F.col("vec_id") < KNN_QUERIES),
+        "vec_id", "embedding", KNN_K, nprobe=IVFPQ_NPROBE,
+    ).orderBy("query_id", "rnk")
+
+
+def _sql_kmeans_block(prefix: str, src: str, dim: int, k: int, iters: int) -> tuple[list[str], str]:
+    """Emit the unrolled kmeans_quantized CTE chain over ``src``
+    (columns vec_id, qv): init from the k smallest vec_ids, then
+    ``iters`` x (assign, update). Returns (parts, final_centroid_cte)."""
+    sqd = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (q.qv[i] - {c}.c[i]) * (q.qv[i] - {c}.c[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""{prefix}_c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS c
+  FROM (SELECT vec_id, qv FROM {src} ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = f"{prefix}_c0"
+    for t in range(1, iters + 1):
+        d = sqd.format(d=dim, c=prev)
+        parts.append(
+            f"""{prefix}_a{t} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, {prev}.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {d}, {prev}.cid) AS rn
+    FROM {src} q CROSS JOIN {prev}) WHERE rn = 1
+),
+{prefix}_u{t} AS (
+  SELECT cid, i, CAST(floor(sum(qv[i]) * 1.0 / count(*)) AS BIGINT) AS mval
+  FROM {prefix}_a{t}, generate_series(1, {dim}) AS g(i) GROUP BY cid, i
+),
+{prefix}_c{t} AS (
+  SELECT p.cid, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN
+       (SELECT cid, list(mval ORDER BY i) AS c FROM {prefix}_u{t} GROUP BY cid) n
+       USING (cid)
+)"""
+        )
+        prev = f"{prefix}_c{t}"
+    return parts, prev
+
+
+def _sql_ivfpq(
+    n_cells: int = IVFPQ_CELLS, m: int = PQ_M, k: int = PQ_K,
+    iters: int = PQ_ITERS, dim: int = PQ_DIM, nprobe: int = IVFPQ_NPROBE,
+) -> str:
+    sub = dim // m
+    sqd = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (q.qv[i] - {c}.c[i]) * (q.qv[i] - {c}.c[i]))) AS BIGINT)"
+    )
+    parts = [f"q64 AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings)"]
+    gparts, gfin = _sql_kmeans_block("g", "q64", dim, n_cells, iters)
+    parts += gparts
+    d_full = sqd.format(d=dim, c=gfin)
+    parts.append(
+        f"""cellasgn AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, {gfin}.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_full}, {gfin}.cid) AS rn
+    FROM q64 q CROSS JOIN {gfin}) WHERE rn = 1),
+resid AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(generate_series(1, {dim}), i -> q.qv[i] - c.c[i]) AS rv
+  FROM cellasgn a JOIN q64 q USING (vec_id) JOIN {gfin} c USING (cid))"""
+    )
+    enc_names, dt_names = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"rs{s} AS (SELECT vec_id, rv[{lo}:{hi}] AS qv FROM resid)"
+        )
+        fparts, ffin = _sql_kmeans_block(f"f{s}", f"rs{s}", sub, k, iters)
+        parts += fparts
+        d_sub = sqd.format(d=sub, c=ffin)
+        parts.append(
+            f"""enc{s} AS (
+  SELECT vec_id, {s} AS s, cid AS code FROM (
+    SELECT q.vec_id, {ffin}.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {d_sub}, {ffin}.cid) AS rn
+    FROM rs{s} q CROSS JOIN {ffin}) WHERE rn = 1)"""
+        )
+        enc_names.append(f"enc{s}")
+        # query-side table for this subspace: distance of the probed
+        # residual slice to every codeword
+        dq = (
+            f"CAST(list_sum(list_transform(generate_series(1, {sub}), "
+            f"i -> (qr.rv[{lo} - 1 + i] - b.c[i]) * (qr.rv[{lo} - 1 + i] - b.c[i]))) AS BIGINT)"
+        )
+        parts.append(
+            f"""dt{s} AS (
+  SELECT qr.qid, qr.cid, {s} AS s, b.cid AS code, {dq} AS d
+  FROM qres qr CROSS JOIN {ffin} b)"""
+        )
+        dt_names.append(f"dt{s}")
+    # query cells + residuals (qres is referenced by dt{s}; DuckDB CTEs
+    # are order-independent within one WITH)
+    parts.append(
+        f"""qcd AS (
+  SELECT q.vec_id AS qid, {gfin}.cid, {d_full} AS cd
+  FROM q64 q CROSS JOIN {gfin} WHERE q.vec_id < {KNN_QUERIES}),
+probed AS (
+  SELECT qid, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cd, cid) AS rn
+    FROM qcd) WHERE rn <= {nprobe}),
+qres AS (
+  SELECT p.qid, p.cid,
+         list_transform(generate_series(1, {dim}), i -> q.qv[i] - c.c[i]) AS rv
+  FROM probed p JOIN q64 q ON q.vec_id = p.qid JOIN {gfin} c USING (cid))"""
+    )
+    codes = " UNION ALL ".join(f"SELECT * FROM {e}" for e in enc_names)
+    dtab = " UNION ALL ".join(f"SELECT * FROM {t}" for t in dt_names)
+    parts.append(f"encu AS ({codes})")
+    parts.append(
+        "codes AS (SELECT r.cid, e.vec_id, e.s, e.code FROM encu e JOIN resid r USING (vec_id))"
+    )
+    parts.append(f"dtab AS ({dtab})")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+scored AS (
+  SELECT t.qid, c.vec_id, CAST(sum(t.d) AS BIGINT) AS approx_dist
+  FROM codes c JOIN dtab t USING (cid, s, code)
+  WHERE t.qid != c.vec_id
+  GROUP BY t.qid, c.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_dist, vec_id) AS rnk
+      FROM scored)
+SELECT qid AS query_id, vec_id AS neighbor_id, approx_dist, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
+"""
+
+
 MLOPS_REGISTRY = {
     "incremental_dedup_flags": (incremental_dedup_flags, _sql_incremental()),
     "multimodal_frame_index": (multimodal_frame_index, _FRAME_INDEX_SQL),
@@ -1202,6 +1361,7 @@ MLOPS_REGISTRY = {
     "embedding_pq_ann": (embedding_pq_ann, _sql_pq()),
     "embedding_dim_stats": (embedding_dim_stats, _DIM_STATS_SQL),
     "image_dhash_neardups": (image_dhash_neardups, _sql_dhash()),
+    "embedding_ivfpq_ann": (embedding_ivfpq_ann, _sql_ivfpq()),
     "kmeans_cluster_report": (kmeans_cluster_report, _sql_kmeans()),
     "embedding_ivf_probe2": (embedding_ivf_probe2, _sql_ivf(2)),
     "lang_id_confusion": (lang_id_confusion, _sql_langid()),

@@ -698,3 +698,56 @@ def test_dhash_survives_reencoding_and_banded_join_finds_the_pair(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in found
     assert all(p == (1, 2) for p in found), f"unrelated image matched: {found}"
+
+
+def test_grouped_kmeans_matches_per_subspace_kmeans(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        _subspace_frame,
+        grouped_kmeans_quantized,
+        kmeans_quantized,
+        quantize,
+    )
+
+    df = _pq_blobs(spark, n_per=10, dim=8)
+    base = df.select(
+        F.col("vec_id").alias("id"), quantize(F.col("embedding")).alias("qv")
+    )
+    subs = _subspace_frame(base, "qv", 2, 4)
+    jcodes, jbooks = grouped_kmeans_quantized(subs, "id", "g", "q", 2, k=3, iters=2)
+    for s in range(2):
+        sub_df = df.select(
+            "vec_id", F.slice(F.col("embedding"), s * 4 + 1, 4).alias("sv")
+        )
+        assigned, cents = kmeans_quantized(sub_df, "vec_id", "sv", k=3, iters=2)
+        assert jbooks[s] == cents, f"subspace {s} centroids diverge"
+        solo = {r.id: r.cid for r in assigned.collect()}
+        joint = {
+            r.id: r.code for r in jcodes.filter(F.col("s") == s).collect()
+        }
+        assert joint == solo, f"subspace {s} assignments diverge"
+
+
+def test_ivfpq_same_blob_ranking_and_probe_pruning(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    df = _pq_blobs(spark, n_per=12, dim=8)
+    codes, cells, books = ivfpq_build(
+        df, "vec_id", "embedding", dim=8, n_cells=2, m=2, k=4
+    )
+    # every vector carries its cell and m codes
+    assert codes.count() == 24 * 2
+    out = ivfpq_topk(
+        codes, cells, books, df.filter(F.col("vec_id").isin(0, 100)),
+        "vec_id", "embedding", 5, nprobe=1,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        for r in rows:
+            assert r.neighbor_id != qid
+            assert (r.neighbor_id >= 100) == (qid >= 100)  # same blob
