@@ -1,0 +1,233 @@
+"""Model-evaluation operators (engine extension for training-data
+pipelines): tie-aware AUC, calibration/reliability bins, exact Pearson
+correlation, and closed-form OLS regression fits.
+
+A curation pipeline trains quality classifiers (fastText-style filters,
+contamination detectors) and needs to EVALUATE them at corpus scale:
+AUC of the score against a gold label, reliability of the predicted
+probabilities, and feature diagnostics (which cheap features correlate,
+what linear fit predicts token count from byte count). The reference
+has no evaluation surface (its reports are fixed rollups,
+DnsRptCH.scala:1077-1139); these close that gap.
+
+Numeric policy (the repo-wide exactness discipline): every statistic is
+assembled from EXACT integer sums (map-side-combinable hash aggregates)
+and only the final scalar arithmetic touches doubles — and only through
+operations that are IEEE-correctly-rounded and therefore identical
+across engines (+ - * / sqrt). Nothing here calls exp/log/pow, so the
+DuckDB oracles hash-match bit-for-bit with no rounding fudge.
+
+Scale shapes:
+- ``auc_by_group`` never ranks rows globally: it aggregates to one row
+  per (group, DISTINCT score) first, then runs one window over those
+  distinct scores. AUC needs the full ordering per group, but the
+  window input is |distinct scores| rows, not |rows| — for integer or
+  ppm-quantized scores that is a bounded frame at any corpus size.
+  The pair count uses the Mann-Whitney identity (concordant pairs +
+  half the ties), so no pair is ever materialized.
+- ``calibration_bins`` / ``correlation_pairs`` / ``ols_fit`` are single
+  hash aggregations (constant-width output); correlation's wide->long
+  pivot happens on the one result row, the same shape as
+  profiling.profile_columns.
+- Overflow bound: the bigint sums hold while n * sum(x*y) < 2^63 —
+  fine to ~1e9 rows of ppm-scale features; past that, swap the sum
+  accumulators to decimal(38,0) (the formula layer is unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score: Column | str,
+    label: Column | str,
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC of ``score`` against binary ``label``
+    per group, in ppm.
+
+    Mann-Whitney form: over all (positive, negative) row pairs, count
+    score_pos > score_neg as 1 and ties as 1/2; AUC is the mean. The
+    pair count is computed from per-distinct-score (pos, neg) counts
+    and a running negative total — numerator doubled so ties stay
+    integral:
+
+        num2 = sum_s (2 * pos_s * neg_below_s + pos_s * neg_s)
+        auc_ppm = num2 * 1e6 div (2 * n_pos * n_neg)
+
+    Groups with no positives or no negatives report NULL (AUC is
+    undefined there, and silently reporting 0 or 1 would poison a
+    threshold sweep).
+    """
+    per_score = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            _col(score).alias("s"),
+            _col(label).cast("long").alias("y"),
+        )
+        .groupBy("grp", "s")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("s")
+    with_below = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w) - F.col("neg"), F.lit(0))
+    )
+    agg = with_below.groupBy("grp").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("pos") * F.col("neg_below")
+            + F.col("pos") * F.col("neg")
+        ).alias("num2"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(f"num2 * {PPM} div (2 * n_pos * n_neg)"),
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_ppm: Column | str,
+    label: Column | str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table: equal-width bins over a ppm score in [0, 1e6),
+    with exact mean predicted score, observed positive rate, and the
+    |gap| that a weighted sum turns into ECE. All integer ppm."""
+    s = _col(score_ppm).cast("long")
+    binned = df.select(
+        F.least(F.lit(n_bins - 1).cast("long"), F.floor(s * n_bins / PPM)).alias(
+            "bin"
+        ),
+        s.alias("s"),
+        _col(label).cast("long").alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("s").alias("ssum"),
+    )
+    return agg.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("ssum div n").cast("long").alias("avg_score_ppm"),
+        F.expr(f"n_pos * {PPM} div n").cast("long").alias("pos_rate_ppm"),
+        F.abs(
+            F.expr("ssum div n") - F.expr(f"n_pos * {PPM} div n")
+        )
+        .cast("long")
+        .alias("gap_ppm"),
+    ).orderBy("bin")
+
+
+def correlation_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over integer feature columns, from
+    one exact-sum aggregation pass.
+
+    corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+    — numerator and radicands are exact bigints, so the double result is
+    deterministic (sqrt and / are correctly rounded by IEEE 754).
+    Degenerate (constant) columns yield NULL, not NaN."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        lc = _col(c).cast("long")
+        aggs.append(F.sum(lc).alias(f"__s_{c}"))
+        aggs.append(F.sum(lc * lc).alias(f"__ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(_col(a).cast("long") * _col(b).cast("long")).alias(
+                f"__sxy_{a}_{b}"
+            )
+        )
+    wide = df.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        num = F.col("__n") * F.col(f"__sxy_{a}_{b}") - F.col(f"__s_{a}") * F.col(
+            f"__s_{b}"
+        )
+        va = F.col("__n") * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(
+            f"__s_{a}"
+        )
+        vb = F.col("__n") * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(
+            f"__s_{b}"
+        )
+        corr = F.when(
+            (va > 0) & (vb > 0),
+            num.cast("double")
+            / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("feat_x"),
+                F.lit(b).alias("feat_y"),
+                F.col("__n").cast("long").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def ols_fit(
+    df: DataFrame,
+    group_col: str,
+    x: Column | str,
+    y: Column | str,
+) -> DataFrame:
+    """Per-group closed-form simple linear regression y ~ a + b*x over
+    integer features: slope/intercept from exact normal-equation sums.
+
+        b = (n*sxy - sx*sy) / (n*sxx - sx^2)
+        a = (sy - b*sx) / n
+
+    One hash aggregation; k groups -> k rows. Groups with constant x
+    report NULL slope/intercept. This is the degenerate (1-feature) but
+    fully distributed case of the normal-equations pattern: for d
+    features, the same pass accumulates the d x d Gram matrix exactly
+    and the d x d solve happens on the driver — never the data."""
+    xl = _col(x).cast("long")
+    yl = _col(y).cast("long")
+    agg = df.groupBy(F.col(group_col).alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * xl).alias("sxx"),
+        F.sum(xl * yl).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / denom.cast("double"),
+    )
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        F.when(
+            denom > 0,
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+        ).alias("intercept"),
+    )

@@ -36,6 +36,7 @@ from dnsflow_clickhouse_spark.queries.catalog_curation import (
 from dnsflow_clickhouse_spark.queries.catalog_profiling import (
     PROFILING_REGISTRY as _PROFILING,
 )
+from dnsflow_clickhouse_spark.queries.catalog_eval import EVAL_REGISTRY as _EVAL
 from dnsflow_clickhouse_spark.queries.catalog_mlops import MLOPS_REGISTRY as _MLOPS
 from dnsflow_clickhouse_spark.queries.catalog_sketches import (
     SKETCH_REGISTRY as _SKETCHES,
@@ -50,7 +51,7 @@ from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TP
 _MERGED = {
     **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_TPCH3, **_TPCH4,
     **_MLOPS, **_CORPUS, **_CURATION, **_PROFILING, **_SKETCHES,
-    **_TOKENIZER,
+    **_TOKENIZER, **_EVAL,
 }
 
 # First 50 = driver correctness window for this round (round 3).

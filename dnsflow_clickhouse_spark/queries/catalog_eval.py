@@ -1,0 +1,227 @@
+"""Model-evaluation query batch: per-slice AUC, calibration bins,
+feature correlation, OLS fits — the scoring/eval side of a quality-
+classifier curation loop (train a filter, then measure it per corpus
+slice before gating 100 TB on it).
+
+Pseudo-model under test: the portable hash score ``sample_key(doc_id)``
+plays the classifier probability (so the oracle can replay it), and the
+documents table's own columns provide the deterministic gold labels and
+features. Every statistic follows the repo's exactness discipline:
+integer sums -> one final division (ppm) or IEEE-exact double (+ - * /
+sqrt only), so DuckDB hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import token_count, tokens
+from dnsflow_clickhouse_spark.operators.evaluation import (
+    PPM,
+    auc_by_group,
+    calibration_bins,
+    correlation_pairs,
+    ols_fit,
+)
+from dnsflow_clickhouse_spark.operators.sampling import MIX_MULT, sample_key
+from dnsflow_clickhouse_spark.queries.catalog_mlops import _sql_poly, _SQL_TOKS
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+# DuckDB replay of operators.sampling.sample_key(doc_id): polynomial
+# hash of the id's decimal string, multiplicatively mixed, folded to ppm.
+def _sql_sample_key(seed: int) -> str:
+    return (
+        f"(({_sql_poly('CAST(doc_id AS VARCHAR)', seed=seed)}) * {MIX_MULT})"
+        f" % 1000000007 % {PPM}"
+    )
+
+
+_SQL_SAMPLE_KEY = _sql_sample_key(7)
+
+# ---------------------------------------------------------------------------
+# per-slice AUC
+# ---------------------------------------------------------------------------
+
+
+def score_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware exact AUC of n_chars as a predictor of lang='en', per
+    source slice. The per-slice breakdown is how a classifier gate is
+    actually signed off: a global AUC hides a slice where the filter is
+    anti-correlated."""
+    d = load_table(spark, sf_dir, "documents")
+    return auc_by_group(
+        d, "source", F.col("n_chars"), (F.col("lang") == "en").cast("long")
+    ).orderBy("source")
+
+
+_AUC_SQL = f"""
+WITH per AS (
+  SELECT source AS grp, n_chars AS s,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+         count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS neg
+  FROM documents GROUP BY 1, 2),
+wb AS (
+  SELECT grp, pos, neg,
+         coalesce(sum(neg) OVER (PARTITION BY grp ORDER BY s) - neg, 0)
+           AS neg_below
+  FROM per),
+a AS (
+  SELECT grp, sum(pos) AS n_pos, sum(neg) AS n_neg,
+         sum(2 * pos * neg_below + pos * neg) AS num2
+  FROM wb GROUP BY grp)
+SELECT grp AS source, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                 THEN num2 * {PPM} // (2 * n_pos * n_neg) END AS BIGINT)
+         AS auc_ppm
+FROM a ORDER BY source
+"""
+
+# ---------------------------------------------------------------------------
+# calibration / reliability bins
+# ---------------------------------------------------------------------------
+
+_N_BINS = 10
+
+
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the hash pseudo-probability against the
+    lang='en' label: 10 equal-width ppm bins with exact mean score,
+    observed rate, and |gap| (the ECE ingredient)."""
+    d = load_table(spark, sf_dir, "documents")
+    return calibration_bins(
+        d.withColumn("score_ppm", sample_key("doc_id", seed=7)),
+        "score_ppm",
+        (F.col("lang") == "en").cast("long"),
+        _N_BINS,
+    )
+
+
+_CALIB_SQL = f"""
+WITH sc AS (
+  SELECT ({_SQL_SAMPLE_KEY}) AS score_ppm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+b AS (
+  SELECT least({_N_BINS - 1}, score_ppm * {_N_BINS} // {PPM}) AS bin,
+         score_ppm, y
+  FROM sc),
+a AS (
+  SELECT bin, count(*) AS n, sum(y) AS n_pos, sum(score_ppm) AS ssum
+  FROM b GROUP BY bin)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(ssum // n AS BIGINT) AS avg_score_ppm,
+       CAST(n_pos * {PPM} // n AS BIGINT) AS pos_rate_ppm,
+       CAST(abs(ssum // n - n_pos * {PPM} // n) AS BIGINT) AS gap_ppm
+FROM a ORDER BY bin
+"""
+
+# ---------------------------------------------------------------------------
+# feature correlation
+# ---------------------------------------------------------------------------
+
+_CORR_FEATS = ["n_chars", "n_tokens", "n_uniq"]
+
+
+def feature_correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the three cheap doc features a
+    quality gate would start from (bytes, tokens, distinct tokens) —
+    one exact-sum pass, deterministic doubles."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("n_uniq"),
+    )
+    return correlation_pairs(d, _CORR_FEATS)
+
+
+_CORR_CTE = f"""
+feats AS (
+  SELECT n_chars,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({_SQL_TOKS})) AS BIGINT) AS n_uniq
+  FROM documents),
+s AS (
+  SELECT count(*) AS n,
+         sum(n_chars) AS s_a, sum(n_chars * n_chars) AS ss_a,
+         sum(n_tokens) AS s_b, sum(n_tokens * n_tokens) AS ss_b,
+         sum(n_uniq) AS s_c, sum(n_uniq * n_uniq) AS ss_c,
+         sum(n_chars * n_tokens) AS sxy_ab,
+         sum(n_chars * n_uniq) AS sxy_ac,
+         sum(n_tokens * n_uniq) AS sxy_bc
+  FROM feats)
+"""
+
+
+def _corr_row(x: str, y: str, sx: str, sy: str, ssx: str, ssy: str, sxy: str) -> str:
+    num = f"CAST(n * {sxy} - {sx} * {sy} AS BIGINT)"
+    va = f"CAST(n * {ssx} - {sx} * {sx} AS BIGINT)"
+    vb = f"CAST(n * {ssy} - {sy} * {sy} AS BIGINT)"
+    return f"""
+SELECT '{x}' AS feat_x, '{y}' AS feat_y, CAST(n AS BIGINT) AS n,
+       CASE WHEN {va} > 0 AND {vb} > 0
+            THEN CAST({num} AS DOUBLE)
+                 / (sqrt(CAST({va} AS DOUBLE)) * sqrt(CAST({vb} AS DOUBLE)))
+       END AS corr
+FROM s"""
+
+
+_CORR_SQL = (
+    "WITH "
+    + _CORR_CTE
+    + _corr_row("n_chars", "n_tokens", "s_a", "s_b", "ss_a", "ss_b", "sxy_ab")
+    + " UNION ALL "
+    + _corr_row("n_chars", "n_uniq", "s_a", "s_c", "ss_a", "ss_c", "sxy_ac")
+    + " UNION ALL "
+    + _corr_row("n_tokens", "n_uniq", "s_b", "s_c", "ss_b", "ss_c", "sxy_bc")
+)
+
+# ---------------------------------------------------------------------------
+# OLS fit
+# ---------------------------------------------------------------------------
+
+
+def ols_tokens_per_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OLS fit n_tokens ~ a + b * n_chars: the bytes->
+    tokens conversion ratio a token-budget planner uses before the
+    tokenizer has run (mixture_budget_report's upstream estimate)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        token_count(F.col("text")).cast("long").alias("y"),
+    )
+    return ols_fit(d, "lang", "x", "y").orderBy("lang")
+
+
+_OLS_SQL = f"""
+WITH feats AS (
+  SELECT lang, n_chars AS x, CAST(len({_SQL_TOKS}) AS BIGINT) AS y
+  FROM documents),
+a AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM feats GROUP BY lang),
+d AS (
+  SELECT lang, n, sx, sy,
+         CAST(n * sxx - sx * sx AS BIGINT) AS den,
+         CAST(n * sxy - sx * sy AS BIGINT) AS num
+  FROM a)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+         AS slope,
+       CASE WHEN den > 0 THEN
+         (CAST(sy AS DOUBLE)
+          - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) END AS intercept
+FROM d ORDER BY lang
+"""
+
+
+EVAL_REGISTRY = {
+    "score_auc_by_source": (score_auc_by_source, _AUC_SQL),
+    "score_calibration_bins": (score_calibration_bins, _CALIB_SQL),
+    "feature_correlation_report": (feature_correlation_report, _CORR_SQL),
+    "ols_tokens_per_char": (ols_tokens_per_char, _OLS_SQL),
+}
