@@ -901,3 +901,187 @@ def grouped_kmeans_quantized(
         "id", F.col("g").alias("s"), F.col("cid").alias("code")
     )
     return codes, books
+
+
+# ---------------------------------------------------------------------------
+# L2 ranking, rank fusion, random projection
+# ---------------------------------------------------------------------------
+
+
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k EUCLIDEAN neighbors per query on quantized vectors.
+
+    Same blocked-GEMM shape as :func:`cosine_topk` (broadcast query
+    matrix, per-block int64 matmul), but the score is the exact integer
+    squared L2 distance ||q - c||^2 = q.q - 2 q.c + c.c — no floats
+    anywhere, so ranking has no rounding layer at all. Cosine and L2
+    disagree exactly when vector norms differ, which is what makes this
+    a genuinely independent second ranker for rank fusion.
+
+    Output: query_id, neighbor_id, dist_sq (long), rnk.
+    """
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q")
+    ).collect()
+    q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.q for r in q_rows], dtype=np.int64)
+    q_sq = np.einsum("ij,ij->i", q_mat, q_mat)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_sq))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("dist_sq", T.LongType()),
+        ]
+    )
+
+    def block(batches):
+        ids, mat, qsq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["id"].to_numpy(dtype=np.int64)
+            c_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            c_sq = np.einsum("ij,ij->i", c_mat, c_mat)
+            d = qsq[:, None] - 2 * (mat @ c_mat.T) + c_sq[None, :]
+            qi, cj = np.nonzero(np.ones_like(d, dtype=bool))
+            yield pd.DataFrame(
+                {"query_id": ids[qi], "neighbor_id": c_ids[cj], "dist_sq": d[qi, cj]}
+            )
+
+    c = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    scored = cpu_repartition(c, "id").mapInPandas(block, schema=out_schema)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_sq"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "dist_sq",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    k: int = 5,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, neighbor_id, rnk) rank
+    lists — the standard hybrid-retrieval combiner (dense + sparse, or
+    here cosine + L2).
+
+    Score stays integral: floor(1e6 / (rrf_k + rnk)) per list, missing
+    list membership contributes 0 (full outer join + coalesce). One
+    equi-join on (query_id, neighbor_id) over two already-tiny top-k
+    frames, then one window per query — nothing here scales with the
+    corpus, only with |queries| * k.
+
+    Output: query_id, neighbor_id, rrf_micro (long), rnk.
+    """
+    a = ranks_a.select(
+        "query_id", "neighbor_id", F.col("rnk").alias("__ra")
+    )
+    b = ranks_b.select(
+        "query_id", "neighbor_id", F.col("rnk").alias("__rb")
+    )
+    fused = a.join(b, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({rrf_k} + __ra)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({rrf_k} + __rb)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "rrf_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style signed random projection to
+    ``out_dim`` integer components, fully deterministic and
+    engine-replayable.
+
+    The projection matrix is never stored: sign(j, k) = +-1 from the
+    portable poly_hash of the flat index string (seed-salted), exactly
+    like the hyperplane coefficients above. Input vectors quantize to
+    int64 (QUANT_SCALE), so each output component is an EXACT integer
+    sum s_k = sum_j sign(j,k) * q_j — no float accumulation order to
+    disagree on.
+
+    Plan shape: posexplode -> equi-join against the broadcast
+    (dim_idx, out_idx, sign) frame built from ``spark.range`` (out_dim
+    * dim rows — trivially broadcastable at any real dimensionality) ->
+    one hash aggregation keyed (id, out_idx). Map-side combine does the
+    partial sums; output is long format (id, out_idx, component), the
+    canonicalizer-safe shape.
+    """
+    from dnsflow_clickhouse_spark.functions.textfn import poly_hash
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(quantize(F.col(vec_col))).alias("dim_idx", "qval"),
+    )
+    dim = len(df.select(vec_col).first()[0])
+    signs = (
+        spark.range(dim * out_dim)
+        .select(
+            (F.col("id") / out_dim).cast("long").alias("dim_idx"),
+            (F.col("id") % out_dim).alias("out_idx"),
+            F.when(
+                poly_hash(F.col("id").cast("string"), seed=seed) % 2 == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    )
+    return (
+        base.join(F.broadcast(signs), "dim_idx")
+        .groupBy("id", "out_idx")
+        .agg(F.sum(F.col("qval") * F.col("sign")).cast("long").alias("component"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("out_idx").cast("long").alias("out_idx"),
+            "component",
+        )
+    )

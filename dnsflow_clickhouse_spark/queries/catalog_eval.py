@@ -225,3 +225,142 @@ EVAL_REGISTRY = {
     "feature_correlation_report": (feature_correlation_report, _CORR_SQL),
     "ols_tokens_per_char": (ols_tokens_per_char, _OLS_SQL),
 }
+
+# ---------------------------------------------------------------------------
+# retrieval: L2 ranking, reciprocal-rank fusion, random projection
+# ---------------------------------------------------------------------------
+
+from dnsflow_clickhouse_spark.operators.similarity import (  # noqa: E402
+    l2_topk,
+    random_projection,
+    rrf_fuse,
+)
+from dnsflow_clickhouse_spark.queries.catalog_mlops import (  # noqa: E402
+    KNN_K,
+    KNN_QUERIES,
+    _sql_quant,
+)
+
+_SQL_QV = f"WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings)"
+
+
+def embedding_l2_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean top-3 for the first 20 query vectors — the
+    all-integer second ranker (disagrees with cosine exactly where
+    norms differ)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return l2_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding", KNN_K
+    ).orderBy("query_id", "rnk")
+
+
+_L2_PAIRS = f"""
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qv, a.qv)
+              - 2 * list_dot_product(a.qv, b.qv)
+              + list_dot_product(b.qv, b.qv) AS BIGINT) AS dist_sq
+  FROM q a JOIN q b ON a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
+)"""
+
+_L2_KNN_SQL = f"""
+{_SQL_QV},
+{_L2_PAIRS},
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist_sq, neighbor_id) AS rnk
+      FROM pairs)
+SELECT query_id, neighbor_id, dist_sq, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
+"""
+
+_RRF_LIST_K, _RRF_TOP, _RRF_C = 10, 5, 60
+
+
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the cosine and L2 top-10 lists per query
+    with reciprocal-rank fusion (integer micro scores), keep top-5.
+    The combiner every hybrid (dense+sparse) search stack uses; here
+    both rankers are exact so the oracle replays the whole pipeline."""
+    from dnsflow_clickhouse_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < KNN_QUERIES)
+    cos = cosine_topk(qs, e, "vec_id", "embedding", _RRF_LIST_K)
+    l2 = l2_topk(qs, e, "vec_id", "embedding", _RRF_LIST_K)
+    return rrf_fuse(cos, l2, _RRF_TOP, _RRF_C).orderBy("query_id", "rnk")
+
+
+_RRF_SQL = f"""
+{_SQL_QV},
+cpairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv))
+                  * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+  FROM q a JOIN q b ON a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id),
+ca AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS ra
+       FROM cpairs QUALIFY ra <= {_RRF_LIST_K}),
+{_L2_PAIRS},
+lb AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist_sq, neighbor_id) AS rb
+       FROM pairs QUALIFY rb <= {_RRF_LIST_K}),
+fused AS (
+  SELECT coalesce(ca.query_id, lb.query_id) AS query_id,
+         coalesce(ca.neighbor_id, lb.neighbor_id) AS neighbor_id,
+         coalesce(1000000 // ({_RRF_C} + ca.ra), 0)
+         + coalesce(1000000 // ({_RRF_C} + lb.rb), 0) AS rrf_micro
+  FROM ca FULL OUTER JOIN lb
+    ON ca.query_id = lb.query_id AND ca.neighbor_id = lb.neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_micro DESC, neighbor_id) AS rnk
+      FROM fused)
+SELECT query_id, neighbor_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {_RRF_TOP} ORDER BY query_id, rnk
+"""
+
+_RP_DIM, _RP_OUT, _RP_SEED, _RP_VECS = 64, 8, 11, 100
+
+
+def embedding_rp_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection (JL sketch) of the first 100 embeddings
+    to 8 exact-integer components, long format — the cheap dimensionality
+    reduction upstream of clustering/LSH when 64 dims is already too
+    wide to shuffle at corpus scale."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _RP_VECS
+    )
+    return random_projection(e, "vec_id", "embedding", _RP_OUT, _RP_SEED).orderBy(
+        "vec_id", "out_idx"
+    )
+
+
+_RP_SQL = f"""
+{_SQL_QV},
+signs AS (
+  SELECT CAST(fid // {_RP_OUT} AS BIGINT) AS dim_idx,
+         CAST(fid % {_RP_OUT} AS BIGINT) AS out_idx,
+         CASE WHEN ({_sql_poly('CAST(fid AS VARCHAR)', seed=_RP_SEED)}) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM range(0, {_RP_DIM * _RP_OUT}) AS s(fid)),
+flat AS (
+  SELECT q.vec_id, t.dim_idx, q.qv[t.dim_idx + 1] AS qval
+  FROM q, range(0, {_RP_DIM}) AS t(dim_idx)
+  WHERE q.vec_id < {_RP_VECS})
+SELECT f.vec_id, s.out_idx,
+       CAST(sum(f.qval * s.sign) AS BIGINT) AS component
+FROM flat f JOIN signs s ON f.dim_idx = s.dim_idx
+GROUP BY f.vec_id, s.out_idx
+ORDER BY f.vec_id, s.out_idx
+"""
+
+EVAL_REGISTRY.update(
+    {
+        "embedding_l2_knn": (embedding_l2_knn, _L2_KNN_SQL),
+        "ann_rrf_fusion": (ann_rrf_fusion, _RRF_SQL),
+        "embedding_rp_components": (embedding_rp_components, _RP_SQL),
+    }
+)

@@ -86,3 +86,67 @@ def test_auc_plan_aggregates_before_window(spark):
     plan = auc_by_group(df, "g", "s", "y")._jdf.queryExecution().executedPlan().toString()
     # plans print top-down: an aggregate BELOW the window appears after it
     assert plan.rindex("HashAggregate") > plan.index("Window")
+
+
+# ---------------------------------------------------------------------------
+# retrieval: l2_topk / rrf_fuse / random_projection
+# ---------------------------------------------------------------------------
+
+def test_l2_topk_exact_integer_distances(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import l2_topk
+
+    rows = [
+        (0, [1.0, 0.0]),   # query
+        (1, [1.0, 0.0]),   # identical -> dist 0
+        (2, [0.0, 0.0]),   # dist (1e4)^2
+        (3, [3.0, 4.0]),   # dist (2e4)^2 + (4e4)^2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = l2_topk(
+        df.filter("vec_id = 0"), df, "vec_id", "embedding", 3
+    ).collect()
+    by_rank = {r.rnk: r for r in got}
+    assert by_rank[1].neighbor_id == 1 and by_rank[1].dist_sq == 0
+    assert by_rank[2].neighbor_id == 2 and by_rank[2].dist_sq == 10_000**2
+    assert by_rank[3].dist_sq == 20_000**2 + 40_000**2
+
+
+def test_rrf_fuse_combines_and_handles_missing(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, neighbor_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(0, 10, 2), (0, 12, 1)], "query_id long, neighbor_id long, rnk long"
+    )
+    got = {r.neighbor_id: r for r in rrf_fuse(a, b, k=3, rrf_k=60).collect()}
+    # 10 in both: 1e6//61 + 1e6//62; 11 only in a: 1e6//62; 12 only in b: 1e6//61
+    assert got[10].rrf_micro == 1_000_000 // 61 + 1_000_000 // 62
+    assert got[11].rrf_micro == 1_000_000 // 62
+    assert got[12].rrf_micro == 1_000_000 // 61
+    assert got[10].rnk == 1  # fused winner is the doc both rankers saw
+
+
+def test_random_projection_components_are_exact_signed_sums(spark):
+    from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD
+    from dnsflow_clickhouse_spark.operators.similarity import random_projection
+
+    rows = [(0, [1.0, -2.0]), (1, [0.5, 0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = random_projection(df, "vec_id", "embedding", 2, seed=3).collect()
+    # replicate: sign(fid) from poly_hash(str(fid), seed=3) % 2
+    def ph(s: str, seed: int) -> int:
+        h = seed
+        for ch in s:
+            h = (h * 31 + ord(ch)) % POLY_MOD
+        return h
+
+    sign = {f: (1 if ph(str(f), 3) % 2 == 0 else -1) for f in range(4)}
+    q = {0: [10000, -20000], 1: [5000, 2500]}
+    want = {
+        (vid, k): sum(sign[j * 2 + k] * q[vid][j] for j in range(2))
+        for vid in q
+        for k in range(2)
+    }
+    assert {(r.vec_id, r.out_idx): r.component for r in got} == want
