@@ -98,7 +98,11 @@ def auc_by_group(
         F.col("n_neg").cast("long").alias("n_neg"),
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.expr(f"num2 * {PPM} div (2 * n_pos * n_neg)"),
+            # num2 <= 2 * n_pos * n_neg, so num2 * 1e6 wraps int64 once a
+            # group holds ~4.3M balanced rows; widen to decimal(38,0)
+            # before the multiply (the same escape hatch the module
+            # docstring prescribes for the feature sums)
+            F.expr(f"CAST(num2 AS DECIMAL(38,0)) * {PPM} div (2 * n_pos * n_neg)"),
         )
         .cast("long")
         .alias("auc_ppm"),

@@ -1035,6 +1035,7 @@ def random_projection(
     vec_col: str,
     out_dim: int,
     seed: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss-style signed random projection to
     ``out_dim`` integer components, fully deterministic and
@@ -1061,7 +1062,16 @@ def random_projection(
         F.col(id_col).alias("id"),
         F.posexplode(quantize(F.col(vec_col))).alias("dim_idx", "qval"),
     )
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # fallback probe — runs an eager job and fails on an empty
+        # frame, so callers that know the dimensionality should pass it
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "random_projection: cannot infer vector dim from an empty "
+                "frame / NULL vector — pass dim= explicitly"
+            )
+        dim = len(head[0])
     signs = (
         spark.range(dim * out_dim)
         .select(

@@ -333,9 +333,9 @@ def embedding_rp_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _RP_VECS
     )
-    return random_projection(e, "vec_id", "embedding", _RP_OUT, _RP_SEED).orderBy(
-        "vec_id", "out_idx"
-    )
+    return random_projection(
+        e, "vec_id", "embedding", _RP_OUT, _RP_SEED, dim=_RP_DIM
+    ).orderBy("vec_id", "out_idx")
 
 
 _RP_SQL = f"""

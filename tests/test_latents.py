@@ -1,0 +1,131 @@
+"""Pins for the round-3 latent-bug backlog (VERDICT r3 "What's wrong"
+item 4 + ADVICE r3): each test locks the FIXED behavior so the bug
+class cannot silently return.
+
+- cms_estimate: never-sketched probe items report est_count = 0 (an
+  inner join would drop them; a partial match would break the
+  upper-bound contract).
+- global_positions: the position column is a LONG — at the 100 TB
+  design point row counts pass 2^31, where an int wraps.
+- write_zordered: empty frames and all-null stat columns degrade to
+  bucket 0 instead of raising TypeError on None stats.
+- multimodal: real-decode path treats empty/NULL payloads as
+  zero-feature rows; a malformed 0-channel WAV raises ValueError, not
+  ZeroDivisionError.
+- auc_by_group: groups big enough that num2 * 1e6 exceeds int64 still
+  report an exact auc_ppm (decimal widening).
+- random_projection: empty frame without an explicit dim raises a
+  typed ValueError; with dim= it plans lazily and returns empty.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cms_estimate_unseen_item_reports_zero(spark):
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    data = spark.createDataFrame([("a",), ("a",), ("b",)], "item string")
+    sketch = cms_sketch(data, "item")
+    probes = spark.createDataFrame(
+        [("a",), ("never_sketched",)], "item string"
+    )
+    est = {r.item: r.est_count for r in cms_estimate(sketch, probes, "item").collect()}
+    assert set(est) == {"a", "never_sketched"}  # nothing dropped
+    assert est["a"] >= 2
+    assert est["never_sketched"] == 0
+
+
+def test_global_positions_column_is_long(spark):
+    from dnsflow_clickhouse_spark.operators.sampling import global_positions
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    out = global_positions(df, ["k"], n_parts=4)
+    assert dict(out.dtypes)["pos"] == "bigint"
+
+
+def test_write_zordered_survives_all_null_column_and_empty_frame(
+    spark, tmp_path
+):
+    from dnsflow_clickhouse_spark.sources.layout import write_zordered
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("x"), F.lit(None).cast("double").alias("y")
+    )
+    p1 = str(tmp_path / "allnull")
+    write_zordered(df, p1, ["x", "y"], n_files=4)
+    assert spark.read.parquet(p1).count() == 100
+
+    p2 = str(tmp_path / "empty")
+    write_zordered(df.filter(F.lit(False)), p2, ["x", "y"], n_files=4)
+    assert spark.read.parquet(p2).count() == 0
+
+
+def test_real_decode_empty_payload_yields_zero_feature_row(spark):
+    from pyspark.sql import Row
+
+    from dnsflow_clickhouse_spark.operators.multimodal import extract_features
+
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=1, kind="image", payload=bytearray(b"")),
+            Row(asset_id=2, kind="audio", payload=None),
+        ],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = {r.asset_id: r for r in extract_features(assets, decode_stub=False).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert (r.feat_width, r.feat_height, r.frames_sampled) == (0, 0, 0)
+        assert r.byte_len == 0
+
+
+def _wav(channels: int, bits: int = 16, n_frames: int = 4) -> bytes:
+    fmt = struct.pack("<HHIIHH", 1, channels, 8000, 8000 * 2, 2, bits)
+    data = b"\x00" * (n_frames * 2 * max(channels, 1))
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_zero_channels_raises_value_error():
+    from dnsflow_clickhouse_spark.operators.multimodal import decode_wav
+
+    samples, rate = decode_wav(_wav(channels=1))
+    assert rate == 8000 and samples.shape[1] == 1
+    with pytest.raises(ValueError, match="channels=0"):
+        decode_wav(_wav(channels=0))
+
+
+def test_auc_is_exact_past_int64_numerator_overflow(spark):
+    """2.2M positives x 2.2M negatives -> num2 * 1e6 = 9.68e18 > 2^63.
+    Perfectly separated scores, so the exact tie-aware AUC is 1.0; the
+    pre-fix int64 arithmetic wrapped and reported garbage."""
+    from dnsflow_clickhouse_spark.operators.evaluation import auc_by_group
+
+    n = 4_400_000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"),
+        (F.col("id") % 2).alias("y"),
+        (F.col("id") % 2).cast("long").alias("s"),
+    )
+    row = auc_by_group(df, "grp", "s", "y").collect()[0]
+    assert (row.n_pos, row.n_neg) == (n // 2, n // 2)
+    assert row.auc_ppm == 1_000_000
+
+
+def test_random_projection_empty_frame(spark):
+    from dnsflow_clickhouse_spark.operators.similarity import random_projection
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="pass dim"):
+        random_projection(empty, "vec_id", "embedding", out_dim=4)
+    out = random_projection(empty, "vec_id", "embedding", out_dim=4, dim=8)
+    assert out.count() == 0
