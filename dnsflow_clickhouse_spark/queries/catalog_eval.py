@@ -364,3 +364,98 @@ EVAL_REGISTRY.update(
         "embedding_rp_components": (embedding_rp_components, _RP_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Statistical LM scoring (operators/lm.py): self-perplexity filter +
+# per-source token entropy.  The oracle replays the TERM-QUANTIZED log2
+# (floor(log2(x) * scale + 0.5) as a long per bigram/token) so only
+# exact integers are ever summed — the module's exactness contract.
+# ---------------------------------------------------------------------------
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram log2-probability of every document under
+    the corpus's own bigram LM (the KenLM-style self-perplexity gate:
+    docs far below the corpus average are boilerplate/gibberish
+    candidates).
+
+    Scale shape (operators/lm.py docstring): instances pre-aggregate to
+    (doc, a, b, n) before the two count-table equi-joins, the vocabulary
+    is a one-row broadcast, and the log layer is quantized per term —
+    no collect, no window, no float accumulation-order hazard."""
+    from dnsflow_clickhouse_spark.operators.lm import bigram_logprob_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(d, "doc_id", tokens(F.col("text"))).orderBy(
+        "doc_id"
+    )
+
+
+_LM_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+bg0 AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i FROM base),
+bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM bg0),
+per_doc AS (SELECT doc_id, a, b, count(*) AS n FROM bg GROUP BY ALL),
+c2 AS (SELECT a, b, sum(n) AS c2 FROM per_doc GROUP BY a, b),
+c1 AS (SELECT a, sum(c2) AS c1 FROM c2 GROUP BY a),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)),
+scored AS (
+  SELECT doc_id, n,
+         CAST(floor(log2(CAST(c2.c2 + 1 AS DOUBLE)
+                         / CAST(c1.c1 + v.v AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS term_micro
+  FROM per_doc JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(sum(n * term_micro) AS BIGINT) AS logprob_micro,
+       CAST(sum(n * term_micro) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         / 1000000 AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each source's token distribution — the
+    vocabulary-diversity gate: a source whose entropy collapses relative
+    to its peers is emitting templated/boilerplate text.
+
+    Two hash aggregations (token counts, then the per-group fold) with
+    the nano-quantized log term in between — map-side combinable end to
+    end (operators/lm.py)."""
+    from dnsflow_clickhouse_spark.operators.lm import token_entropy_by_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_entropy_by_group(d, "source", tokens(F.col("text"))).orderBy(
+        "source"
+    )
+
+
+_ENTROPY_SQL = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT source AS grp, unnest(toks) AS tk FROM t),
+counts AS (SELECT grp, tk, count(*) AS c FROM tok GROUP BY grp, tk),
+totals AS (SELECT grp, sum(c) AS n FROM counts GROUP BY grp),
+terms AS (
+  SELECT counts.grp, n,
+         -CAST(floor(log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1000000000 + 0.5) AS BIGINT) * c AS wterm
+  FROM counts JOIN totals USING (grp)),
+agg AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab, sum(wterm) AS wsum
+        FROM terms GROUP BY grp)
+SELECT grp AS source, n_tokens, vocab,
+       CAST(wsum // n_tokens AS BIGINT) AS entropy_nano,
+       CAST(wsum // n_tokens AS DOUBLE) / 1000000000 AS entropy_bits
+FROM agg ORDER BY source
+"""
+
+EVAL_REGISTRY.update(
+    {
+        "doc_lm_score": (doc_lm_score, _LM_SQL),
+        "source_token_entropy": (source_token_entropy, _ENTROPY_SQL),
+    }
+)
