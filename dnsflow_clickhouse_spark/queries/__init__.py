@@ -2,26 +2,19 @@
 
 The registry is an ordered dict and the order is load-bearing: the
 correctness driver verifies the first 50 entries per round.
-``_PRIORITY`` pins the round-3 verified window — the smoke query
-first, then the 20 queries that have never had a driver row (TPC-H
-tail q9/q14-q21, the ANN variants, prefix/canonical/normalized dedup,
-incremental_report_merge, multimodal_frame_index, per_user_event_sample,
-event_cooccurrence), the re-fixed ``quality_feature_matrix`` (round-2's
-only red — array column serialized to text), the five queries whose
-physical plans change this round (size-adaptive repartition/checkpoint
-barriers: curation_funnel, item_pagerank, deterministic_shuffle_shards,
-incremental_dedup_flags, embedding_neardup), and a backfill of the
-most-churned round-1 greens (reports/enrich/dns families touched by the
-timestamp-LTZ and repartition commits).  Still r1-green and deliberately
-left outside this window (untouched code, lowest drift risk):
-day_pivot_counts, set_ops_users, cube_day_type, multiset_ops_events and
-the TPC-H q2-q8/q10/q13/q17/q22 block — rotate those in round 4, along
-with the round-3 additions past the window (bloom_membership_flags,
-duplicate_span_report, semdedup_keep, quantile_sketch_values,
-neardup_component_census, mixture_budget_report, snapshot_diff_report,
-boilerplate_grams, kmeans_cluster_report, ann_recall_report,
-rare_token_report, kmv_corpus_overlap, bpe_merge_training,
-bpe_vocab_report, embedding_pq_ann, embedding_dim_stats).
+``_PRIORITY`` pins the round-4 window — the smoke query first, then the
+28 catalog queries that have NEVER had a driver row (every round-3
+addition past last round's window: the PQ/IVFPQ/L2/RRF/RP ANN block,
+kmeans, KMV/Bloom/quantile sketches, BPE training, spans, census,
+SemDeDup, SCD2 history, expectations, per-source caps, image dHash, and
+the four model-evaluation ops), then the three queries NEW this round
+(the wired LM scoring pair and the A14 user_report analogue — the last
+§2 report family without a driver row), then the 15 stalest entries
+(round-1 greens never re-attested: the TPC-H q2-q8/q10/q13/q17/q22
+block and the set-ops/pivot/cube batch), then three round-2 dedup
+greens whose shared text-path code has churned since. After this round
+every one of the 140 registry entries has at least one driver-attested
+green row, and nothing in the window is older than round 2.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -54,67 +47,69 @@ _MERGED = {
     **_TOKENIZER, **_EVAL,
 }
 
-# First 50 = driver correctness window for this round (round 3).
+# First 50 = driver correctness window for this round (round 4).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- 20 never-driver-checked queries (highest verification value) ---
-    # TPC-H tail
-    "q9_product_profit",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q18_big_orders",
-    "q19_disjunctive_revenue",
-    "q20_stockpile_suppliers",
-    "q21_sole_returner",
-    # ANN variants
-    "embedding_knn",
-    "embedding_lsh_ann",
-    "embedding_lsh_multiprobe",
-    "embedding_neardup_exact",
-    "embedding_ivf_probe2",
-    # dedup / merge / sampling / multimodal tails
-    "prefix_jaccard_pairs",
-    "dedup_canonical_keep",
-    "incremental_report_merge",
-    "normalized_dedup_docs",
-    "multimodal_frame_index",
-    "per_user_event_sample",
-    "event_cooccurrence",
-    # --- round-2's only red, re-fixed (array<long> -> text) ---
-    "quality_feature_matrix",
-    # --- plans changed this round (size-adaptive barriers) — re-attest ---
-    "curation_funnel",
-    "item_pagerank",
-    "deterministic_shuffle_shards",
-    "incremental_dedup_flags",
-    "embedding_neardup",
-    # --- most-churned round-1 greens (reports/enrich/dns code moved
-    # under them since their last driver row) ---
-    "flow_report_topk",
-    "wide_enrichment_report",
-    "user_tag_profiles",
-    "trend_rollup_daily",
-    "qps_trend",
-    "qps_per_client",
-    "range_join_tiers",
-    "grouped_topk_users",
-    "authority_domain_rollup",
-    "storm_span_overlap",
-    "asof_last_click",
-    "window_suite",
-    "event_type_ratio",
-    "response_code_ratio",
-    "dedup_exact_docs",
-    "dedup_keep_first_events",
-    "cohort_retention",
-    "hourly_gapfill",
-    "conversion_funnel",
-    "doc_quality_score",
-    "clients_rollup_sets",
-    "running_value_per_user",
-    "distinct_agg_users",
+    # --- 28 never-driver-checked queries (highest verification value) ---
+    # ANN / clustering block
+    "embedding_pq_ann",
+    "embedding_ivfpq_ann",
+    "embedding_l2_knn",
+    "ann_rrf_fusion",
+    "embedding_rp_components",
+    "embedding_dim_stats",
+    "kmeans_cluster_report",
+    "ann_recall_report",
+    # sketches
+    "kmv_corpus_overlap",
+    "bloom_membership_flags",
+    "quantile_sketch_values",
+    # tokenizer
+    "bpe_merge_training",
+    "bpe_vocab_report",
+    # text / dedup tails
+    "duplicate_span_report",
+    "boilerplate_grams",
+    "rare_token_report",
+    "neardup_component_census",
+    "semdedup_keep",
+    "image_dhash_neardups",
+    # curation tails
+    "mixture_budget_report",
+    "per_source_caps",
+    "snapshot_diff_report",
+    "user_state_history",
+    "data_quality_expectations",
+    # model evaluation
+    "score_auc_by_source",
+    "score_calibration_bins",
+    "feature_correlation_report",
+    "ols_tokens_per_char",
+    # --- NEW this round: wired LM scoring + the A14 analogue ---
+    "doc_lm_score",
+    "source_token_entropy",
+    "user_report_pipeline",
+    # --- stalest greens (round-1 rows, never re-attested) ---
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_semi",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q17_small_quantity",
+    "q22_idle_customers",
+    "day_pivot_counts",
+    "set_ops_users",
+    "cube_day_type",
+    "multiset_ops_events",
+    # --- round-2 dedup greens over the most-churned text path ---
+    "minhash_band_buckets",
+    "lsh_candidate_pairs",
+    "simhash_near_docs",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

