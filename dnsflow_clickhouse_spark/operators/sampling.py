@@ -189,3 +189,52 @@ def global_positions(
         .withColumn(pos_col, (F.col("__off") + F.col("__rn")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis-Spirakis A-ES): each row draws u = (sample_key(id)+1)/1e6
+    in (0, 1] and is ranked by key = u^(1/w); the k largest keys win, so
+    a row's selection probability is proportional to its weight — the
+    importance-weighted subsampling step of a curation pipeline (e.g.
+    quality-score-weighted downsampling), reproducible across engines,
+    cluster sizes and reruns because u is a pure function of the id.
+
+    Ranking detail: log2(key) = log2(u)/w is order-equivalent to the
+    key itself and needs no pow(); log2(u) is TERM-QUANTIZED to integer
+    micros (the operators/lm.py discipline) and the single division
+    ``quant_micro / w`` is one IEEE double op — bit-identical in any
+    engine, no float accumulation. Ties (same quantized priority) break
+    by id ascending. Rows with weight <= 0 or NULL are excluded (their
+    ES key is 0 — never sampled).
+
+    Plan shape: one window shuffle on the group key (the grouped top-K
+    family, SURVEY §2.6); the priority is a pure map-side expression.
+    """
+    w = F.col(weight_col).cast("double")
+    u_ppm = (sample_key(id_col, seed) + 1).cast("double")
+    # micro-quantized log2(u): floor(log2(u_ppm/1e6) * 1e6 + 0.5) <= 0
+    q = F.floor(F.log2(u_ppm / F.lit(float(PPM))) * PPM + F.lit(0.5)).cast(
+        "long"
+    )
+    prio = q.cast("double") / w
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__prio"), F.asc(id_col)
+    )
+    out = (
+        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        .withColumn("__prio", prio)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+    )
+    if priority_col is not None:
+        out = out.withColumn(priority_col, F.col("__prio"))
+    return out.drop("__prio", "__rn")

@@ -41,11 +41,19 @@ from dnsflow_clickhouse_spark.queries.catalog_tpch2 import TPCH2_REGISTRY as _TP
 from dnsflow_clickhouse_spark.queries.catalog_tpch3 import TPCH3_REGISTRY as _TPCH3
 from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TPCH4
 
-_MERGED = {
-    **_BASE, **_DNS2, **_DNS3, **_DNS4, **_DNS5, **_TPCH2, **_TPCH3, **_TPCH4,
-    **_MLOPS, **_CORPUS, **_CURATION, **_PROFILING, **_SKETCHES,
-    **_TOKENIZER, **_EVAL,
-}
+_PARTS = [
+    _BASE, _DNS2, _DNS3, _DNS4, _DNS5, _TPCH2, _TPCH3, _TPCH4,
+    _MLOPS, _CORPUS, _CURATION, _PROFILING, _SKETCHES, _TOKENIZER, _EVAL,
+]
+_MERGED: dict = {}
+for _part in _PARTS:
+    _dups = set(_part) & set(_MERGED)
+    # a duplicate name would silently SHADOW the earlier query (caught
+    # live in round 4: a new corpus entry vanished under a curation
+    # entry of the same name and the oracle gate verified the wrong
+    # query) — fail the import instead
+    assert not _dups, f"duplicate query names across catalogs: {sorted(_dups)}"
+    _MERGED.update(_part)
 
 # First 50 = driver correctness window for this round (round 4).
 _PRIORITY = [

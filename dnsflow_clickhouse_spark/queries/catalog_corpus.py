@@ -1060,3 +1060,54 @@ CORPUS_REGISTRY = {
     "event_value_percentiles": (event_value_percentiles, _VALUE_PCTL_SQL),
     "pack_sequences": (pack_sequences_query, _PACK_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_SEED, _WS_K = 5, 3
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample, 3 docs per source with selection
+    probability proportional to n_chars (A-ES: rank by quantized
+    log2(u)/w, u a pure hash of the doc id) — the importance-weighted
+    downsampling step of a curation pipeline, replayable in any engine.
+    One window shuffle on source (grouped top-K plan family); the
+    priority is a pure map-side expression."""
+    from dnsflow_clickhouse_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample_per_group(
+            d, ["source"], "doc_id", "n_chars", k=_WS_K, seed=_WS_SEED,
+            priority_col="prio",
+        )
+        .select("source", "doc_id", "n_chars", "prio")
+        .orderBy("source", "doc_id")
+    )
+
+
+_WS_SQL = f"""
+WITH u AS (
+  SELECT source, doc_id, n_chars,
+         CAST((({_sql_poly('CAST(doc_id AS VARCHAR)', seed=_WS_SEED)})
+               * 2654435761) % 1000000007 % 1000000 + 1 AS DOUBLE) AS u_ppm
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+p AS (
+  SELECT source, doc_id, n_chars,
+         CAST(CAST(floor(log2(u_ppm / 1000000) * 1000000 + 0.5) AS BIGINT)
+              AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prio
+  FROM u),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY prio DESC, doc_id) AS rn
+  FROM p)
+SELECT source, doc_id, n_chars, prio FROM r WHERE rn <= {_WS_K}
+ORDER BY source, doc_id
+"""
+
+CORPUS_REGISTRY["es_weighted_source_sample"] = (weighted_doc_sample, _WS_SQL)

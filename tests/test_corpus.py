@@ -305,3 +305,38 @@ def test_rare_token_stats_masses(spark):
 
 def _corpus_df(spark, rows):
     return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_weighted_sample_per_group_semantics(spark):
+    from dnsflow_clickhouse_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, w) for i, w in enumerate([1, 1, 1, 1000, 1000, 0, None, -5])],
+        "grp string, id long, w long",
+    )
+    out = weighted_sample_per_group(df, ["grp"], "id", "w", k=2, seed=3)
+    picked = sorted(r.id for r in out.collect())
+    assert len(picked) == 2
+    assert all(p not in (5, 6, 7) for p in picked)  # w<=0/NULL never sampled
+    # determinism: identical rerun, identical result
+    again = sorted(
+        r.id
+        for r in weighted_sample_per_group(
+            df, ["grp"], "id", "w", k=2, seed=3
+        ).collect()
+    )
+    assert again == picked
+    # weight dominance: over many seeds the heavy ids (w=1000) must win
+    # far more often than the light ones (selection prob ~ weight)
+    heavy = 0
+    for seed in range(40):
+        got = {
+            r.id
+            for r in weighted_sample_per_group(
+                df, ["grp"], "id", "w", k=1, seed=seed
+            ).collect()
+        }
+        heavy += bool(got & {3, 4})
+    assert heavy >= 30  # ~99.6% expected; 30/40 leaves wide noise margin
