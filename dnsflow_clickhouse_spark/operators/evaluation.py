@@ -235,3 +235,104 @@ def ols_fit(
             / F.col("n").cast("double"),
         ).alias("intercept"),
     )
+
+
+def psi_report(
+    df: DataFrame,
+    group_col: str,
+    is_current: Column,
+    bucket: Column,
+    n_buckets: int,
+) -> DataFrame:
+    """Population Stability Index (log2 variant) between a reference
+    slice and a current slice of ``df``, per group — the standard
+    distribution-drift monitor a feature/score pipeline runs before
+    trusting a new ingest batch (PSI < 0.1 stable, > 0.25 shifted, same
+    thresholds in bits instead of nats since log2 is monotone with ln).
+
+    psi = sum_buckets (p_cur - p_ref) * log2(p_cur / p_ref), with
+    Laplace +1 smoothing so empty buckets stay finite AND integer-exact:
+    p_side = (c_side + 1) / (n_side + n_buckets). Exactness discipline:
+    shares are exact integer ppm; the log term quantizes to integer
+    micros per bucket (operators/lm.py); the ratio is three IEEE double
+    ops in a pinned order ((c_cur+1)/(c_ref+1) * (n_ref+B)/(n_cur+B)),
+    so any engine replays it bit-for-bit — and no product of two counts
+    is ever formed, so nothing overflows below 2^62 rows per slice.
+
+    ``bucket`` must be a deterministic map-side expression into
+    [0, n_buckets) (explicit bounds, NOT data-derived quantiles — the
+    monitor must not shift its own ruler). Output: group, n_ref, n_cur,
+    psi_pico (exact long, ppm-share x micro-log2 units; psi_bits =
+    psi_pico / 1e12). The pico sum is reported UNDIVIDED: quantization
+    can make a near-zero sum slightly negative, where Spark's ``div``
+    (truncate) and DuckDB's ``//`` (floor) would disagree.
+
+    Plan: one hash aggregate (group, bucket) with map-side combine,
+    one tiny per-group rollup joined back broadcast, one final sum —
+    the whole fact table is touched once, shuffled only as (group,
+    bucket) cells.
+    """
+    B = n_buckets
+    cells = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.cast("long").alias("b"),
+            is_current.cast("int").alias("cur"),
+        )
+        .groupBy("grp", "b")
+        .agg(
+            F.sum(F.lit(1) - F.col("cur")).alias("c_ref"),
+            F.sum("cur").alias("c_cur"),
+        )
+    )
+    totals = cells.groupBy("grp").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    # densify: a bucket empty on BOTH sides contributes a zero term under
+    # Laplace smoothing only if it is absent from the sum entirely — but
+    # a bucket empty on ONE side must be present. Buckets absent from
+    # `cells` are empty on both sides, and their smoothed term
+    # (1/(n_ref+B) vs 1/(n_cur+B)) is NOT zero when the slice sizes
+    # differ, so replay them explicitly via a per-group bucket spine.
+    spine = totals.select(
+        "grp", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b")
+    )
+    full = (
+        spine.join(cells, ["grp", "b"], "left")
+        .select(
+            "grp",
+            "b",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+        .join(F.broadcast(totals), "grp")
+    )
+    ratio = (
+        (F.col("c_cur") + 1).cast("double") / (F.col("c_ref") + 1).cast("double")
+    ) * (
+        (F.col("n_ref") + B).cast("double") / (F.col("n_cur") + B).cast("double")
+    )
+    lterm_micro = F.floor(F.log2(ratio) * PPM + F.lit(0.5)).cast("long")
+    share_cur = F.expr(f"(c_cur + 1) * {PPM} div (n_cur + {B})")
+    share_ref = F.expr(f"(c_ref + 1) * {PPM} div (n_ref + {B})")
+    terms = full.select(
+        "grp",
+        "n_ref",
+        "n_cur",
+        ((share_cur - share_ref) * lterm_micro).alias("term_pico"),
+    )
+    return (
+        terms.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.sum("term_pico").cast("long").alias("psi_pico"),
+        )
+        .select(
+            group_col,
+            "n_ref",
+            "n_cur",
+            "psi_pico",
+            (F.col("psi_pico").cast("double") / 1e12).alias("psi_bits"),
+        )
+    )

@@ -94,10 +94,13 @@ _PRIORITY = [
     "score_calibration_bins",
     "feature_correlation_report",
     "ols_tokens_per_char",
-    # --- NEW this round: wired LM scoring + the A14 analogue ---
+    # --- NEW this round: wired LM scoring, the A14 analogue, A-ES
+    # weighted sampling, PSI drift ---
     "doc_lm_score",
     "source_token_entropy",
     "user_report_pipeline",
+    "es_weighted_source_sample",
+    "value_drift_psi",
     # --- stalest greens (round-1 rows, never re-attested) ---
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -114,9 +117,7 @@ _PRIORITY = [
     "set_ops_users",
     "cube_day_type",
     "multiset_ops_events",
-    # --- round-2 dedup greens over the most-churned text path ---
-    "minhash_band_buckets",
-    "lsh_candidate_pairs",
+    # --- round-2 dedup green over the most-churned text path ---
     "simhash_near_docs",
 ]
 

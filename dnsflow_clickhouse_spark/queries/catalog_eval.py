@@ -459,3 +459,74 @@ EVAL_REGISTRY.update(
         "source_token_entropy": (source_token_entropy, _ENTROPY_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift (operators/evaluation.py: psi_report)
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution, per
+    event type, between the first half of the month (reference) and the
+    second half (current) — the drift gate a feature pipeline runs
+    before trusting a new ingest window. Explicit equal-width cent bins
+    ([0, 2000) in 10 bins, top bin clamps) so the ruler never shifts
+    with the data; Laplace-smoothed, integer-exact (psi_pico)."""
+    from dnsflow_clickhouse_spark.operators.evaluation import psi_report
+
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.lit(_PSI_BINS - 1).cast("long"),
+        F.floor(F.round(F.col("value") * 100) / 200).cast("long"),
+    )
+    return psi_report(
+        e,
+        "event_type",
+        (F.dayofmonth("ts") >= 16),
+        bucket,
+        _PSI_BINS,
+    ).orderBy("event_type")
+
+
+_PSI_SQL = f"""
+WITH e AS (
+  SELECT event_type AS grp,
+         CASE WHEN date_part('day', ts) >= 16 THEN 1 ELSE 0 END AS cur,
+         least({_PSI_BINS - 1},
+               CAST(floor(round(value * 100) / 200) AS BIGINT)) AS b
+  FROM events),
+cells AS (SELECT grp, b, sum(1 - cur) AS c_ref, sum(cur) AS c_cur
+          FROM e GROUP BY grp, b),
+totals AS (SELECT grp, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+           FROM cells GROUP BY grp),
+spine AS (SELECT grp, unnest(generate_series(0, {_PSI_BINS - 1})) AS b
+          FROM totals),
+filled AS (
+  SELECT s.grp, s.b,
+         coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_cur, 0) AS c_cur,
+         t.n_ref, t.n_cur
+  FROM spine s
+  LEFT JOIN cells c ON s.grp = c.grp AND s.b = c.b
+  JOIN totals t ON s.grp = t.grp),
+terms AS (
+  SELECT grp, n_ref, n_cur,
+         ((c_cur + 1) * 1000000 // (n_cur + {_PSI_BINS})
+          - (c_ref + 1) * 1000000 // (n_ref + {_PSI_BINS}))
+         * CAST(floor(log2(
+               (CAST(c_cur + 1 AS DOUBLE) / CAST(c_ref + 1 AS DOUBLE))
+               * (CAST(n_ref + {_PSI_BINS} AS DOUBLE)
+                  / CAST(n_cur + {_PSI_BINS} AS DOUBLE))
+           ) * 1000000 + 0.5) AS BIGINT) AS term_pico
+  FROM filled)
+SELECT grp AS event_type,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       CAST(sum(term_pico) AS BIGINT) AS psi_pico,
+       CAST(CAST(sum(term_pico) AS BIGINT) AS DOUBLE) / 1e12 AS psi_bits
+FROM terms GROUP BY grp ORDER BY event_type
+"""
+
+EVAL_REGISTRY["value_drift_psi"] = (value_drift_psi, _PSI_SQL)

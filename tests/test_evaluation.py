@@ -150,3 +150,47 @@ def test_random_projection_components_are_exact_signed_sums(spark):
         for k in range(2)
     }
     assert {(r.vec_id, r.out_idx): r.component for r in got} == want
+
+
+def test_psi_report_hand_replay_and_zero_drift(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.evaluation import psi_report
+
+    def q(x):
+        return math.floor(math.log2(x) * 1_000_000 + 0.5)
+
+    def share(c, n, B):
+        return (c + 1) * 1_000_000 // (n + B)
+
+    def psi_pico(ref, cur):
+        B = len(ref)
+        n_r, n_c = sum(ref), sum(cur)
+        tot = 0
+        for cr, cc in zip(ref, cur):
+            ratio = ((cc + 1) / (cr + 1)) * ((n_r + B) / (n_c + B))
+            tot += (share(cc, n_c, B) - share(cr, n_r, B)) * q(ratio)
+        return tot
+
+    # g1: total reversal across 2 buckets; g2: identical -> psi == 0;
+    # g3: bucket 1 empty on BOTH sides but slice sizes differ -> the
+    # spine must still replay its smoothed term
+    rows = []
+    rows += [("g1", 0, 0)] * 10 + [("g1", 1, 1)] * 10
+    rows += [("g2", 0, 0)] * 5 + [("g2", 0, 1)] * 5
+    rows += [("g2", 1, 0)] * 5 + [("g2", 1, 1)] * 5
+    rows += [("g3", 0, 0)] * 9 + [("g3", 0, 1)] * 3
+    df = spark.createDataFrame(rows, "grp string, b long, cur int")
+    out = {
+        r.grp: r
+        for r in psi_report(
+            df, "grp", F.col("cur") == 1, F.col("b"), 2
+        ).collect()
+    }
+    assert out["g1"].psi_pico == psi_pico([10, 0], [0, 10])
+    assert out["g1"].psi_bits > 4  # total reversal = massive drift
+    assert out["g2"].psi_pico == psi_pico([5, 5], [5, 5]) == 0
+    assert out["g3"].psi_pico == psi_pico([9, 0], [3, 0])
+    assert (out["g3"].n_ref, out["g3"].n_cur) == (9, 3)
