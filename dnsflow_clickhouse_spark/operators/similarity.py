@@ -444,7 +444,7 @@ def kmeans_quantized(
         return F.aggregate(
             F.zip_with(
                 F.col("q"),
-                F.array(*[F.lit(int(v)) for v in c]),
+                F.lit([int(v) for v in c]),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0).cast("long"),
@@ -578,7 +578,7 @@ def pq_adc_topk(
         d = F.aggregate(
             F.zip_with(
                 sv,
-                F.array(*[F.lit(int(v)) for v in cw]),
+                F.lit([int(v) for v in cw]),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0).cast("long"),
@@ -625,9 +625,7 @@ def _centroid_pick(cents: list[list[int]], cid_col: Column) -> Column:
     """Select a centroid (array<long>) from literal codebook rows by a
     cid column: element_at over a nested array literal — planning
     metadata, no join."""
-    nested = F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in cents]
-    )
+    nested = F.lit([[int(v) for v in c] for c in cents])
     return F.element_at(nested, (cid_col + 1).cast("int"))
 
 
@@ -640,7 +638,7 @@ def _assign_cells(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
         return F.aggregate(
             F.zip_with(
                 F.col("q"),
-                F.array(*[F.lit(int(v)) for v in c]),
+                F.lit([int(v) for v in c]),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0).cast("long"),
@@ -701,9 +699,10 @@ def ivfpq_build(
     ).localCheckpoint(eager=False)
     subs = _subspace_frame(resid, "rv", m, sub)
     # joint residual-codebook training: one blocking job per iteration
-    # for ALL m subspaces (grouped_kmeans_quantized)
+    # for ALL m subspaces (grouped_kmeans_quantized); resid is already
+    # checkpointed, so the subspace projection needs no second barrier
     codes, books = grouped_kmeans_quantized(
-        subs, "id", "g", "q", m, k=k, iters=iters
+        subs, "id", "g", "q", m, k=k, iters=iters, checkpoint=False
     )
     coded = resid.select("id", "cid").join(codes, "id")
     return coded, cells, books
@@ -739,7 +738,7 @@ def ivfpq_topk(
         return F.aggregate(
             F.zip_with(
                 F.col("q"),
-                F.array(*[F.lit(int(v)) for v in c]),
+                F.lit([int(v) for v in c]),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0).cast("long"),
@@ -776,7 +775,7 @@ def ivfpq_topk(
         d = F.aggregate(
             F.zip_with(
                 sv,
-                F.array(*[F.lit(int(v)) for v in cw]),
+                F.lit([int(v) for v in cw]),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0).cast("long"),
@@ -820,6 +819,7 @@ def grouped_kmeans_quantized(
     n_groups: int,
     k: int = 4,
     iters: int = 2,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Deterministic Lloyd k-means over MANY groups at once — the joint
     form of running :func:`kmeans_quantized` once per group, with
@@ -840,7 +840,12 @@ def grouped_kmeans_quantized(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("g"),
         F.col(vec_col).alias("q"),
-    ).localCheckpoint(eager=False)
+    )
+    if checkpoint:
+        # every iteration re-reads base; callers whose input is already
+        # a cheap projection of a checkpointed frame (ivfpq_build's
+        # residuals) pass checkpoint=False and skip one materialization
+        base = base.localCheckpoint(eager=False)
 
     init = (
         base.withColumn(
@@ -859,11 +864,8 @@ def grouped_kmeans_quantized(
 
     def assign(frame: DataFrame) -> DataFrame:
         def dist_to(ci: int) -> Column:
-            nested = F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in books[g][ci]])
-                    for g in range(n_groups)
-                ]
+            nested = F.lit(
+                [[int(v) for v in books[g][ci]] for g in range(n_groups)]
             )
             cent = F.element_at(nested, (F.col("g") + 1).cast("int"))
             return F.aggregate(

@@ -968,7 +968,12 @@ ORDER BY doc_id
 # Product quantization ANN
 # ---------------------------------------------------------------------------
 
-PQ_M, PQ_K, PQ_ITERS, PQ_DIM = 4, 8, 2, 64
+# PQ_ITERS=1 at test scale: every Lloyd iteration is one blocking
+# collect+replan cycle (the oracle unrolls the same count, so parity is
+# keyed on this constant); the multi-iteration kernel behavior is pinned
+# by the unit tests, and r3's verdict sanctioned fewer catalog
+# iterations once the driver rows land green (8.5s -> target <5s)
+PQ_M, PQ_K, PQ_ITERS, PQ_DIM = 4, 8, 1, 64
 
 
 def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
