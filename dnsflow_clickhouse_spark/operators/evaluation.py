@@ -272,7 +272,6 @@ def psi_report(
     the whole fact table is touched once, shuffled only as (group,
     bucket) cells.
     """
-    B = n_buckets
     cells = (
         df.select(
             F.col(group_col).alias("grp"),
@@ -285,6 +284,19 @@ def psi_report(
             F.sum("cur").alias("c_cur"),
         )
     )
+    return psi_from_cells(cells, group_col, n_buckets)
+
+
+def psi_from_cells(
+    cells: DataFrame, group_col: str, n_buckets: int
+) -> DataFrame:
+    """PSI from pre-aggregated histogram cells ``(grp, b, c_ref,
+    c_cur)`` — the math half of :func:`psi_report`, public so streaming
+    folds can reuse it: a micro-batch pipeline keeps additive (grp, b,
+    cnt) histogram state (streaming/pipeline.py: merge_hist_state) and
+    joins it against a fixed reference histogram each batch; drift is
+    then one call on bucket-count-sized frames, no history rescans."""
+    B = n_buckets
     totals = cells.groupBy("grp").agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
     )

@@ -385,3 +385,60 @@ def merge_kmv_state(
     if state is None:
         return batch_state
     return kmv_merge(state, batch_state, key_cols, k)
+
+
+def merge_hist_state(
+    state: DataFrame | None, batch_cells: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Cross-batch histogram state for streaming drift monitoring:
+    additive (``*key_cols``, ``b``, ``cnt``) bucket counts, folded with
+    union + sum. State stays (keys x buckets) rows forever. Like the
+    CMS/QH folds this is NOT replay-idempotent (counts re-add) — pair
+    with the idempotent batch-id sink when retries are possible.
+
+    The consumer is ``streaming_psi``: join the folded CURRENT histogram
+    against a fixed REFERENCE histogram (training-time distribution) and
+    score drift per batch on bucket-count-sized frames — the streaming
+    face of operators/evaluation.psi_report."""
+    from pyspark.sql import functions as F
+
+    if state is None:
+        return batch_cells
+    return (
+        state.unionByName(batch_cells)
+        .groupBy(*key_cols, "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def streaming_psi(
+    cur_cells: DataFrame,
+    ref_cells: DataFrame,
+    group_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """PSI of the folded current histogram against a fixed reference
+    histogram, per group. Inputs are (group, b, cnt) frames (the
+    merge_hist_state shape); both are bucket-count-sized, so the full
+    outer join and the PSI math are planning-cost only — no history
+    rescans, no fact-table pass."""
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.evaluation import psi_from_cells
+
+    r = ref_cells.select(
+        F.col(group_col).alias("grp"), "b", F.col("cnt").alias("c_ref")
+    )
+    c = cur_cells.select(
+        F.col(group_col).alias("grp"), "b", F.col("cnt").alias("c_cur")
+    )
+    cells = (
+        r.join(c, ["grp", "b"], "full_outer")
+        .select(
+            "grp",
+            "b",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    return psi_from_cells(cells, group_col, n_buckets)

@@ -485,3 +485,48 @@ def test_stream_folds_quantile_sketch_state_across_microbatches(spark, tmp_path)
         map(tuple, qh_quantiles(qh_sketch(whole_df, ["grp"], "v"), ["grp"], qs).collect())
     )
     assert folded == whole
+
+
+def test_streaming_psi_fold_matches_batch(spark):
+    """Fold two micro-batches of histogram cells, score against a fixed
+    reference: the result must equal psi_report over the equivalent
+    one-shot frame (batch ≡ streaming parity, the repo's §2.10 rule)."""
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.evaluation import psi_report
+    from dnsflow_clickhouse_spark.streaming.pipeline import (
+        merge_hist_state,
+        streaming_psi,
+    )
+
+    def cells(rows):
+        return spark.createDataFrame(rows, "g string, b long, cnt long")
+
+    ref = cells([("x", 0, 8), ("x", 1, 2), ("y", 0, 5)])
+    b1 = cells([("x", 0, 1), ("x", 1, 3)])
+    b2 = cells([("x", 1, 4), ("y", 1, 6)])
+    state = merge_hist_state(None, b1, ["g"])
+    state = merge_hist_state(state, b2, ["g"])
+    got = {
+        r.g: r for r in streaming_psi(state, ref, "g", 2).collect()
+    }
+
+    # equivalent one-shot frame: ref rows flagged cur=0, stream rows cur=1
+    rows = []
+    for g, b, c in [("x", 0, 8), ("x", 1, 2), ("y", 0, 5)]:
+        rows += [(g, b, 0)] * c
+    for g, b, c in [("x", 0, 1), ("x", 1, 7), ("y", 1, 6)]:
+        rows += [(g, b, 1)] * c
+    df = spark.createDataFrame(rows, "g string, b long, cur int")
+    want = {
+        r.g: r
+        for r in psi_report(
+            df, "g", F.col("cur") == 1, F.col("b"), 2
+        ).collect()
+    }
+    assert set(got) == set(want) == {"x", "y"}
+    for g in ("x", "y"):
+        assert got[g].psi_pico == want[g].psi_pico
+        assert (got[g].n_ref, got[g].n_cur) == (want[g].n_ref, want[g].n_cur)
+    # y's current slice abandoned bucket 0 entirely -> strong drift
+    assert got["y"].psi_bits > 1
