@@ -101,6 +101,7 @@ _PRIORITY = [
     "user_report_pipeline",
     "es_weighted_source_sample",
     "value_drift_psi",
+    "component_aware_shards",
     # --- stalest greens (round-1 rows, never re-attested) ---
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -117,8 +118,6 @@ _PRIORITY = [
     "set_ops_users",
     "cube_day_type",
     "multiset_ops_events",
-    # --- round-2 dedup green over the most-churned text path ---
-    "simhash_near_docs",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

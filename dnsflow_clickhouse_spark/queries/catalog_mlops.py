@@ -1383,3 +1383,85 @@ MLOPS_REGISTRY = {
     "embedding_neardup_exact": (embedding_neardup_exact, _NEARDUP_EXACT_SQL),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# near-dup-family-aware sharding
+# ---------------------------------------------------------------------------
+
+_FAM_SEED, _FAM_SHARDS = 2, 8
+
+
+def component_aware_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment that keeps every near-duplicate FAMILY in one
+    shard: exact trigram-Jaccard pairs -> connected components ->
+    family key (component label; singletons are their own family) ->
+    shard = portable hash of the family key. Round-robin/random
+    sharding scatters duplicate families across shards, making any
+    later in-shard dedup pass silently incomplete — co-locating by
+    family restores per-shard completeness (the map-side analogue of
+    clustering a dedup key before a merge).
+
+    Plan: the CC loop runs over the near-dup PAIR graph (≪ corpus);
+    the corpus itself takes one left join against the (id, comp) labels
+    (AQE broadcasts — components ≪ corpus) and one window count over
+    family for the size column. Shard choice is a pure expression of
+    the family key, so reruns are byte-identical."""
+    from dnsflow_clickhouse_spark.operators.graph import connected_components
+    from dnsflow_clickhouse_spark.operators.sampling import sample_key
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b", num_partitions=8)
+    fam = (
+        d.select("doc_id")
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("family")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("family")
+    return (
+        fam.withColumn(
+            "shard",
+            (sample_key("family", seed=_FAM_SEED) % _FAM_SHARDS).cast("int"),
+        )
+        .withColumn("family_size", F.count(F.lit(1)).over(w).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+_FAM_KEY_SQL = (
+    f"(({_sql_poly('CAST(family AS VARCHAR)', seed=_FAM_SEED)})"
+    f" * 2654435761) % {POLY_MOD} % 1000000 % {_FAM_SHARDS}"
+)
+
+_FAM_SHARDS_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a, id_b FROM p
+  WHERE round(inter / (na + nb - inter), 6) >= 0.5
+),
+nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+),
+cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+fam AS (
+  SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS family
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+SELECT doc_id, family, CAST({_FAM_KEY_SQL} AS INT) AS shard,
+       CAST(count(*) OVER (PARTITION BY family) AS BIGINT) AS family_size
+FROM fam ORDER BY doc_id
+"""
+
+MLOPS_REGISTRY["component_aware_shards"] = (
+    component_aware_shards,
+    _FAM_SHARDS_SQL,
+)

@@ -751,3 +751,23 @@ def test_ivfpq_same_blob_ranking_and_probe_pruning(spark):
         for r in rows:
             assert r.neighbor_id != qid
             assert (r.neighbor_id >= 100) == (qid >= 100)  # same blob
+
+
+def test_component_aware_shards_colocate_families(spark):
+    """Every member of a near-dup family must land in the SAME shard
+    (the whole point of family-aware sharding), singletons get their own
+    family key, and the assignment is a pure function of the data."""
+    from dnsflow_clickhouse_spark.queries.catalog_mlops import (
+        component_aware_shards,
+    )
+
+    rows = component_aware_shards(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len({r.doc_id for r in rows})  # one row per doc
+    by_family: dict = {}
+    for r in rows:
+        by_family.setdefault(r.family, set()).add(r.shard)
+        assert 0 <= r.shard < 8
+    assert all(len(s) == 1 for s in by_family.values())  # co-located
+    multi = [f for f, _ in by_family.items()
+             if next(r.family_size for r in rows if r.family == f) > 1]
+    assert multi, "fixture corpus should contain at least one dup family"
