@@ -67,6 +67,50 @@ def int_dot_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(out)
 
 
+def _argmin_assign_arrow(books: list[list[list[int]]]):
+    """Arrow-vectorized nearest-centroid assignment against literal
+    codebooks: ``(g, q) -> struct<cid:int, dist:long>`` where ``q`` is
+    an array<long> row vector and ``books[g][cid]`` the group's
+    codewords. Exact int64 squared-L2 (quantized values are ~1e5, so
+    the per-dim square is ~1e10 and a 64-dim sum ~1e12 — four orders
+    under int64); ties resolve to the LOWEST cid (``np.argmin`` keeps
+    the first minimum), matching the expression form's struct-ordering
+    tie-break, so results are bit-identical to the interpreted
+    ``F.least``-of-``F.aggregate`` tree this replaces. That tree cost
+    ~1.8s of interpreted lambda evaluation per blocking job at sf0.1
+    (k*dim lambda steps per row); the numpy kernel is one broadcasted
+    subtract-square-sum per Arrow batch. Same in-row/no-shuffle shape:
+    the codebooks ride the UDF closure exactly like broadcast planning
+    metadata."""
+    mats = [np.asarray(b, dtype=np.int64) for b in books]
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_t = StructType(
+        [StructField("cid", IntegerType()), StructField("dist", LongType())]
+    )
+
+    @pandas_udf(out_t)
+    def assign_udf(g: pd.Series, q: pd.Series) -> pd.DataFrame:
+        n = len(g)
+        cid = np.zeros(n, dtype=np.int32)
+        dist = np.zeros(n, dtype=np.int64)
+        if n:
+            gv = g.to_numpy(dtype=np.int64)
+            for grp in np.unique(gv):
+                m = gv == grp
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in q[m]]
+                )
+                cents = mats[int(grp)]
+                d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                best = d.argmin(axis=1)
+                cid[m] = best.astype(np.int32)
+                dist[m] = d[np.arange(d.shape[0]), best]
+        return pd.DataFrame({"cid": cid, "dist": dist})
+
+    return assign_udf
+
+
 def int_dot(a: Column, b: Column) -> Column:
     """Pure-expression integer dot product (interpreted; for tests and
     tiny inputs — bulk paths use :func:`int_dot_pandas`)."""
@@ -440,28 +484,15 @@ def kmeans_quantized(
     cents: list[list[int]] = [list(r.q) for r in sorted(first, key=lambda r: r.id)]
     dim = len(cents[0])
 
-    def dist_to(c: list[int]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.lit([int(v) for v in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     def assign(frame: DataFrame) -> DataFrame:
-        # in-row argmin over the k centroid literals: min of (dist, cid)
-        # structs — ties resolve to the lowest cid by struct ordering
-        best = F.least(
-            *[
-                F.struct(dist_to(c).alias("dist"), F.lit(ci).alias("cid"))
-                for ci, c in enumerate(cents)
-            ]
-        )
-        return frame.select(
-            "id", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
+        # in-row argmin against the current centroid snapshot — Arrow
+        # kernel, ties to the lowest cid (see _argmin_assign_arrow)
+        udf = _argmin_assign_arrow([cents])
+        return frame.withColumn(
+            "__a", udf(F.lit(0), F.col("q"))
+        ).select(
+            "id", "q",
+            F.col("__a.cid").alias("cid"), F.col("__a.dist").alias("dist"),
         )
 
     for _ in range(iters):
@@ -632,26 +663,9 @@ def _centroid_pick(cents: list[list[int]], cid_col: Column) -> Column:
 def _assign_cells(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
     """In-row nearest-centroid assignment against literal centroids
     (kmeans_quantized's argmin shape, re-applied to any quantized
-    frame): adds ``cid``."""
-
-    def dist_to(c: list[int]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.lit([int(v) for v in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    best = F.least(
-        *[
-            F.struct(dist_to(c).alias("dist"), F.lit(ci).alias("cid"))
-            for ci, c in enumerate(cents)
-        ]
-    )
-    return qdf.withColumn("cid", best["cid"])
+    frame): adds ``cid``. Arrow kernel, ties to the lowest cid."""
+    udf = _argmin_assign_arrow([cents])
+    return qdf.withColumn("cid", udf(F.lit(0), F.col("q"))["cid"])
 
 
 def ivfpq_build(
@@ -863,25 +877,14 @@ def grouped_kmeans_quantized(
         dims[r.g] = len(r.q)
 
     def assign(frame: DataFrame) -> DataFrame:
-        def dist_to(ci: int) -> Column:
-            nested = F.lit(
-                [[int(v) for v in books[g][ci]] for g in range(n_groups)]
-            )
-            cent = F.element_at(nested, (F.col("g") + 1).cast("int"))
-            return F.aggregate(
-                F.zip_with(F.col("q"), cent, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-
-        best = F.least(
-            *[
-                F.struct(dist_to(ci).alias("dist"), F.lit(ci).alias("cid"))
-                for ci in range(k)
-            ]
-        )
-        return frame.select(
-            "id", "g", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
+        # in-row argmin against the current per-group codebook snapshot
+        # — Arrow kernel, ties to the lowest cid (_argmin_assign_arrow)
+        udf = _argmin_assign_arrow(books)
+        return frame.withColumn(
+            "__a", udf(F.col("g"), F.col("q"))
+        ).select(
+            "id", "g", "q",
+            F.col("__a.cid").alias("cid"), F.col("__a.dist").alias("dist"),
         )
 
     for _ in range(iters):
