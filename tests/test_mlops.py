@@ -771,3 +771,31 @@ def test_component_aware_shards_colocate_families(spark):
     multi = [f for f, _ in by_family.items()
              if next(r.family_size for r in rows if r.family == f) > 1]
     assert multi, "fixture corpus should contain at least one dup family"
+
+
+def test_argmin_assign_arrow_ties_go_to_lowest_cid(spark):
+    """The Arrow assignment kernel's tie-break is load-bearing: the
+    DuckDB oracles replay assignment as row_number() ORDER BY (dist,
+    cid), so equal distances MUST resolve to the lowest cid — np.argmin
+    keeps the first minimum, pinned here with a point equidistant from
+    two centroids (and a second group to exercise per-group routing)."""
+    import pyspark.sql.functions as F
+
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        _argmin_assign_arrow,
+    )
+
+    # group 0: centroids at 0 and 2 -> q=[1] is equidistant (dist 1)
+    # group 1: centroids at 10 and 2 -> q=[6] is equidistant (dist 16)
+    books = [[[0], [2]], [[10], [2]]]
+    df = spark.createDataFrame(
+        [(0, 0, [1]), (1, 1, [6]), (2, 0, [2])], ["id", "g", "q"]
+    ).select("id", "g", F.col("q").cast("array<long>").alias("q"))
+    udf = _argmin_assign_arrow(books)
+    got = {
+        r.id: (r.a.cid, r.a.dist)
+        for r in df.withColumn("a", udf("g", "q")).collect()
+    }
+    assert got[0] == (0, 1)  # tie -> lowest cid
+    assert got[1] == (0, 16)  # tie -> lowest cid, group 1's books
+    assert got[2] == (1, 0)  # exact member of centroid 1
