@@ -45,3 +45,14 @@ def test_plans_md_rows_match_registry():
 def test_every_query_has_an_oracle():
     missing = [n for n, (_, sql) in QUERY_REGISTRY.items() if sql is None]
     assert not missing, f"registry entries without a DuckDB oracle: {missing}"
+
+
+def test_readme_count_matches_registry():
+    text = (ROOT / "README.md").read_text()
+    m = re.search(r"# (\d+) catalog queries", text)
+    assert m, "README.md lost its catalog-count line"
+    n = len(QUERY_REGISTRY)
+    assert int(m.group(1)) == n, (
+        f"README.md claims {m.group(1)} catalog queries but the registry "
+        f"has {n}"
+    )
