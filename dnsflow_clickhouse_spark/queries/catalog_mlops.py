@@ -19,6 +19,7 @@ from dnsflow_clickhouse_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_bands_df,
     ngram_jaccard_pairs,
+    prefix_filtered_jaccard_pairs,
     simhash_df,
     simhash_near_pairs,
     embedding_near_dups,
@@ -181,7 +182,9 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dnsflow_clickhouse_spark.operators.graph import dedup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    pairs = prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.5
+    )
     # near-dup members ≪ corpus: size the loop's shuffles accordingly
     return dedup_clusters(pairs, num_partitions=8).orderBy("comp")
 
@@ -214,7 +217,9 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dnsflow_clickhouse_spark.operators.graph import canonical_representatives
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    pairs = prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.5
+    )
     reps = canonical_representatives(
         pairs,
         d,
@@ -656,7 +661,9 @@ def neardup_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dnsflow_clickhouse_spark.operators.graph import component_census
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    pairs = prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.5
+    )
     return component_census(pairs, num_partitions=8).orderBy("comp")
 
 
@@ -1411,7 +1418,9 @@ def component_aware_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dnsflow_clickhouse_spark.operators.sampling import sample_key
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    pairs = prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.5
+    )
     cc = connected_components(pairs, "id_a", "id_b", num_partitions=8)
     fam = (
         d.select("doc_id")
