@@ -102,7 +102,13 @@ def auc_by_group(
             # group holds ~4.3M balanced rows; widen to decimal(38,0)
             # before the multiply (the same escape hatch the module
             # docstring prescribes for the feature sums)
-            F.expr(f"CAST(num2 AS DECIMAL(38,0)) * {PPM} div (2 * n_pos * n_neg)"),
+            # the denominator must widen too: 2 * n_pos * n_neg wraps
+            # int64 once each class exceeds ~2.1e9 rows in a group,
+            # which the 100 TB design point allows
+            F.expr(
+                f"CAST(num2 AS DECIMAL(38,0)) * {PPM}"
+                " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+            ),
         )
         .cast("long")
         .alias("auc_ppm"),
@@ -325,8 +331,15 @@ def psi_from_cells(
         (F.col("n_ref") + B).cast("double") / (F.col("n_cur") + B).cast("double")
     )
     lterm_micro = F.floor(F.log2(ratio) * PPM + F.lit(0.5)).cast("long")
-    share_cur = F.expr(f"(c_cur + 1) * {PPM} div (n_cur + {B})")
-    share_ref = F.expr(f"(c_ref + 1) * {PPM} div (n_ref + {B})")
+    # (c + 1) * PPM wraps int64 at ~2^43 rows in one bucket — widen the
+    # numerator to decimal(38,0) (IntegralDivide still returns long), so
+    # the 2^62-rows-per-slice headroom claimed above genuinely holds
+    share_cur = F.expr(
+        f"CAST(c_cur + 1 AS DECIMAL(38,0)) * {PPM} div (n_cur + {B})"
+    )
+    share_ref = F.expr(
+        f"CAST(c_ref + 1 AS DECIMAL(38,0)) * {PPM} div (n_ref + {B})"
+    )
     terms = full.select(
         "grp",
         "n_ref",

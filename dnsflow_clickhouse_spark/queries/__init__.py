@@ -2,19 +2,15 @@
 
 The registry is an ordered dict and the order is load-bearing: the
 correctness driver verifies the first 50 entries per round.
-``_PRIORITY`` pins the round-4 window — the smoke query first, then the
-28 catalog queries that have NEVER had a driver row (every round-3
-addition past last round's window: the PQ/IVFPQ/L2/RRF/RP ANN block,
-kmeans, KMV/Bloom/quantile sketches, BPE training, spans, census,
-SemDeDup, SCD2 history, expectations, per-source caps, image dHash, and
-the four model-evaluation ops), then the three queries NEW this round
-(the wired LM scoring pair and the A14 user_report analogue — the last
-§2 report family without a driver row), then the 15 stalest entries
-(round-1 greens never re-attested: the TPC-H q2-q8/q10/q13/q17/q22
-block and the set-ops/pivot/cube batch), then three round-2 dedup
-greens whose shared text-path code has churned since. After this round
-every one of the 140 registry entries has at least one driver-attested
-green row, and nothing in the window is older than round 2.
+``_PRIORITY`` pins the round-5 window — the smoke query first, then the
+six queries whose pair-kernel / GEMM code changed after (or since) the
+r4 window ran (the prefix-filtered Jaccard swap and this round's
+kernel-stage fusion: neardup_components, dedup_canonical_keep,
+prefix_jaccard_pairs, census, shards, semdedup), then the 43 remaining
+queries whose latest driver green is round 2 — the stalest-first
+rotation the round-4 verdict asked for. After this round every catalog
+entry's latest green attestation is at most two rounds old and all
+changed kernels are driver-re-attested on their current code.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -51,78 +47,81 @@ for _part in _PARTS:
     # a duplicate name would silently SHADOW the earlier query (caught
     # live in round 4: a new corpus entry vanished under a curation
     # entry of the same name and the oracle gate verified the wrong
-    # query) — fail the import instead
-    assert not _dups, f"duplicate query names across catalogs: {sorted(_dups)}"
+    # query) — fail the import instead; a real raise (not assert) so the
+    # guard survives `python -O`
+    if _dups:
+        raise ValueError(
+            f"duplicate query names across catalogs: {sorted(_dups)}"
+        )
     _MERGED.update(_part)
 
-# First 50 = driver correctness window for this round (round 4).
+# First 50 = driver correctness window for this round (round 5).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- 28 never-driver-checked queries (highest verification value) ---
-    # ANN / clustering block
-    "embedding_pq_ann",
-    "embedding_ivfpq_ann",
-    "embedding_l2_knn",
-    "ann_rrf_fusion",
-    "embedding_rp_components",
-    "embedding_dim_stats",
-    "kmeans_cluster_report",
-    "ann_recall_report",
-    # sketches
-    "kmv_corpus_overlap",
-    "bloom_membership_flags",
-    "quantile_sketch_values",
-    # tokenizer
-    "bpe_merge_training",
-    "bpe_vocab_report",
-    # text / dedup tails
-    "duplicate_span_report",
-    "boilerplate_grams",
-    "rare_token_report",
+    # --- queries whose kernel code changed after the r4 window ran
+    # (the prefix-filtered Jaccard kernel swap, commits 0144507/422b57f)
+    # or changes THIS round (kernel-stage fusion, GEMM sizing) — the
+    # repo's discipline: changed code gets a same-round driver row ---
+    "neardup_components",
+    "dedup_canonical_keep",
+    "prefix_jaccard_pairs",
     "neardup_component_census",
-    "semdedup_keep",
-    "image_dhash_neardups",
-    # curation tails
-    "mixture_budget_report",
-    "per_source_caps",
-    "snapshot_diff_report",
-    "user_state_history",
-    "data_quality_expectations",
-    # model evaluation
-    "score_auc_by_source",
-    "score_calibration_bins",
-    "feature_correlation_report",
-    "ols_tokens_per_char",
-    # --- NEW this round: wired LM scoring, the A14 analogue, A-ES
-    # weighted sampling, PSI drift ---
-    "doc_lm_score",
-    "source_token_entropy",
-    "user_report_pipeline",
-    "es_weighted_source_sample",
-    "value_drift_psi",
     "component_aware_shards",
-    # --- stalest greens (round-1 rows, never re-attested) ---
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_semi",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q17_small_quantity",
-    "q22_idle_customers",
-    "day_pivot_counts",
-    "set_ops_users",
-    "cube_day_type",
-    "multiset_ops_events",
+    "semdedup_keep",
+    # --- the 43 remaining queries whose latest green is round 2
+    # (stalest-first rotation; after this round no attestation is older
+    # than two rounds) ---
+    "doc_token_stats",
+    "topk_rollup_chain",
+    "ip_function_rollup",
+    "cidr_membership_rollup",
+    "range_frame_rolling",
+    "null_semantics_report",
+    "geo_region_rollup",
+    "authority_slice_docs",
+    "unpivot_daily_metrics",
+    "session_stats",
+    "doc_bpe_tokens",
+    "q11_value_concentration",
+    "q12_priority_class_counts",
+    "minhash_band_buckets",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "simhash_near_docs",
+    "embedding_ivf_ann",
+    "lang_id_confusion",
+    "doc_fingerprints",
+    "multimodal_features",
+    "chunk_documents",
+    "repetition_report",
+    "temperature_lang_resample",
+    "doc_length_histogram",
+    "stratified_doc_sample",
+    "tfidf_top_terms",
+    "quality_quantile_gate",
+    "decontamination_report",
+    "props_json_rollup",
+    "event_value_percentiles",
+    "pack_sequences",
+    "group_split_leakproof",
+    "pii_redaction_report",
+    "column_profile_events",
+    "event_gini_concentration",
+    "inverted_index_terms",
+    "grouping_sets_events",
+    "weighted_doc_sample",
+    "fuzzy_near_titles",
+    "hll_distinct_users",
+    "cms_heavy_hitters",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]
-assert not _missing, f"_PRIORITY names not in registry: {_missing}"
-assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate names in _PRIORITY"
+if _missing:
+    raise ValueError(f"_PRIORITY names not in registry: {_missing}")
+if len(_PRIORITY) != len(set(_PRIORITY)):
+    raise ValueError("duplicate names in _PRIORITY")
 
 QUERY_REGISTRY = {n: _MERGED[n] for n in _PRIORITY}
 QUERY_REGISTRY.update((n, q) for n, q in _MERGED.items() if n not in QUERY_REGISTRY)
