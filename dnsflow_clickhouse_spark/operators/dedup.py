@@ -766,34 +766,65 @@ def prefix_filtered_jaccard_pairs(
     More stages than the naive join but each is bounded; the naive
     join's cost — candidate rows proportional to the square of every
     hot gram's postings list — is the term that kills at 100 TB.
+
+    Round-5 stage fusion: the old kernel kept TWO derived frames — the
+    raw gram arrays (for verification) and the exploded prefix rows
+    (window row_number over the freq join) — each behind its own
+    checkpoint. Now ONE per-doc frame carries the grams as a plain
+    string array already in the global (df asc, gram asc) order plus
+    the prefix length; the candidate join posexplodes its slice and
+    the verify joins array_intersect the same arrays (intersection is
+    order-independent). The first (cheap) barrier on the raw gram
+    arrays REMAINS, deliberately: Generate re-inlines a live
+    higher-order gram expression per emitted row (measured 0.28s from
+    a checkpoint vs ~8s live at sf0.1 — the known token_ngrams 6x
+    trap), so the explode must read materialized arrays. Net: the
+    expensive windowed-prefix barrier is gone and the verify side
+    rides the ordered frame.
+
+    The ordered array is built as sort_array(collect_list(struct(df,
+    gram))) with GetArrayStructFields pulling the gram field back out
+    NATIVELY (no lambda). Strings, not structs, survive into the
+    frame — array_intersect and the candidate equi-join stay on their
+    hash-based fast paths (struct arrays demote both to interpreted
+    pairwise comparison: measured 2.7s -> 18s at sf0.1).
     """
-    grams = staged_grams(df, id_col, text_col, ngram).localCheckpoint(
+    grams0 = staged_grams(df, id_col, text_col, ngram).localCheckpoint(
         eager=True
     )
-    exploded = grams.select(
-        "id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
-    )
+    exploded = grams0.select("id", F.explode("grams").alias("g"))
     freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-    prefix_len = (
-        F.col("n_grams")
-        - F.ceil(F.lit(threshold) * F.col("n_grams"))
-        + F.lit(1)
-    ).cast("int")
-    # global canonical order (document frequency asc, gram asc) via a
-    # per-doc window rank — stays in whole-stage codegen and shuffles
-    # once on the id, vs the collect_list + interpreted sort_array +
-    # slice/explode formulation which built every doc's full ordered
-    # gram array in memory just to keep its first prefix_len entries
-    ord_w = Window.partitionBy("id").orderBy("__df", "g")
-    prefix = (
+    docs = (
         exploded.join(freq, "g")
-        .withColumn("__rn", F.row_number().over(ord_w))
-        .filter(F.col("__rn") <= prefix_len)
-        .select("id", "n_grams", "g", "__rn")
-        # barrier: the candidate join reads this frame on BOTH sides; a
-        # live plan would recompute the whole freq+order pipeline per
-        # side (and broadcast a re-exploded gram set with it)
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("g")))
+            ).alias("__ord")
+        )
+        .select("id", F.col("__ord").getField("g").alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+        .withColumn(
+            "prefix_len",
+            (
+                F.col("n_grams")
+                - F.ceil(F.lit(threshold) * F.col("n_grams"))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        # the main barrier: read twice by the candidate self-join and
+        # twice by the verify joins; a live plan would recompute
+        # freq+join+sort per consumer
         .localCheckpoint(eager=True)
+    )
+    prefix = docs.select(
+        "id",
+        "n_grams",
+        F.posexplode(F.expr("slice(grams, 1, prefix_len)")).alias(
+            "__pos", "g"
+        ),
+    ).select(
+        "id", "n_grams", "g", (F.col("__pos") + 1).alias("__rn")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # explicit partition count: the candidate rows are tiny in BYTES, so
@@ -855,8 +886,8 @@ def prefix_filtered_jaccard_pairs(
         .localCheckpoint(eager=False)
         .repartition(n_parts, "id_a", "id_b")
     )
-    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
-    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
+    ga = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+    gb = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
     verified = (
         cands.join(ga, "id_a")
         .join(gb, "id_b")

@@ -111,6 +111,59 @@ def _argmin_assign_arrow(books: list[list[list[int]]]):
     return assign_udf
 
 
+TRAIN_CAP = 8192
+_PRI_MOD = 2**31 - 1
+
+
+def _train_priority(id_col: Column) -> Column:
+    """Deterministic pseudo-random training-sample priority for an id:
+    pmod(xxhash64(id), 2^31-1). Pure integer arithmetic, no state; ties
+    broken by the id itself wherever it is used. Only consulted when a
+    training cap BINDS (corpus larger than the cap) — below the cap the
+    sample is the whole corpus and the ordering is irrelevant, which is
+    why the DuckDB oracles (that replay training as unrolled CTEs on
+    the full data) stay bit-identical at test scales."""
+    return F.pmod(F.xxhash64(id_col), F.lit(_PRI_MOD))
+
+
+def _lloyd_numpy(
+    sample_rows, n_groups: int, k: int, iters: int
+) -> list[list[list[int]]]:
+    """Driver-side replay of the distributed Lloyd semantics over a
+    collected training sample — bit-identical math to the old
+    per-iteration distributed jobs (init from the k smallest ids' INT
+    vectors, int64 squared-L2 argmin with ties to the lowest cid,
+    floor(sum/count) means, empty clusters keep their centroid), but
+    zero cluster barriers per iteration: ONE collect replaces
+    ``1 + iters`` blocking jobs that each re-scanned the corpus.
+
+    Exactness notes: quantized values are ~1e5-1e6 micro-units, so all
+    sums sit far below 2^53 and ``np.floor_divide`` equals the
+    engine-side floor(double-division); ``np.argmin`` keeps the first
+    minimum = lowest cid. ``sample_rows``: Rows with (g, id, q).
+    """
+    by_g: dict[int, list] = {}
+    for r in sample_rows:
+        by_g.setdefault(int(r.g), []).append((r.id, r.q))
+    books: list[list[list[int]]] = []
+    for g in range(n_groups):
+        rows = sorted(by_g.get(g, []), key=lambda t: t[0])
+        X = np.asarray([q for _, q in rows], dtype=np.int64)
+        cents = X[:k].copy()
+        for _ in range(iters):
+            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(
+                axis=2, dtype=np.int64
+            )
+            a = d.argmin(axis=1)
+            for ci in range(k):
+                m = a == ci
+                if m.any():
+                    s = X[m].sum(axis=0, dtype=np.int64)
+                    cents[ci] = np.floor_divide(s, int(m.sum()))
+        books.append([[int(v) for v in c] for c in cents])
+    return books
+
+
 def int_dot(a: Column, b: Column) -> Column:
     """Pure-expression integer dot product (interpreted; for tests and
     tiny inputs — bulk paths use :func:`int_dot_pandas`)."""
@@ -453,6 +506,7 @@ def kmeans_quantized(
     k: int = 4,
     iters: int = 2,
     scale: int = QUANT_SCALE,
+    train_cap: int = TRAIN_CAP,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Deterministic Lloyd k-means over integer-quantized vectors — the
     offline centroid-training step :func:`ivf_topk`'s docstring defers
@@ -460,33 +514,44 @@ def kmeans_quantized(
 
     - vectors quantize to int64 micro-units (``quantize``), so every
       distance is an exact integer sum of squares;
-    - init: the quantized vectors of the ``k`` smallest ids;
-    - assignment: nearest centroid by squared L2, ties -> lowest cid,
-      computed IN-ROW against centroid literals (no join, no shuffle —
-      centroids are planning metadata, exactly like a broadcast dim);
-    - update: per-dimension ``floor(sum/count)`` (exact: the double
-      division sees integers < 2^53), empty clusters keep their
-      previous centroid;
+    - init: the quantized vectors of the ``k`` smallest ids in the
+      training sample;
+    - assignment: nearest centroid by squared L2, ties -> lowest cid;
+    - update: per-dimension ``floor(sum/count)``, empty clusters keep
+      their previous centroid;
     - fixed ``iters`` rounds — convergence-free so the oracle can
       unroll the loop as CTEs.
 
-    Per iteration the ONLY shuffle is the (cid, dim) mean aggregate
-    (map-side combinable, k*dim rows out); the k*dim centroid ints
-    collected per round are scalar planning state, the engine's
-    documented driver-data carve-out. Returns (assignments frame
-    ``(id, cid, dist)``, final centroids as ints).
+    Training runs DRIVER-SIDE over a capped deterministic sample
+    (standard FAISS practice — codebooks from a few thousand vectors
+    are statistically as good as full-corpus ones): the ``train_cap``
+    rows with the smallest :func:`_train_priority` collect via ONE
+    TakeOrderedAndProject job (per-partition top-cap, no shuffle) and
+    :func:`_lloyd_numpy` replays the exact integer Lloyd semantics.
+    Below the cap the sample IS the corpus, so results — and the
+    unrolled-CTE oracles — are bit-identical to the old distributed
+    loop, which paid ``1 + iters`` blocking corpus scans. Only the
+    final corpus-wide assignment stays distributed (in-row Arrow
+    argmin, no shuffle — centroids ride the closure like a broadcast
+    dim). The collected sample (<= cap * dim ints) is scalar planning
+    state, the engine's documented driver-data carve-out. Returns
+    (assignments frame ``(id, cid, dist)``, final centroids as ints).
     """
     base = df.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q")
     ).localCheckpoint(eager=False)
 
-    first = base.orderBy("id").limit(k).collect()
-    cents: list[list[int]] = [list(r.q) for r in sorted(first, key=lambda r: r.id)]
-    dim = len(cents[0])
+    sample = (
+        base.select(F.lit(0).alias("g"), "id", "q")
+        .orderBy(_train_priority(F.col("id")), "id")
+        .limit(train_cap)
+        .collect()
+    )
+    cents = _lloyd_numpy(sample, 1, k, iters)[0]
 
     def assign(frame: DataFrame) -> DataFrame:
-        # in-row argmin against the current centroid snapshot — Arrow
-        # kernel, ties to the lowest cid (see _argmin_assign_arrow)
+        # in-row argmin against the trained centroids — Arrow kernel,
+        # ties to the lowest cid (see _argmin_assign_arrow)
         udf = _argmin_assign_arrow([cents])
         return frame.withColumn(
             "__a", udf(F.lit(0), F.col("q"))
@@ -494,22 +559,6 @@ def kmeans_quantized(
             "id", "q",
             F.col("__a.cid").alias("cid"), F.col("__a.dist").alias("dist"),
         )
-
-    for _ in range(iters):
-        assigned = assign(base)
-        means = (
-            assigned.select(
-                "cid", F.posexplode("q").alias("pos", "val")
-            )
-            .groupBy("cid", "pos")
-            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).alias("m"))
-            .collect()
-        )
-        new: dict[int, list[int]] = {}
-        for r in means:
-            new.setdefault(r.cid, [0] * dim)[r.pos] = int(r.m)
-        # empty cluster -> previous centroid survives
-        cents = [new.get(ci, cents[ci]) for ci in range(k)]
 
     return assign(base).select("id", "cid", "dist"), cents
 
@@ -834,17 +883,27 @@ def grouped_kmeans_quantized(
     k: int = 4,
     iters: int = 2,
     checkpoint: bool = True,
+    train_cap: int = TRAIN_CAP,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Deterministic Lloyd k-means over MANY groups at once — the joint
     form of running :func:`kmeans_quantized` once per group, with
     identical per-group semantics (init from the k smallest ids' INT
     vectors, squared-L2 argmin with ties to the lowest cid, floor
-    means, empty clusters keep their centroid) but ONE blocking job per
-    iteration regardless of group count: assignment stays in-row (the
-    group id selects its centroid set from a nested literal), and the
-    update is a single (group, cid, dim) mean aggregate. This is what
-    PQ training wants — m subspaces = m groups, and at cluster scale
-    the barrier count stays constant as m grows.
+    means, empty clusters keep their centroid).
+
+    Training runs DRIVER-SIDE over a capped deterministic sample, like
+    :func:`kmeans_quantized`: the callers here (PQ / IVF-PQ subspace
+    frames) emit exactly one row per (id, group), so ordering by the
+    id's :func:`_train_priority` and taking ``train_cap * n_groups``
+    rows selects the same ``train_cap`` ids for EVERY group — one
+    TakeOrderedAndProject job (no shuffle), then :func:`_lloyd_numpy`
+    replays all ``n_groups`` trainings with zero further barriers.
+    Below the cap the sample is the whole input, so results — and the
+    unrolled-CTE oracles — are bit-identical to the old distributed
+    loop (``1 + iters`` blocking scans). The final corpus-wide
+    assignment stays distributed and in-row: the group id selects its
+    centroid set inside one Arrow argmin kernel, so the barrier count
+    stays constant as m grows — which is what PQ training wants.
 
     ``vec_col`` must already be integer micro-units (array<long>).
     Returns (codes (id, group, code), books[group][cid] = centroid
@@ -856,29 +915,22 @@ def grouped_kmeans_quantized(
         F.col(vec_col).alias("q"),
     )
     if checkpoint:
-        # every iteration re-reads base; callers whose input is already
-        # a cheap projection of a checkpointed frame (ivfpq_build's
-        # residuals) pass checkpoint=False and skip one materialization
+        # base is read by the sample job and the final assignment;
+        # callers whose input is already a cheap projection of a
+        # checkpointed frame (ivfpq_build's residuals) pass
+        # checkpoint=False and skip one materialization
         base = base.localCheckpoint(eager=False)
 
-    init = (
-        base.withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("g").orderBy("id")),
-        )
-        .filter(F.col("__rn") <= k)
-        .select("g", "__rn", "q")
+    sample = (
+        base.orderBy(_train_priority(F.col("id")), "id", "g")
+        .limit(train_cap * n_groups)
         .collect()
     )
-    books: list[list[list[int]]] = [[None] * k for _ in range(n_groups)]
-    dims: dict[int, int] = {}
-    for r in init:
-        books[r.g][r["__rn"] - 1] = [int(v) for v in r.q]
-        dims[r.g] = len(r.q)
+    books = _lloyd_numpy(sample, n_groups, k, iters)
 
     def assign(frame: DataFrame) -> DataFrame:
-        # in-row argmin against the current per-group codebook snapshot
-        # — Arrow kernel, ties to the lowest cid (_argmin_assign_arrow)
+        # in-row argmin against the trained per-group codebooks —
+        # Arrow kernel, ties to the lowest cid (_argmin_assign_arrow)
         udf = _argmin_assign_arrow(books)
         return frame.withColumn(
             "__a", udf(F.col("g"), F.col("q"))
@@ -887,21 +939,6 @@ def grouped_kmeans_quantized(
             F.col("__a.cid").alias("cid"), F.col("__a.dist").alias("dist"),
         )
 
-    for _ in range(iters):
-        means = (
-            assign(base)
-            .select("g", "cid", F.posexplode("q").alias("pos", "val"))
-            .groupBy("g", "cid", "pos")
-            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).alias("m"))
-            .collect()
-        )
-        new: dict[tuple[int, int], list[int]] = {}
-        for r in means:
-            new.setdefault((r.g, r.cid), [0] * dims[r.g])[r.pos] = int(r.m)
-        for g in range(n_groups):
-            for ci in range(k):
-                if (g, ci) in new:
-                    books[g][ci] = new[(g, ci)]
     codes = assign(base).select(
         "id", F.col("g").alias("s"), F.col("cid").alias("code")
     )
