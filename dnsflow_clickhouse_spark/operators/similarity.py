@@ -613,12 +613,14 @@ def pq_train_encode(
     vector; codebooks[s][c] = quantized codeword ints.
     """
     sub = dim // m
-    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    if sub * m != dim:  # raise, not assert: must survive `python -O`
+        raise ValueError("dim must divide evenly into m subspaces")
     base = df.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("qv")
     )
     subs = _subspace_frame(base, "qv", m, sub)
-    # joint training: one blocking job per iteration for ALL m subspaces
+    # joint training: ONE sample-collect job for ALL m subspaces (Lloyd
+    # iterations replay driver-side — grouped_kmeans_quantized)
     codes, books = grouped_kmeans_quantized(
         subs, "id", "g", "q", m, k=k, iters=iters
     )
@@ -747,7 +749,8 @@ def ivfpq_build(
     residual codewords for subspace s.
     """
     sub = dim // m
-    assert sub * m == dim, "dim must divide evenly into m subspaces"
+    if sub * m != dim:  # raise, not assert: must survive `python -O`
+        raise ValueError("dim must divide evenly into m subspaces")
     _, cells = kmeans_quantized(df, id_col, vec_col, k=n_cells, iters=iters, scale=scale)
     base = df.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q")
@@ -761,9 +764,10 @@ def ivfpq_build(
         ).alias("rv"),
     ).localCheckpoint(eager=False)
     subs = _subspace_frame(resid, "rv", m, sub)
-    # joint residual-codebook training: one blocking job per iteration
-    # for ALL m subspaces (grouped_kmeans_quantized); resid is already
-    # checkpointed, so the subspace projection needs no second barrier
+    # joint residual-codebook training: ONE sample-collect job for ALL
+    # m subspaces (Lloyd iterations replay driver-side); resid is
+    # already checkpointed, so the subspace projection needs no second
+    # barrier
     codes, books = grouped_kmeans_quantized(
         subs, "id", "g", "q", m, k=k, iters=iters, checkpoint=False
     )

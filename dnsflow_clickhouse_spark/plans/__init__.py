@@ -16,15 +16,18 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
+    # real raises (not assert) so the checks survive `python -O`
     plan = physical_plan(df)
-    assert "PushedFilters" in plan and fragment in plan, (
-        f"expected pushed filter containing {fragment!r}; plan:\n{plan}"
-    )
+    if "PushedFilters" not in plan or fragment not in plan:
+        raise AssertionError(
+            f"expected pushed filter containing {fragment!r}; plan:\n{plan}"
+        )
 
 
 def assert_broadcast_join(df: DataFrame) -> None:
     plan = physical_plan(df)
-    assert "Broadcast" in plan, f"expected a broadcast join; plan:\n{plan}"
+    if "Broadcast" not in plan:
+        raise AssertionError(f"expected a broadcast join; plan:\n{plan}")
 
 
 def count_exchanges(df: DataFrame) -> int:

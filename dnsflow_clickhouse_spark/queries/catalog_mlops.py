@@ -975,11 +975,12 @@ ORDER BY doc_id
 # Product quantization ANN
 # ---------------------------------------------------------------------------
 
-# PQ_ITERS=1 at test scale: every Lloyd iteration is one blocking
-# collect+replan cycle (the oracle unrolls the same count, so parity is
-# keyed on this constant); the multi-iteration kernel behavior is pinned
-# by the unit tests, and r3's verdict sanctioned fewer catalog
-# iterations once the driver rows land green (8.5s -> target <5s)
+# PQ_ITERS=1 at test scale (the oracle unrolls the same count, so
+# parity is keyed on this constant); since round 5 training iterations
+# replay DRIVER-SIDE over the one collected sample, so extra iterations
+# no longer cost cluster barriers — the constant stays at 1 purely to
+# keep the unrolled-CTE oracle short; multi-iteration kernel behavior
+# is pinned by the unit tests
 PQ_M, PQ_K, PQ_ITERS, PQ_DIM = 4, 8, 1, 64
 
 

@@ -542,6 +542,53 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     assert cents == [[1500], [0]]
 
 
+def test_kmeans_train_cap_binding_is_deterministic_and_exact(spark):
+    """When train_cap BINDS, codebooks come from the hash-ordered sample
+    but the corpus-wide assignment must still be the exact argmin against
+    them, deterministically reproducible run-to-run."""
+    from dnsflow_clickhouse_spark.operators.similarity import kmeans_quantized
+
+    pts = [(i, [float(i % 5), float(i % 3)]) for i in range(20)]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    a1, c1 = kmeans_quantized(df, "vec_id", "embedding", k=2, iters=2, train_cap=6)
+    a2, c2 = kmeans_quantized(df, "vec_id", "embedding", k=2, iters=2, train_cap=6)
+    assert c1 == c2 and len(c1) == 2
+    rows = {r.id: (r.cid, r.dist) for r in a1.collect()}
+    assert set(rows) == set(range(20))
+    for i, v in pts:
+        q = [round(x * 10000) for x in v]
+        dists = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in c1]
+        best = min(range(2), key=lambda ci: (dists[ci], ci))
+        assert rows[i] == (best, dists[best])
+
+
+def test_kmeans_cap_not_binding_matches_uncapped(spark):
+    """A cap at or above the corpus size is a no-op: identical books and
+    assignments to the effectively-unbounded run (the property that keeps
+    the unrolled-CTE oracles valid at test scales)."""
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        grouped_kmeans_quantized,
+        kmeans_quantized,
+        quantize,
+    )
+    import pyspark.sql.functions as F
+
+    pts = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(12)]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    _, c_cap = kmeans_quantized(df, "vec_id", "embedding", k=3, iters=2, train_cap=12)
+    _, c_big = kmeans_quantized(df, "vec_id", "embedding", k=3, iters=2, train_cap=10**6)
+    assert c_cap == c_big
+
+    subs = df.select(
+        F.col("vec_id").alias("id"),
+        F.lit(0).alias("g"),
+        quantize(F.col("embedding")).alias("q"),
+    )
+    _, b_cap = grouped_kmeans_quantized(subs, "id", "g", "q", 1, k=3, iters=2, train_cap=12)
+    _, b_big = grouped_kmeans_quantized(subs, "id", "g", "q", 1, k=3, iters=2, train_cap=10**6)
+    assert b_cap == b_big == [c_cap]
+
+
 def test_ivf_with_trained_centroids_exhaustive_probe_is_exact(spark):
     """kmeans centroids plug into the IVF quantizer; probing every cell
     must reproduce brute-force top-k regardless of the quantizer."""
