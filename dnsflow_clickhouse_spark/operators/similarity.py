@@ -140,11 +140,11 @@ def _lloyd_numpy(
     Exactness notes: quantized values are ~1e5-1e6 micro-units, so all
     sums sit far below 2^53 and ``np.floor_divide`` equals the
     engine-side floor(double-division); ``np.argmin`` keeps the first
-    minimum = lowest cid. ``sample_rows``: Rows with (g, id, q).
+    minimum = lowest cid. ``sample_rows``: (g, id, q) triples.
     """
     by_g: dict[int, list] = {}
-    for r in sample_rows:
-        by_g.setdefault(int(r.g), []).append((r.id, r.q))
+    for g, i, q in sample_rows:
+        by_g.setdefault(int(g), []).append((i, q))
     books: list[list[list[int]]] = []
     for g in range(n_groups):
         rows = sorted(by_g.get(g, []), key=lambda t: t[0])
@@ -162,6 +162,50 @@ def _lloyd_numpy(
                     cents[ci] = np.floor_divide(s, int(m.sum()))
         books.append([[int(v) for v in c] for c in cents])
     return books
+
+
+def _pq_dist_table_arrow(books: list[list[list[int]]]):
+    """Arrow kernel for the ADC distance table: ``vec -> array<long>``
+    of the exact int64 squared-L2 distances to EVERY codeword of every
+    subspace, flattened in (s, code) order (idx = s*k + code). Replaces
+    the m*k-struct expression tree whose Catalyst analysis alone cost
+    ~2.7s of driver time per query at m*k=32 (the compute was never the
+    problem — the PLAN was). Values are bit-identical to the
+    ``F.aggregate(F.zip_with(...))`` fold it replaces."""
+    mats = np.asarray(books, dtype=np.int64)  # (m, k, sub)
+    m, kk, sub = mats.shape
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def dists(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+        Xs = X.reshape(len(X), m, 1, sub)
+        D = ((Xs - mats[None, :, :, :]) ** 2).sum(axis=3, dtype=np.int64)
+        return pd.Series([row.reshape(-1).tolist() for row in D])
+
+    return dists
+
+
+def _cell_probe_arrow(cells: list[list[int]], nprobe: int):
+    """Arrow kernel for coarse-cell probing: ``vec -> array<int>`` of
+    the ``nprobe`` nearest cell ids by exact int64 squared-L2, ties to
+    the LOWEST cid (stable argsort = the window orderBy(cd, cid) this
+    replaces)."""
+    C = np.asarray(cells, dtype=np.int64)
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2, dtype=np.int64)
+        order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([o.tolist() for o in order])
+
+    return probe
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -542,12 +586,11 @@ def kmeans_quantized(
     ).localCheckpoint(eager=False)
 
     sample = (
-        base.select(F.lit(0).alias("g"), "id", "q")
-        .orderBy(_train_priority(F.col("id")), "id")
+        base.orderBy(_train_priority(F.col("id")), "id")
         .limit(train_cap)
         .collect()
     )
-    cents = _lloyd_numpy(sample, 1, k, iters)[0]
+    cents = _lloyd_numpy([(0, r.id, r.q) for r in sample], 1, k, iters)[0]
 
     def assign(frame: DataFrame) -> DataFrame:
         # in-row argmin against the trained centroids — Arrow kernel,
@@ -568,10 +611,14 @@ def kmeans_quantized(
 # ---------------------------------------------------------------------------
 
 
-def _subspace_frame(src: DataFrame, vec_col: str, m: int, sub: int) -> DataFrame:
-    """(id, g, q): explode an integer vector column into its m
+def _subspace_frame(
+    src: DataFrame, vec_col: str, m: int, sub: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *extra, g, q): explode an integer vector column into its m
     contiguous subspace slices — the input shape grouped subspace
-    training consumes. Constant fan-out m, in-row slices."""
+    training consumes. Constant fan-out m, in-row slices; ``extra``
+    columns ride along (e.g. the coarse cell id, so the IVF-PQ encode
+    needs no join-back)."""
     slices = F.array(
         *[
             F.struct(
@@ -581,8 +628,8 @@ def _subspace_frame(src: DataFrame, vec_col: str, m: int, sub: int) -> DataFrame
             for s in range(m)
         ]
     )
-    return src.select("id", F.explode(slices).alias("e")).select(
-        "id", F.col("e.g").alias("g"), F.col("e.q").alias("q")
+    return src.select("id", *extra, F.explode(slices).alias("e")).select(
+        "id", *extra, F.col("e.g").alias("g"), F.col("e.q").alias("q")
     )
 
 
@@ -646,38 +693,24 @@ def pq_adc_topk(
     exact) broadcasts; the corpus side is the (id, s, code) code table
     — an equi-join on (s, code) + one map-side-combinable sum per
     (query, id). The raw embeddings are never touched at query time.
-    Output: (query_id, neighbor_id, approx_dist, rnk), self excluded,
-    ties by neighbor_id.
+    The table is built by ONE Arrow kernel returning the flattened m*k
+    distances (:func:`_pq_dist_table_arrow`) — bit-identical to, and
+    plan-wise ~100x smaller than, the per-codeword expression structs
+    it replaces. Output: (query_id, neighbor_id, approx_dist, rnk),
+    self excluded, ties by neighbor_id.
     """
-    m = len(books)
-    sub = len(books[0][0])
+    kk = len(books[0])
     q = queries.select(
         F.col(id_col).alias("qid"), quantize(F.col(vec_col), scale).alias("qv")
     )
-
-    def dist_entry(s: int, ci: int, cw: list[int]) -> Column:
-        sv = F.slice(F.col("qv"), s * sub + 1, sub)
-        d = F.aggregate(
-            F.zip_with(
-                sv,
-                F.lit([int(v) for v in cw]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return F.struct(
-            F.lit(s).alias("s"), F.lit(ci).alias("code"), d.alias("d")
-        )
-
-    entries = [
-        dist_entry(s, ci, cw)
-        for s in range(m)
-        for ci, cw in enumerate(books[s])
-    ]
-    table = q.select("qid", F.explode(F.array(*entries)).alias("e")).select(
-        "qid", F.col("e.s").alias("s"), F.col("e.code").alias("code"),
-        F.col("e.d").alias("d"),
+    dist_udf = _pq_dist_table_arrow(books)
+    table = q.select(
+        "qid", F.posexplode(dist_udf(F.col("qv"))).alias("idx", "d")
+    ).select(
+        "qid",
+        F.expr(f"idx div {kk}").cast("int").alias("s"),
+        F.pmod(F.col("idx"), F.lit(kk)).cast("int").alias("code"),
+        "d",
     )
     scored = (
         codes.join(F.broadcast(table), ["s", "code"])
@@ -729,6 +762,7 @@ def ivfpq_build(
     k: int = 8,
     iters: int = 2,
     scale: int = QUANT_SCALE,
+    train_cap: int = TRAIN_CAP,
 ) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
     """Build a FAISS-style IVF-PQ index: a coarse quantizer assigns each
     vector to one of ``n_cells`` cells (deterministic k-means), and the
@@ -739,10 +773,20 @@ def ivfpq_build(
     This is the composition a billion-vector deployment actually runs:
     IVF prunes the candidate set (only probed cells are touched), PQ
     shrinks the bytes (m codes per vector), and both training loops are
-    the same replayable kmeans_quantized kernel. The corpus is never
-    shuffled: cell assignment and residuals are in-row against literal
-    centroids; each subspace codebook trains over a sliced residual
-    projection.
+    the same replayable Lloyd kernel. The corpus is never shuffled:
+    cell assignment and residuals are in-row against literal centroids.
+
+    Round-5 shape: BOTH trainings come from ONE collected sample — the
+    coarse centroids via :func:`_lloyd_numpy`, then the sample's
+    residuals (exact int64 subtraction, same math as the distributed
+    ``zip_with``) feed the m subspace trainings driver-side. The
+    cluster sees exactly one blocking job (the TakeOrderedAndProject
+    sample collect); the full-corpus encode is a single lazy pass
+    (Arrow cell argmin -> in-row residual -> subspace explode -> Arrow
+    code argmin) with NO join — the cell id rides the subspace frame.
+    Below ``train_cap`` the sample is the corpus, so codes and books
+    are bit-identical to the old two-loop build and the unrolled-CTE
+    oracle holds unchanged.
 
     Returns (codes, cells, books): codes = (id, cid, s, code) — m rows
     per vector, carrying its cell; cells = coarse centroids; books[s] =
@@ -751,9 +795,28 @@ def ivfpq_build(
     sub = dim // m
     if sub * m != dim:  # raise, not assert: must survive `python -O`
         raise ValueError("dim must divide evenly into m subspaces")
-    _, cells = kmeans_quantized(df, id_col, vec_col, k=n_cells, iters=iters, scale=scale)
     base = df.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("q")
+    ).localCheckpoint(eager=False)
+    sample = (
+        base.orderBy(_train_priority(F.col("id")), "id")
+        .limit(train_cap)
+        .collect()
+    )
+    cells = _lloyd_numpy([(0, r.id, r.q) for r in sample], 1, n_cells, iters)[0]
+    C = np.asarray(cells, dtype=np.int64)
+    X = np.asarray([list(r.q) for r in sample], dtype=np.int64)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2, dtype=np.int64)
+    resid_rows = X - C[d.argmin(axis=1)]
+    books = _lloyd_numpy(
+        [
+            (s, r.id, resid_rows[i, s * sub : (s + 1) * sub].tolist())
+            for i, r in enumerate(sample)
+            for s in range(m)
+        ],
+        m,
+        k,
+        iters,
     )
     assigned = _assign_cells(base, cells)
     resid = assigned.select(
@@ -762,17 +825,16 @@ def ivfpq_build(
         F.zip_with(
             "q", _centroid_pick(cells, F.col("cid")), lambda a, b: a - b
         ).alias("rv"),
-    ).localCheckpoint(eager=False)
-    subs = _subspace_frame(resid, "rv", m, sub)
-    # joint residual-codebook training: ONE sample-collect job for ALL
-    # m subspaces (Lloyd iterations replay driver-side); resid is
-    # already checkpointed, so the subspace projection needs no second
-    # barrier
-    codes, books = grouped_kmeans_quantized(
-        subs, "id", "g", "q", m, k=k, iters=iters, checkpoint=False
     )
-    coded = resid.select("id", "cid").join(codes, "id")
-    return coded, cells, books
+    subs = _subspace_frame(resid, "rv", m, sub, extra=("cid",))
+    code_udf = _argmin_assign_arrow(books)
+    codes = subs.withColumn("__a", code_udf(F.col("g"), F.col("q"))).select(
+        "id",
+        "cid",
+        F.col("g").alias("s"),
+        F.col("__a.cid").alias("code"),
+    )
+    return codes, cells, books
 
 
 def ivfpq_topk(
@@ -795,69 +857,29 @@ def ivfpq_topk(
     code) equi-join + a map-side-combinable sum — raw embeddings are
     never touched at query time. Output: (query_id, neighbor_id,
     approx_dist, rnk), self excluded, ties by neighbor_id."""
-    m = len(books)
-    sub = len(books[0][0])
+    kk = len(books[0])
     q = queries.select(
         F.col(id_col).alias("qid"), quantize(F.col(vec_col), scale).alias("q")
     )
-
-    def dist_to(c: list[int]) -> Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.lit([int(v) for v in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    cell_structs = F.array(
-        *[
-            F.struct(dist_to(c).alias("cd"), F.lit(ci).alias("cid"))
-            for ci, c in enumerate(cells)
-        ]
-    )
-    ranked = (
-        q.select("qid", "q", F.explode(cell_structs).alias("e"))
-        .select("qid", "q", F.col("e.cd").alias("cd"), F.col("e.cid").alias("cid"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy("cd", "cid")
-            ),
-        )
-        .filter(F.col("__rn") <= nprobe)
-    )
-    probed = ranked.select(
+    probe_udf = _cell_probe_arrow(cells, nprobe)
+    probed = q.select(
+        "qid", "q", F.explode(probe_udf(F.col("q"))).alias("cid")
+    ).select(
         "qid",
         "cid",
         F.zip_with(
             "q", _centroid_pick(cells, F.col("cid")), lambda a, b: a - b
         ).alias("rv"),
     )
-
-    def entry(s: int, ci: int, cw: list[int]) -> Column:
-        sv = F.slice(F.col("rv"), s * sub + 1, sub)
-        d = F.aggregate(
-            F.zip_with(
-                sv,
-                F.lit([int(v) for v in cw]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        return F.struct(F.lit(s).alias("s"), F.lit(ci).alias("code"), d.alias("d"))
-
-    entries = [
-        entry(s, ci, cw) for s in range(m) for ci, cw in enumerate(books[s])
-    ]
+    dist_udf = _pq_dist_table_arrow(books)
     dtab = probed.select(
-        "qid", "cid", F.explode(F.array(*entries)).alias("e")
+        "qid", "cid", F.posexplode(dist_udf(F.col("rv"))).alias("idx", "d")
     ).select(
-        "qid", "cid", F.col("e.s").alias("s"), F.col("e.code").alias("code"),
-        F.col("e.d").alias("d"),
+        "qid",
+        "cid",
+        F.expr(f"idx div {kk}").cast("int").alias("s"),
+        F.pmod(F.col("idx"), F.lit(kk)).cast("int").alias("code"),
+        "d",
     )
     scored = (
         codes.join(F.broadcast(dtab), ["cid", "s", "code"])
@@ -930,7 +952,7 @@ def grouped_kmeans_quantized(
         .limit(train_cap * n_groups)
         .collect()
     )
-    books = _lloyd_numpy(sample, n_groups, k, iters)
+    books = _lloyd_numpy([(r.g, r.id, r.q) for r in sample], n_groups, k, iters)
 
     def assign(frame: DataFrame) -> DataFrame:
         # in-row argmin against the trained per-group codebooks —
