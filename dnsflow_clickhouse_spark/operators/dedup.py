@@ -789,8 +789,14 @@ def prefix_filtered_jaccard_pairs(
     hash-based fast paths (struct arrays demote both to interpreted
     pairwise comparison: measured 2.7s -> 18s at sf0.1).
     """
+    # LAZY checkpoints: plan truncation (the thing that stops Generate
+    # from inlining the live gram expression, and stops each consumer
+    # re-running the upstream pipeline) happens at plan-BUILD time;
+    # eager=True only added a blocking job per barrier (~0.2s driver
+    # gap each). First materialization lands inside the candidate job
+    # and the blocks persist for every later consumer.
     grams0 = staged_grams(df, id_col, text_col, ngram).localCheckpoint(
-        eager=True
+        eager=False
     )
     exploded = grams0.select("id", F.explode("grams").alias("g"))
     freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
@@ -814,8 +820,8 @@ def prefix_filtered_jaccard_pairs(
         )
         # the main barrier: read twice by the candidate self-join and
         # twice by the verify joins; a live plan would recompute
-        # freq+join+sort per consumer
-        .localCheckpoint(eager=True)
+        # freq+join+sort per consumer (lazy: see grams0 above)
+        .localCheckpoint(eager=False)
     )
     prefix = docs.select(
         "id",

@@ -85,11 +85,6 @@ def connected_components(
     # and the localCheckpoint's implicit persist dedupes any multi-
     # reference compute above shuffle boundaries.
     edges = barrier(edges.select(F.col(src), F.col(dst)))
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
-        .distinct()
-    )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -97,9 +92,18 @@ def connected_components(
     )
     if nparts:
         sym = sym.repartition(nparts, "a")
-        nodes = nodes.repartition(nparts, "id")
     sym = barrier(sym)
-    labels = barrier(nodes.withColumn("comp", F.col("id")))
+    # seed labels with the NEIGHBOR-min, not the identity: every node
+    # appears as `a` in the symmetrized edges, so one aggregate both
+    # enumerates the node set (replacing the union+distinct nodes
+    # frame) and performs what is effectively iteration zero for free —
+    # cliques and stars converge one blocking round earlier, which on
+    # near-dup graphs (small diameters) is a third of the loop.
+    labels = barrier(
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("__mn"))
+        .select("id", F.least(F.col("id"), F.col("__mn")).alias("comp"))
+    )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
