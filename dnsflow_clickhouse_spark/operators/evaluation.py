@@ -137,15 +137,17 @@ def calibration_bins(
         F.sum("y").alias("n_pos"),
         F.sum("s").alias("ssum"),
     )
+    # n_pos * PPM widened to decimal: the long product hits int64 at
+    # ~2^43 rows in one bin (IntegralDivide still returns long) — same
+    # escape hatch as the AUC numerator/denominator above
+    rate = f"CAST(n_pos AS DECIMAL(38,0)) * {PPM} div n"
     return agg.select(
         "bin",
         F.col("n").cast("long").alias("n"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.expr("ssum div n").cast("long").alias("avg_score_ppm"),
-        F.expr(f"n_pos * {PPM} div n").cast("long").alias("pos_rate_ppm"),
-        F.abs(
-            F.expr("ssum div n") - F.expr(f"n_pos * {PPM} div n")
-        )
+        F.expr(rate).cast("long").alias("pos_rate_ppm"),
+        F.abs(F.expr("ssum div n") - F.expr(rate))
         .cast("long")
         .alias("gap_ppm"),
     ).orderBy("bin")
@@ -172,15 +174,23 @@ def correlation_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     wide = df.agg(*aggs)
+
+    def _dec(name: str) -> Column:
+        # n * sxy products exceed int64 once rows^2 * value^2 passes
+        # 2^63 (ANSI would throw); decimal(38,0) keeps the radicands
+        # exact to 1e38, and the final double cast is the same value at
+        # any scale where both fit
+        return F.col(name).cast("decimal(38,0)")
+
     structs = []
     for a, b in pairs:
-        num = F.col("__n") * F.col(f"__sxy_{a}_{b}") - F.col(f"__s_{a}") * F.col(
+        num = _dec("__n") * _dec(f"__sxy_{a}_{b}") - _dec(f"__s_{a}") * _dec(
             f"__s_{b}"
         )
-        va = F.col("__n") * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(
+        va = _dec("__n") * _dec(f"__ss_{a}") - _dec(f"__s_{a}") * _dec(
             f"__s_{a}"
         )
-        vb = F.col("__n") * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(
+        vb = _dec("__n") * _dec(f"__ss_{b}") - _dec(f"__s_{b}") * _dec(
             f"__s_{b}"
         )
         corr = F.when(
@@ -225,10 +235,16 @@ def ols_fit(
         F.sum(xl * xl).alias("sxx"),
         F.sum(xl * yl).alias("sxy"),
     )
-    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+
+    def _dec(name: str) -> Column:
+        # widen the normal-equation products past int64 (see
+        # correlation_pairs) — exact to 1e38, identical doubles below
+        return F.col(name).cast("decimal(38,0)")
+
+    denom = _dec("n") * _dec("sxx") - _dec("sx") * _dec("sx")
     slope = F.when(
         denom > 0,
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        (_dec("n") * _dec("sxy") - _dec("sx") * _dec("sy")).cast("double")
         / denom.cast("double"),
     )
     return agg.select(

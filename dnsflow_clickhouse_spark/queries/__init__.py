@@ -2,15 +2,19 @@
 
 The registry is an ordered dict and the order is load-bearing: the
 correctness driver verifies the first 50 entries per round.
-``_PRIORITY`` pins the round-5 window — the smoke query first, then the
-six queries whose pair-kernel / GEMM code changed after (or since) the
-r4 window ran (the prefix-filtered Jaccard swap and this round's
-kernel-stage fusion: neardup_components, dedup_canonical_keep,
-prefix_jaccard_pairs, census, shards, semdedup), then the 43 remaining
-queries whose latest driver green is round 2 — the stalest-first
-rotation the round-4 verdict asked for. After this round every catalog
-entry's latest green attestation is at most two rounds old and all
-changed kernels are driver-re-attested on their current code.
+``_PRIORITY`` pins the round-5 window — the smoke query first, then
+EVERY query whose operator code changed this round (changed code
+outranks stale-but-unchanged attestations): the six CC/prefix-kernel
+queries (kernel-stage fusion + neighbor-min CC seeding), the PQ/IVF-PQ
+/ k-means block (sampled driver-side training + Arrow ADC kernels),
+and the five model-evaluation queries (decimal overflow widenings).
+Then the round-2-stale rotation the round-4 verdict asked for — 34 of
+the 43 fit; the 9 deferred to the TOP of the round-6 window are the
+lowest-risk pure-SQL shapes untouched since round 2
+(q11_value_concentration, q12_priority_class_counts,
+range_frame_rolling, null_semantics_report, unpivot_daily_metrics,
+session_stats, doc_length_histogram, event_value_percentiles,
+grouping_sets_events).
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -69,22 +73,26 @@ _PRIORITY = [
     "neardup_component_census",
     "component_aware_shards",
     "semdedup_keep",
-    # --- the 43 remaining queries whose latest green is round 2
-    # (stalest-first rotation; after this round no attestation is older
-    # than two rounds) ---
+    # --- round-5 changed code: sampled k-means/PQ training + Arrow ADC
+    # kernels (similarity.py) and decimal widenings (evaluation.py) ---
+    "embedding_pq_ann",
+    "embedding_ivfpq_ann",
+    "kmeans_cluster_report",
+    "score_auc_by_source",
+    "score_calibration_bins",
+    "feature_correlation_report",
+    "ols_tokens_per_char",
+    "value_drift_psi",
+    "embedding_rp_components",  # rides the changed CC loop (graph.py)
+    # --- round-2-stale rotation (34 of 43; the 9 deferred pure-SQL
+    # shapes lead the round-6 window, see module docstring) ---
     "doc_token_stats",
     "topk_rollup_chain",
     "ip_function_rollup",
     "cidr_membership_rollup",
-    "range_frame_rolling",
-    "null_semantics_report",
     "geo_region_rollup",
     "authority_slice_docs",
-    "unpivot_daily_metrics",
-    "session_stats",
     "doc_bpe_tokens",
-    "q11_value_concentration",
-    "q12_priority_class_counts",
     "minhash_band_buckets",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
@@ -97,20 +105,17 @@ _PRIORITY = [
     "chunk_documents",
     "repetition_report",
     "temperature_lang_resample",
-    "doc_length_histogram",
     "stratified_doc_sample",
     "tfidf_top_terms",
     "quality_quantile_gate",
     "decontamination_report",
     "props_json_rollup",
-    "event_value_percentiles",
     "pack_sequences",
     "group_split_leakproof",
     "pii_redaction_report",
     "column_profile_events",
     "event_gini_concentration",
     "inverted_index_terms",
-    "grouping_sets_events",
     "weighted_doc_sample",
     "fuzzy_near_titles",
     "hll_distinct_users",
