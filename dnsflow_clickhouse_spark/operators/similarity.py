@@ -849,14 +849,16 @@ def ivfpq_topk(
     scale: int = QUANT_SCALE,
 ) -> DataFrame:
     """ADC search over an IVF-PQ index: each query ranks the coarse
-    cells in-row, probes the nearest ``nprobe``, and for each probed
+    cells in-row (:func:`_cell_probe_arrow` — stable argsort, ties to
+    the lowest cid), probes the nearest ``nprobe``, and for each probed
     cell builds the m*k residual distance table against that cell's
-    residual frame of reference; a database vector's approximate
-    distance is the sum of its m code lookups. The table (queries x
-    nprobe x m*k integer rows) broadcasts; scoring is one (cid, s,
-    code) equi-join + a map-side-combinable sum — raw embeddings are
-    never touched at query time. Output: (query_id, neighbor_id,
-    approx_dist, rnk), self excluded, ties by neighbor_id."""
+    residual frame of reference via :func:`_pq_dist_table_arrow`; a
+    database vector's approximate distance is the sum of its m code
+    lookups. The table (queries x nprobe x m*k integer rows)
+    broadcasts; scoring is one (cid, s, code) equi-join + a
+    map-side-combinable sum — raw embeddings are never touched at
+    query time. Output: (query_id, neighbor_id, approx_dist, rnk),
+    self excluded, ties by neighbor_id."""
     kk = len(books[0])
     q = queries.select(
         F.col(id_col).alias("qid"), quantize(F.col(vec_col), scale).alias("q")
