@@ -136,3 +136,91 @@ def test_budget_allocation_matches_python_reference(spark, raw, budget):
     }
     assert out == _py_budget(weights, budget)
     assert sum(out.values()) == budget
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=0, max_size=12
+        ).map(lambda toks: " ".join(toks)),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_prefix_filtered_jaccard_is_lossless(spark, texts, threshold):
+    """The PPJoin prefix/size/positional filters must be LOSSLESS: on
+    randomized corpora the kernel's output equals the naive
+    every-shared-gram join's, pair for pair — the property the whole
+    CC family rests on (single-token alphabet keeps gram collisions and
+    boundary Jaccard values frequent, which is where a broken filter
+    would show)."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    naive = {
+        (r.id_a, r.id_b, r.inter)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ngram=2, threshold=threshold
+        ).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, r.inter)
+        for r in prefix_filtered_jaccard_pairs(
+            docs, "doc_id", "text", ngram=2, threshold=threshold
+        ).collect()
+    }
+    assert fast == naive, (texts, threshold)
+
+
+def _py_lloyd(rows, k, iters):
+    """Independent plain-int Lloyd reference for _lloyd_numpy: init = k
+    smallest ids, argmin with ties to the lowest cid, floor-division
+    means, empty clusters keep their centroid."""
+    rows = sorted(rows)
+    cents = [list(q) for _, q in rows[:k]]
+    for _ in range(iters):
+        assign = []
+        for _, q in rows:
+            best, bd = 0, None
+            for ci, c in enumerate(cents):
+                d = sum((a - b) ** 2 for a, b in zip(q, c))
+                if bd is None or d < bd:
+                    best, bd = ci, d
+            assign.append(best)
+        for ci in range(k):
+            members = [q for (_, q), a in zip(rows, assign) if a == ci]
+            if members:
+                cents[ci] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+    return cents
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            min_size=2,
+            max_size=2,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=2),
+)
+def test_lloyd_numpy_matches_python_reference(vals, k, iters):
+    from dnsflow_clickhouse_spark.operators.similarity import _lloyd_numpy
+
+    k = min(k, len(vals))
+    rows = [(i, v) for i, v in enumerate(vals)]
+    got = _lloyd_numpy([(0, i, v) for i, v in rows], 1, k, iters)[0]
+    assert got == _py_lloyd(rows, k, iters), (vals, k, iters)

@@ -39,7 +39,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
-        print(f"{name}: " + " ".join(f"{t:.2f}s" for t in times), flush=True)
+        # min + the 1-minute load average: this VM has phantom load
+        # bursts (SCALE_SMOKE), so a reading without its weather is
+        # uninterpretable — read `min` for plan quality
+        load = os.getloadavg()[0]
+        print(
+            f"{name}: " + " ".join(f"{t:.2f}s" for t in times)
+            + f"  min={min(times):.2f}s load1m={load:.1f}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
