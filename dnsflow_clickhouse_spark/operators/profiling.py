@@ -65,9 +65,10 @@ def gini_concentration(df: DataFrame, group_col: str, key_col: str) -> DataFrame
 
     gini_ppm = floor((N^2 - sum(c_k^2)) * 1e6 / N^2): 0 when one key owns
     the group, -> 1e6 as counts spread evenly. Pure integer arithmetic
-    (Spark ``div`` / DuckDB ``//``) so the oracle hash-matches; at 100 TB
-    cast the squares to decimal(38,0) before the fold (int64 is exact up
-    to ~3e9 rows per group).
+    (Spark ``div`` / DuckDB ``//``) so the oracle hash-matches. The
+    ppm numerator is widened to decimal(38,0): (N^2 - s2) * 1e6 passes
+    int64 at only ~3e6 rows per group, far below the design point —
+    decimal holds to ~1e16 rows (IntegralDivide still returns long).
     """
     counts = df.groupBy(group_col, key_col).agg(F.count(F.lit(1)).alias("c"))
     g = counts.groupBy(group_col).agg(
@@ -79,9 +80,10 @@ def gini_concentration(df: DataFrame, group_col: str, key_col: str) -> DataFrame
         group_col,
         "n_rows",
         "n_keys",
-        F.expr("(n_rows * n_rows - s2) * 1000000 div (n_rows * n_rows)").alias(
-            "gini_ppm"
-        ),
+        F.expr(
+            "(CAST(n_rows AS DECIMAL(38,0)) * n_rows - s2) * 1000000"
+            " div (CAST(n_rows AS DECIMAL(38,0)) * n_rows)"
+        ).alias("gini_ppm"),
     )
 
 
@@ -122,7 +124,10 @@ def cooccurrence_pairs(df: DataFrame, set_col: str, item_col: str) -> DataFrame:
         "n_both",
         "n_a",
         "n_b",
-        F.expr("n_both * 1000000 div (n_a + n_b - n_both)").alias("jaccard_ppm"),
+        # decimal widening: n_both * 1e6 wraps int64 at ~2^43 co-occurrences
+        F.expr(
+            "CAST(n_both AS DECIMAL(38,0)) * 1000000 div (n_a + n_b - n_both)"
+        ).alias("jaccard_ppm"),
     )
 
 

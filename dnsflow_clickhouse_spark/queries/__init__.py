@@ -14,7 +14,10 @@ lowest-risk pure-SQL shapes untouched since round 2
 (q11_value_concentration, q12_priority_class_counts,
 range_frame_rolling, null_semantics_report, unpivot_daily_metrics,
 session_stats, doc_length_histogram, event_value_percentiles,
-grouping_sets_events).
+grouping_sets_events). One changed-code query did not fit:
+event_cooccurrence (a decimal overflow widening, value-identical —
+hash-verified against its oracle at sf0.01 in-round); it joins the
+round-6 head alongside the deferred nine.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
