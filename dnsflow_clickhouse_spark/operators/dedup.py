@@ -594,6 +594,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def overlap_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Overlap-coefficient (containment) near-duplicate pairs:
+    C(A, B) = |A ∩ B| / min(|A|, |B|) >= ``threshold`` over distinct
+    token ``ngram`` shingle sets.
+
+    This is the SUBSUMPTION detector Jaccard structurally misses: a
+    short document wholly quoted inside a long one has
+    J = |A| / |B| ~ 0 but C = 1.0 (quote compilations, prefix/suffix
+    crops, boilerplate-wrapped reposts). Curation pipelines run it
+    AFTER symmetric near-dup passes to catch one-sided copies.
+
+    Exactness: the threshold test is pure int64
+    (inter * 1e6 >= ppm * least(na, nb)); the reported coefficient is
+    the only float op (round 6). Same staged-grams -> shingle
+    equi-join -> count kernel as :func:`ngram_jaccard_pairs`, so cost
+    is linear in shared-shingle posting mass, with the same two scale
+    paths at 100 TB: LSH-then-verify (lsh_candidate_pairs feeding this
+    predicate), or a prefix filter — the PPJoin prefix principle
+    carries over to the overlap constraint with prefix length
+    |x| - ceil(t * |x|) + 1 per set (Xiao et al., WWW'08 generalize
+    to containment), which `prefix_filtered_jaccard_pairs` implements
+    for the Jaccard member of the family.
+    """
+    threshold_ppm = int(round(threshold * 1_000_000))
+    grams = (
+        staged_grams(df, id_col, text_col, ngram)
+        .localCheckpoint(eager=True)
+        .select("id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_grams").alias("size_a"),
+            F.col("b.n_grams").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.filter(
+            F.col("inter") * F.lit(1_000_000)
+            >= F.lit(threshold_ppm) * F.least("size_a", "size_b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.round(
+                F.col("inter") / F.least("size_a", "size_b"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def _neardup_schema():
     from pyspark.sql import types as T
 

@@ -102,6 +102,219 @@ def bigram_logprob_scores(
     )
 
 
+def dsir_log_ratio_scores(
+    df: DataFrame, id_col: str, toks: Column, is_target: Column
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document
+    log-likelihood RATIO between a target-slice bigram LM and the raw
+    corpus bigram LM. Documents whose n-gram statistics look like the
+    target domain get positive weights; importance resampling then
+    keeps a target-shaped subset of the raw corpus. This is the data-
+    selection stage run before pre-training when a small high-quality
+    exemplar corpus (the ``is_target`` slice) should steer what is
+    kept from a 100 TB crawl.
+
+    weight(doc) = sum over in-doc bigrams of
+        n * (log2 p_target(b|a) - log2 p_raw(b|a)),
+    both models add-one smoothed: p(b|a) = (c2+1) / (c1+V). Bigrams
+    unseen in the target back off through the same smoothed formula
+    (c2t=0; c1t=0 too when the history token is also unseen), so every
+    weight is finite.
+
+    Exactness: both log terms quantize to integer micros per bigram
+    (floor(log2(p) * 1e6 + 0.5)) BEFORE the subtraction and the sum —
+    the module's no-float-accumulation contract.
+
+    Scale shape: instances pre-aggregate to (doc, a, b, n); the raw
+    count tables are the corpus-wide aggregates bigram_logprob_scores
+    already uses; the target tables aggregate only the target slice
+    (typically tiny — AQE broadcasts them when they fit); vocabularies
+    are one-row frames.
+    Two LEFT equi-joins + one inner, no collect, no window.
+
+    Output: id_col, n_bigrams, dsir_micro (exact long),
+    avg_dsir (double = micro / n / 1e6).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), is_target.alias("tgt")
+    ).filter(F.size("toks") >= 2)
+    bg = base.select(
+        "id",
+        "tgt",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS a, toks[i + 1] AS b))"
+            )
+        ).alias("p"),
+    ).select("id", "tgt", "p.a", "p.b")
+    per_doc = bg.groupBy("id", "a", "b").agg(F.count(F.lit(1)).alias("n"))
+    # raw model: every document
+    c2r = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2r"))
+    c1r = c2r.groupBy("a").agg(F.sum("c2r").alias("c1r"))
+    # target model: the is_target slice only
+    tgt_bg = bg.filter(F.col("tgt"))
+    c2t = tgt_bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2t"))
+    c1t = c2t.groupBy("a").agg(F.sum("c2t").alias("c1t"))
+    vocab = df.select(
+        F.explode(toks).alias("t"), is_target.alias("tgt")
+    ).agg(
+        F.count_distinct("t").alias("vr"),
+        F.count_distinct(F.when(F.col("tgt"), F.col("t"))).alias("vt"),
+    )
+    scored = (
+        per_doc.join(c2r, ["a", "b"])
+        .join(c1r, ["a"])
+        .join(c2t, ["a", "b"], "left")
+        .join(c1t, ["a"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            "n",
+            (
+                _quant_log2(
+                    (F.coalesce(F.col("c2t"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1t"), F.lit(0)) + F.col("vt")).cast(
+                        "double"
+                    ),
+                    MICRO,
+                )
+                - _quant_log2(
+                    (F.col("c2r") + 1).cast("double")
+                    / (F.col("c1r") + F.col("vr")).cast("double"),
+                    MICRO,
+                )
+            ).alias("term_micro"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("term_micro")).cast("long").alias("dsir_micro"),
+        (
+            F.sum(F.col("n") * F.col("term_micro")).cast("double")
+            / F.sum("n").cast("double")
+            / MICRO
+        ).alias("avg_dsir"),
+    )
+
+
+def token_jsd_pairs(
+    df: DataFrame, group_col: str, toks: Column
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between every two
+    groups' token distributions — the symmetric, bounded [0, 1]
+    corpus-mixture diagnostic: which sources/languages/snapshots are
+    interchangeable and which contribute genuinely distinct text.
+    (Entropy — token_entropy_by_group — monitors each group alone;
+    JSD is the cross-group member of the family.)
+
+    JSD(P, Q) = KL(P||M)/2 + KL(Q||M)/2 with M = (P+Q)/2. Tokens
+    absent from a side contribute 0 to that side's KL, so each KL sum
+    needs only that side's tokens LEFT-joined to the other side's
+    counts — no full-outer union-of-vocab frame.
+
+    Exactness: per-token terms are count-weighted BEFORE summation
+    (wterm = c * floor(log2(p/m) * 1e9 + 0.5)), so only exact longs
+    are summed; the final division is one integer div per side. The
+    double ratio p/m feeding log2 is a composition of IEEE-exact
+    divisions both engines round identically.
+
+    Scale shape: one (group, token) hash agg over the corpus, then the
+    pair fan-out joins COUNT rows, not documents — cost is
+    O(group_pairs_per_group x distinct (group, token) rows). Sized for
+    tens of groups (sources, languages, snapshots); for hundreds,
+    anchor one side (compare each group to a fixed reference mixture)
+    to make the fan-out constant.
+
+    Output: grp_a, grp_b, n_a, n_b, jsd_nano (exact long),
+    jsd_bits (double = nano / 1e9).
+    """
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("t"))
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("n"))
+    pairs = (
+        totals.alias("x")
+        .crossJoin(totals.alias("y"))
+        .filter(F.col("x.grp") < F.col("y.grp"))
+        .select(
+            F.col("x.grp").alias("grp_a"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.grp").alias("grp_b"),
+            F.col("y.n").alias("n_b"),
+        )
+    )
+
+    def _side_sum(own: str, other: str, na: str, nb: str, out: str) -> DataFrame:
+        ca = counts.select(
+            F.col("grp").alias(own), F.col("t").alias("t"), F.col("c").alias("ca")
+        )
+        cb = counts.select(
+            F.col("grp").alias(other), F.col("t").alias("t"), F.col("c").alias("cb")
+        )
+        frame = (
+            F.broadcast(pairs)
+            .join(ca, [own])
+            .join(cb, [other, "t"], "left")
+            .select(
+                "grp_a",
+                "grp_b",
+                (
+                    F.col("ca")
+                    * _quant_log2(
+                        (
+                            F.col("ca").cast("double") / F.col(na).cast("double")
+                        )
+                        / (
+                            (
+                                F.col("ca").cast("double")
+                                / F.col(na).cast("double")
+                                + F.coalesce(F.col("cb"), F.lit(0)).cast("double")
+                                / F.col(nb).cast("double")
+                            )
+                            / F.lit(2.0)
+                        ),
+                        NANO,
+                    )
+                ).alias("wterm"),
+            )
+        )
+        return frame.groupBy("grp_a", "grp_b").agg(F.sum("wterm").alias(out))
+
+    sa = _side_sum("grp_a", "grp_b", "n_a", "n_b", "wsum_a")
+    sb = _side_sum("grp_b", "grp_a", "n_b", "n_a", "wsum_b")
+    return (
+        pairs.join(sa, ["grp_a", "grp_b"])
+        .join(sb, ["grp_a", "grp_b"])
+        .select(
+            "grp_a",
+            "grp_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            # each side is a KL >= 0 mathematically; term quantization can
+            # push a true-zero sum a few nanos negative, and Spark's div
+            # (truncate) vs DuckDB's // (floor) disagree on negative
+            # numerators — clamp at the theoretical floor before dividing
+            (
+                F.expr("greatest(wsum_a, 0L) div (2 * n_a)")
+                + F.expr("greatest(wsum_b, 0L) div (2 * n_b)")
+            )
+            .cast("long")
+            .alias("jsd_nano"),
+            (
+                (
+                    F.expr("greatest(wsum_a, 0L) div (2 * n_a)")
+                    + F.expr("greatest(wsum_b, 0L) div (2 * n_b)")
+                ).cast("double")
+                / NANO
+            ).alias("jsd_bits"),
+        )
+    )
+
+
 def token_entropy_by_group(
     df: DataFrame, group_col: str, toks: Column
 ) -> DataFrame:

@@ -530,3 +530,125 @@ FROM terms GROUP BY grp ORDER BY event_type
 """
 
 EVAL_REGISTRY["value_drift_psi"] = (value_drift_psi, _PSI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights + pairwise token JSD (operators/lm.py) — the
+# data-SELECTION and mixture-DIAGNOSTIC members of the statistical-LM
+# family (doc_lm_score / source_token_entropy are the per-corpus ones).
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_SOURCE = "src1"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-document bigram
+    log-likelihood ratio between the target-slice LM (documents from
+    one exemplar source) and the raw-corpus LM. The weights feed
+    importance resampling (es_weighted_source_sample is the sampling
+    half) to keep a target-shaped subset of a 100 TB crawl.
+
+    Scale shape (operators/lm.py): instances pre-aggregate to
+    (doc, a, b, n); raw counts are corpus-wide hash aggs; target
+    counts aggregate only the exemplar slice; both log terms quantize
+    to integer micros per bigram before any sum."""
+    from dnsflow_clickhouse_spark.operators.lm import dsir_log_ratio_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_log_ratio_scores(
+        d, "doc_id", tokens(F.col("text")), F.col("source") == _DSIR_TARGET_SOURCE
+    ).orderBy("doc_id")
+
+
+_DSIR_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, source, toks FROM t WHERE len(toks) >= 2),
+bg0 AS (SELECT doc_id, source, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i FROM base),
+bg AS (SELECT doc_id, source, toks[i] AS a, toks[i + 1] AS b FROM bg0),
+per_doc AS (SELECT doc_id, a, b, count(*) AS n FROM bg GROUP BY ALL),
+c2r AS (SELECT a, b, count(*) AS c2r FROM bg GROUP BY a, b),
+c1r AS (SELECT a, sum(c2r) AS c1r FROM c2r GROUP BY a),
+c2t AS (SELECT a, b, count(*) AS c2t FROM bg
+        WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY a, b),
+c1t AS (SELECT a, sum(c2t) AS c1t FROM c2t GROUP BY a),
+v AS (SELECT count(DISTINCT tok) AS vr,
+             count(DISTINCT CASE WHEN source = '{_DSIR_TARGET_SOURCE}'
+                                 THEN tok END) AS vt
+      FROM (SELECT source, unnest(toks) AS tok FROM t)),
+scored AS (
+  SELECT doc_id, n,
+         CAST(floor(log2(CAST(coalesce(c2t.c2t, 0) + 1 AS DOUBLE)
+                         / CAST(coalesce(c1t.c1t, 0) + v.vt AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(log2(CAST(c2r.c2r + 1 AS DOUBLE)
+                           / CAST(c1r.c1r + v.vr AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM per_doc JOIN c2r USING (a, b) JOIN c1r USING (a)
+       LEFT JOIN c2t USING (a, b) LEFT JOIN c1t USING (a) CROSS JOIN v)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       CAST(sum(n * term_micro) AS BIGINT) AS dsir_micro,
+       CAST(sum(n * term_micro) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         / 1000000 AS avg_dsir
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def lang_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between every two
+    languages' token distributions — the symmetric corpus-mixture
+    diagnostic: which slices contribute genuinely distinct text and
+    which are interchangeable (a JSD collapse between two 'languages'
+    usually means mislabeled or templated text).
+
+    One (group, token) hash agg over the corpus; the pair fan-out
+    joins COUNT rows, not documents (operators/lm.py)."""
+    from dnsflow_clickhouse_spark.operators.lm import token_jsd_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_jsd_pairs(d, "lang", tokens(F.col("text"))).orderBy(
+        "grp_a", "grp_b"
+    )
+
+
+def _jsd_side(own: str, other: str, na: str, nb: str, out: str) -> str:
+    return f"""
+  SELECT p.grp_a, p.grp_b,
+         sum(ca.c * CAST(floor(log2(
+               (CAST(ca.c AS DOUBLE) / CAST(p.{na} AS DOUBLE))
+               / ((CAST(ca.c AS DOUBLE) / CAST(p.{na} AS DOUBLE)
+                   + CAST(coalesce(cb.c, 0) AS DOUBLE)
+                     / CAST(p.{nb} AS DOUBLE)) / 2.0))
+             * 1000000000 + 0.5) AS BIGINT)) AS {out}
+  FROM pairs p JOIN counts ca ON ca.grp = p.{own}
+       LEFT JOIN counts cb ON cb.grp = p.{other} AND cb.tk = ca.tk
+  GROUP BY 1, 2"""
+
+
+_JSD_SQL = f"""
+WITH t AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT lang AS grp, unnest(toks) AS tk FROM t),
+counts AS (SELECT grp, tk, count(*) AS c FROM tok GROUP BY grp, tk),
+totals AS (SELECT grp, sum(c) AS n FROM counts GROUP BY grp),
+pairs AS (SELECT x.grp AS grp_a, x.n AS n_a, y.grp AS grp_b, y.n AS n_b
+          FROM totals x JOIN totals y ON x.grp < y.grp),
+terma AS ({_jsd_side('grp_a', 'grp_b', 'n_a', 'n_b', 'wsum_a')}),
+termb AS ({_jsd_side('grp_b', 'grp_a', 'n_b', 'n_a', 'wsum_b')})
+SELECT p.grp_a, p.grp_b,
+       CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+       CAST(greatest(wsum_a, 0) // (2 * p.n_a)
+            + greatest(wsum_b, 0) // (2 * p.n_b) AS BIGINT) AS jsd_nano,
+       CAST(greatest(wsum_a, 0) // (2 * p.n_a)
+            + greatest(wsum_b, 0) // (2 * p.n_b) AS DOUBLE)
+         / 1000000000 AS jsd_bits
+FROM pairs p JOIN terma USING (grp_a, grp_b) JOIN termb USING (grp_a, grp_b)
+ORDER BY grp_a, grp_b
+"""
+
+EVAL_REGISTRY.update(
+    {
+        "dsir_importance_weights": (dsir_importance_weights, _DSIR_SQL),
+        "lang_token_jsd": (lang_token_jsd, _JSD_SQL),
+    }
+)

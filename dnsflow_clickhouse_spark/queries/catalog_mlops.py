@@ -173,6 +173,33 @@ FROM p WHERE round(inter / (na + nb - inter), 6) >= 0.5
 ORDER BY id_a, id_b
 """
 
+_CONTAIN_PPM = 800_000  # threshold 0.8
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (containment) near-dup pairs at 0.8 over
+    trigram shingles: |A ∩ B| / min(|A|, |B|) — the SUBSUMPTION
+    detector symmetric Jaccard misses (a short doc quoted whole inside
+    a long one has J ~ |A|/|B| but C = 1.0). Runs after the symmetric
+    passes to catch one-sided copies; exact-integer threshold test
+    (operators.dedup.overlap_containment_pairs)."""
+    from dnsflow_clickhouse_spark.operators.dedup import overlap_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return overlap_containment_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+_CONTAIN_SQL = f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, inter,
+       CAST(na AS BIGINT) AS size_a, CAST(nb AS BIGINT) AS size_b,
+       round(inter / least(na, nb), 6) AS containment
+FROM p WHERE inter * 1000000 >= {_CONTAIN_PPM} * least(na, nb)
+ORDER BY id_a, id_b
+"""
+
 
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: exact trigram-Jaccard pairs at
@@ -1364,6 +1391,7 @@ MLOPS_REGISTRY = {
     "minhash_band_buckets": (minhash_band_buckets, _MINHASH_BANDS_SQL),
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
     "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
+    "containment_pairs": (containment_pairs, _CONTAIN_SQL),
     "prefix_jaccard_pairs": (prefix_jaccard_pairs, _JACCARD_SQL),
     "neardup_components": (neardup_components, _COMPONENTS_SQL),
     "neardup_component_census": (neardup_component_census, _CENSUS_SQL),

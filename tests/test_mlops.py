@@ -846,3 +846,32 @@ def test_argmin_assign_arrow_ties_go_to_lowest_cid(spark):
     assert got[0] == (0, 1)  # tie -> lowest cid
     assert got[1] == (0, 16)  # tie -> lowest cid, group 1's books
     assert got[2] == (1, 0)  # exact member of centroid 1
+
+
+def test_overlap_containment_subsumed_doc(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        overlap_containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4"),                    # grams {123, 234}
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),        # 6 grams, contains doc1's
+            (3, "x1 x2 x3 x4"),                    # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in overlap_containment_pairs(
+            df, "doc_id", "text", ngram=3, threshold=0.8
+        ).collect()
+    }
+    # doc1 wholly subsumed by doc2: C = 2/min(2,6) = 1.0
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert (r.inter, r.size_a, r.size_b, r.containment) == (2, 2, 6, 1.0)
+    # ...while symmetric Jaccard = 2/6 misses it at the same threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", ngram=3, threshold=0.8)
+    assert jac.count() == 0
