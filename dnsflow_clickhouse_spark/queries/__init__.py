@@ -8,16 +8,19 @@ outranks stale-but-unchanged attestations): the six CC/prefix-kernel
 queries (kernel-stage fusion + neighbor-min CC seeding), the PQ/IVF-PQ
 / k-means block (sampled driver-side training + Arrow ADC kernels),
 and the five model-evaluation queries (decimal overflow widenings).
-Then the round-2-stale rotation the round-4 verdict asked for — 34 of
-the 43 fit; the 9 deferred to the TOP of the round-6 window are the
-lowest-risk pure-SQL shapes untouched since round 2
-(q11_value_concentration, q12_priority_class_counts,
-range_frame_rolling, null_semantics_report, unpivot_daily_metrics,
-session_stats, doc_length_histogram, event_value_percentiles,
-grouping_sets_events). One changed-code query did not fit:
-event_cooccurrence (a decimal overflow widening, value-identical —
-hash-verified against its oracle at sf0.01 in-round); it joins the
-round-6 head alongside the deferred nine.
+Next the THREE queries that are brand-new this round
+(containment_pairs, dsir_importance_weights, lang_token_jsd) — never-
+attested code outranks everything stale. Then the round-2-stale
+rotation the round-4 verdict asked for — 31 of the 43 fit; the 12
+deferred to the TOP of the round-6 window are the lowest-risk pure-SQL
+shapes untouched since round 2 (q11_value_concentration,
+q12_priority_class_counts, range_frame_rolling, null_semantics_report,
+unpivot_daily_metrics, session_stats, doc_length_histogram,
+event_value_percentiles, grouping_sets_events, doc_token_stats,
+weighted_doc_sample, fuzzy_near_titles). One changed-code query did
+not fit: event_cooccurrence (a decimal overflow widening,
+value-identical — hash-verified against its oracle at sf0.01
+in-round); it joins the round-6 head alongside the deferred twelve.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -87,9 +90,12 @@ _PRIORITY = [
     "ols_tokens_per_char",
     "value_drift_psi",
     "embedding_rp_components",  # rides the changed CC loop (graph.py)
-    # --- round-2-stale rotation (34 of 43; the 9 deferred pure-SQL
+    # --- brand-new this round: never driver-attested ---
+    "containment_pairs",
+    "dsir_importance_weights",
+    "lang_token_jsd",
+    # --- round-2-stale rotation (31 of 43; the 12 deferred pure-SQL
     # shapes lead the round-6 window, see module docstring) ---
-    "doc_token_stats",
     "topk_rollup_chain",
     "ip_function_rollup",
     "cidr_membership_rollup",
@@ -119,8 +125,6 @@ _PRIORITY = [
     "column_profile_events",
     "event_gini_concentration",
     "inverted_index_terms",
-    "weighted_doc_sample",
-    "fuzzy_near_titles",
     "hll_distinct_users",
     "cms_heavy_hitters",
 ]
