@@ -8,19 +8,20 @@ outranks stale-but-unchanged attestations): the six CC/prefix-kernel
 queries (kernel-stage fusion + neighbor-min CC seeding), the PQ/IVF-PQ
 / k-means block (sampled driver-side training + Arrow ADC kernels),
 and the five model-evaluation queries (decimal overflow widenings).
-Next the THREE queries that are brand-new this round
-(containment_pairs, dsir_importance_weights, lang_token_jsd) — never-
-attested code outranks everything stale. Then the round-2-stale
-rotation the round-4 verdict asked for — 31 of the 43 fit; the 12
-deferred to the TOP of the round-6 window are the lowest-risk pure-SQL
-shapes untouched since round 2 (q11_value_concentration,
-q12_priority_class_counts, range_frame_rolling, null_semantics_report,
-unpivot_daily_metrics, session_stats, doc_length_histogram,
-event_value_percentiles, grouping_sets_events, doc_token_stats,
-weighted_doc_sample, fuzzy_near_titles). One changed-code query did
-not fit: event_cooccurrence (a decimal overflow widening,
-value-identical — hash-verified against its oracle at sf0.01
-in-round); it joins the round-6 head alongside the deferred twelve.
+Next the FIVE queries that are brand-new this round
+(containment_pairs, dsir_importance_weights, lang_token_jsd,
+perceptron_train_trace, perceptron_source_score) — never-attested code
+outranks everything stale. Then the round-2-stale rotation the round-4
+verdict asked for — 29 of the 43 fit; the 14 deferred to the TOP of
+the round-6 window are the lowest-risk pure-SQL shapes untouched since
+round 2 (q11_value_concentration, q12_priority_class_counts,
+range_frame_rolling, null_semantics_report, unpivot_daily_metrics,
+session_stats, doc_length_histogram, event_value_percentiles,
+grouping_sets_events, doc_token_stats, weighted_doc_sample,
+fuzzy_near_titles, doc_bpe_tokens, props_json_rollup). One
+changed-code query did not fit: event_cooccurrence (a decimal overflow
+widening, value-identical — hash-verified against its oracle at sf0.01
+in-round); it joins the round-6 head alongside the deferred fourteen.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -94,6 +95,8 @@ _PRIORITY = [
     "containment_pairs",
     "dsir_importance_weights",
     "lang_token_jsd",
+    "perceptron_train_trace",
+    "perceptron_source_score",
     # --- round-2-stale rotation (31 of 43; the 12 deferred pure-SQL
     # shapes lead the round-6 window, see module docstring) ---
     "topk_rollup_chain",
@@ -101,7 +104,6 @@ _PRIORITY = [
     "cidr_membership_rollup",
     "geo_region_rollup",
     "authority_slice_docs",
-    "doc_bpe_tokens",
     "minhash_band_buckets",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
@@ -118,7 +120,6 @@ _PRIORITY = [
     "tfidf_top_terms",
     "quality_quantile_gate",
     "decontamination_report",
-    "props_json_rollup",
     "pack_sequences",
     "group_split_leakproof",
     "pii_redaction_report",

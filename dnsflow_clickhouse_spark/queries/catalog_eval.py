@@ -652,3 +652,167 @@ EVAL_REGISTRY.update(
         "lang_token_jsd": (lang_token_jsd, _JSD_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier (operators/classifier.py): batch
+# perceptron over hashed token features — the model-BASED member of the
+# curation family (the CCNet/fastText-filter shape: train a linear text
+# classifier on a labeled slice, score the whole crawl). Exact integer
+# training, so the oracle unrolls the three epochs as CTEs.
+# ---------------------------------------------------------------------------
+
+_PCT_FEATURES = 256
+_PCT_EPOCHS = 3
+
+
+def _perceptron_parts(spark: SparkSession, sf_dir: str):
+    from dnsflow_clickhouse_spark.operators.classifier import (
+        batch_perceptron_train,
+        hashed_token_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    features = hashed_token_features(
+        d, "doc_id", tokens(F.col("text")), _PCT_FEATURES
+    )
+    labels = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    features = features.localCheckpoint(eager=False)
+    model = batch_perceptron_train(
+        features, labels, _PCT_FEATURES, epochs=_PCT_EPOCHS
+    )
+    return d, features, labels, model
+
+
+def perceptron_train_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-perceptron training trace (epoch, misclassified count,
+    gradient L1 mass, weight L1 mass) for the lang=='en' label over
+    256 hashed token buckets, 3 epochs. The trace is the convergence
+    evidence a curation run records before trusting the filter; every
+    number is an exact integer (see operators/classifier.py)."""
+    _, _, _, model = _perceptron_parts(spark, sf_dir)
+    return spark.createDataFrame(
+        [(int(e), int(m), int(g), int(w)) for e, m, g, w in model.trace],
+        "epoch bigint, n_mis bigint, grad_l1 bigint, w_l1 bigint",
+    ).orderBy("epoch")
+
+
+def perceptron_source_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained perceptron corpus-wide: per source, document
+    count, correctly-classified count (sign agreement with the label),
+    accuracy ppm (exact integer div — numerator nonnegative, so Spark
+    div and DuckDB // agree) and the summed label-weighted margin (no
+    mean: a negative sum under truncating vs flooring division would
+    diverge across engines). One broadcast join + two hash aggregates
+    over the corpus — the single-scan 100 TB scoring pass."""
+    from dnsflow_clickhouse_spark.operators.classifier import score_documents
+
+    d, features, labels, model = _perceptron_parts(spark, sf_dir)
+    scores = score_documents(features, model)
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    return (
+        scores.join(labels, "id")
+        .join(src, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("y") * F.col("score") > 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_correct"),
+            F.sum(F.col("y") * F.col("score")).alias("margin_sum"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.expr("n_correct * 1000000 div n_docs").alias("acc_ppm"),
+            F.col("margin_sum").cast("long").alias("margin_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_PCT_CTES = f"""
+t AS (SELECT doc_id, lang, source, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+feat AS (SELECT doc_id, ({_sql_poly('tok')}) % {_PCT_FEATURES} AS b,
+                count(*) AS c
+         FROM tok GROUP BY doc_id, b),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+        FROM t),
+m1 AS (SELECT DISTINCT f.doc_id, l.y
+       FROM feat f JOIN lab l USING (doc_id)),
+g1 AS (SELECT b, sum(y * c) AS g FROM feat JOIN m1 USING (doc_id)
+       GROUP BY b),
+w1 AS (SELECT b, g AS w FROM g1),
+s2 AS (SELECT f.doc_id, any_value(l.y) AS y,
+              sum(f.c * coalesce(w1.w, 0)) AS score
+       FROM feat f JOIN lab l USING (doc_id) LEFT JOIN w1 USING (b)
+       GROUP BY f.doc_id),
+m2 AS (SELECT doc_id, y FROM s2 WHERE y * score <= 0),
+g2 AS (SELECT b, sum(y * c) AS g FROM feat JOIN m2 USING (doc_id)
+       GROUP BY b),
+w2 AS (SELECT coalesce(w1.b, g2.b) AS b,
+              coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+       FROM w1 FULL JOIN g2 ON w1.b = g2.b),
+s3 AS (SELECT f.doc_id, any_value(l.y) AS y,
+              sum(f.c * coalesce(w2.w, 0)) AS score
+       FROM feat f JOIN lab l USING (doc_id) LEFT JOIN w2 USING (b)
+       GROUP BY f.doc_id),
+m3 AS (SELECT doc_id, y FROM s3 WHERE y * score <= 0),
+g3 AS (SELECT b, sum(y * c) AS g FROM feat JOIN m3 USING (doc_id)
+       GROUP BY b),
+w3 AS (SELECT coalesce(w2.b, g3.b) AS b,
+              coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
+       FROM w2 FULL JOIN g3 ON w2.b = g3.b)
+"""
+
+_PCT_TRACE_SQL = f"""
+WITH {_PCT_CTES}
+SELECT * FROM (
+  SELECT 1 AS epoch,
+         (SELECT CAST(count(*) AS BIGINT) FROM m1) AS n_mis,
+         (SELECT CAST(coalesce(sum(abs(g)), 0) AS BIGINT) FROM g1) AS grad_l1,
+         (SELECT CAST(coalesce(sum(abs(w)), 0) AS BIGINT) FROM w1) AS w_l1
+  UNION ALL
+  SELECT 2,
+         (SELECT CAST(count(*) AS BIGINT) FROM m2),
+         (SELECT CAST(coalesce(sum(abs(g)), 0) AS BIGINT) FROM g2),
+         (SELECT CAST(coalesce(sum(abs(w)), 0) AS BIGINT) FROM w2)
+  UNION ALL
+  SELECT 3,
+         (SELECT CAST(count(*) AS BIGINT) FROM m3),
+         (SELECT CAST(coalesce(sum(abs(g)), 0) AS BIGINT) FROM g3),
+         (SELECT CAST(coalesce(sum(abs(w)), 0) AS BIGINT) FROM w3)
+) ORDER BY epoch
+"""
+
+_PCT_SCORE_SQL = f"""
+WITH {_PCT_CTES},
+sf AS (SELECT f.doc_id, sum(f.c * coalesce(w3.w, 0)) AS score
+       FROM feat f LEFT JOIN w3 USING (b) GROUP BY f.doc_id)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l.y * sf.score > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN l.y * sf.score > 0 THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+       CAST(sum(l.y * sf.score) AS BIGINT) AS margin_sum
+FROM sf JOIN lab l USING (doc_id) JOIN t USING (doc_id)
+GROUP BY t.source ORDER BY t.source
+"""
+
+EVAL_REGISTRY.update(
+    {
+        "perceptron_train_trace": (perceptron_train_trace, _PCT_TRACE_SQL),
+        "perceptron_source_score": (perceptron_source_score, _PCT_SCORE_SQL),
+    }
+)
