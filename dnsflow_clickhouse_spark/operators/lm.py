@@ -353,3 +353,77 @@ def token_entropy_by_group(
         F.expr("wsum div n_tokens").cast("long").alias("entropy_nano"),
         (F.expr("wsum div n_tokens").cast("double") / NANO).alias("entropy_bits"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame, toks: Column, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (the word2phrase
+    stage of word2vec, Mikolov et al. 2013): adjacent token pairs whose
+    joint frequency beats the independence prediction are phrase
+    candidates ("new york", "crude oil") — a tokenizer-vocabulary /
+    phrase-merge input for a corpus pipeline.
+
+    pmi(a,b) = log2( p(a,b) / (p(a) p(b)) )
+             = log2( (c2 * N1 * N1) / (N2 * ca * cb) ),
+    with c2 the adjacent-pair count (N2 total pairs), ca/cb unigram
+    counts (N1 total tokens). ``min_count`` gates rare pairs before
+    any join (the standard practice — PMI explodes on hapax pairs,
+    and the gate also keeps the join input a small fraction of the
+    vocabulary at 100 TB).
+
+    Exactness: the ratio is built in a PINNED order of IEEE double ops
+    (((c2 * N1) * N1) / ((N2 * ca) * cb)) and quantized once to
+    integer micros (psi_report's discipline), so any engine replays it
+    bit-for-bit; ordering and the top-k cut use only exact values.
+
+    Scale shape: one explode + two hash aggregates (pair counts,
+    unigram counts), the totals are one-row frames broadcast into the
+    expression, and the pair->unigram joins move only pairs that
+    survived ``min_count``; the final top-k lowers to
+    TakeOrderedAndProject. No window, no collect.
+
+    Output: a, b, c2, ca, cb, pmi_micro — top ``k`` by
+    (pmi_micro DESC, a, b), a total order.
+    """
+    base = df.select(toks.alias("toks")).filter(F.size("toks") >= 1)
+    base = base.localCheckpoint(eager=False)
+    uni = base.select(F.explode("toks").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    pairs = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS a, toks[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    totals = pairs.agg(F.sum("c2").alias("n2")).crossJoin(
+        uni.agg(F.sum("c1").alias("n1"))
+    )
+    ratio = (
+        (F.col("c2").cast("double") * F.col("n1")) * F.col("n1")
+    ) / ((F.col("n2").cast("double") * F.col("ca")) * F.col("cb"))
+    return (
+        pairs.filter(F.col("c2") >= min_count)
+        .join(uni.withColumnRenamed("t", "a").withColumnRenamed("c1", "ca"), "a")
+        .join(uni.withColumnRenamed("t", "b").withColumnRenamed("c1", "cb"), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "c2",
+            "ca",
+            "cb",
+            _quant_log2(ratio, MICRO).alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "a", "b")
+        .limit(k)
+    )

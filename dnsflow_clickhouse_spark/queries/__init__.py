@@ -8,20 +8,22 @@ outranks stale-but-unchanged attestations): the six CC/prefix-kernel
 queries (kernel-stage fusion + neighbor-min CC seeding), the PQ/IVF-PQ
 / k-means block (sampled driver-side training + Arrow ADC kernels),
 and the five model-evaluation queries (decimal overflow widenings).
-Next the FIVE queries that are brand-new this round
+Next the SEVEN queries that are brand-new this round
 (containment_pairs, dsir_importance_weights, lang_token_jsd,
-perceptron_train_trace, perceptron_source_score) — never-attested code
-outranks everything stale. Then the round-2-stale rotation the round-4
-verdict asked for — 29 of the 43 fit; the 14 deferred to the TOP of
-the round-6 window are the lowest-risk pure-SQL shapes untouched since
-round 2 (q11_value_concentration, q12_priority_class_counts,
+perceptron_train_trace, perceptron_source_score, collocation_pmi_topk,
+embedding_spectrum_power) — never-attested code outranks everything
+stale. Then the round-2-stale rotation the round-4 verdict asked for —
+27 of the 43 fit; the 16 deferred to the TOP of the round-6 window are
+the lowest-risk pure-SQL / map-only shapes untouched since round 2
+(q11_value_concentration, q12_priority_class_counts,
 range_frame_rolling, null_semantics_report, unpivot_daily_metrics,
 session_stats, doc_length_histogram, event_value_percentiles,
 grouping_sets_events, doc_token_stats, weighted_doc_sample,
-fuzzy_near_titles, doc_bpe_tokens, props_json_rollup). One
-changed-code query did not fit: event_cooccurrence (a decimal overflow
-widening, value-identical — hash-verified against its oracle at sf0.01
-in-round); it joins the round-6 head alongside the deferred fourteen.
+fuzzy_near_titles, doc_bpe_tokens, props_json_rollup, chunk_documents,
+pack_sequences). One changed-code query did not fit:
+event_cooccurrence (a decimal overflow widening, value-identical —
+hash-verified against its oracle at sf0.01 in-round); it joins the
+round-6 head alongside the deferred sixteen.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -97,6 +99,8 @@ _PRIORITY = [
     "lang_token_jsd",
     "perceptron_train_trace",
     "perceptron_source_score",
+    "collocation_pmi_topk",
+    "embedding_spectrum_power",
     # --- round-2-stale rotation (31 of 43; the 12 deferred pure-SQL
     # shapes lead the round-6 window, see module docstring) ---
     "topk_rollup_chain",
@@ -113,14 +117,12 @@ _PRIORITY = [
     "lang_id_confusion",
     "doc_fingerprints",
     "multimodal_features",
-    "chunk_documents",
     "repetition_report",
     "temperature_lang_resample",
     "stratified_doc_sample",
     "tfidf_top_terms",
     "quality_quantile_gate",
     "decontamination_report",
-    "pack_sequences",
     "group_split_leakproof",
     "pii_redaction_report",
     "column_profile_events",

@@ -816,3 +816,136 @@ EVAL_REGISTRY.update(
         "perceptron_source_score": (perceptron_source_score, _PCT_SCORE_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (operators/lm.py): the word2phrase stage — adjacent
+# token pairs whose joint frequency beats independence are phrase/merge
+# candidates for a tokenizer vocabulary.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_K = 50
+
+
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over the documents corpus (min pair
+    count 5). Ratio built in a pinned IEEE-double order and quantized
+    once to integer micros (operators/lm.py); top-k lowers to
+    TakeOrderedAndProject."""
+    from dnsflow_clickhouse_spark.operators.lm import pmi_collocations
+
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(
+        d, tokens(F.col("text")), min_count=_PMI_MIN_COUNT, k=_PMI_K
+    )
+
+
+_PMI_SQL = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+base AS (SELECT toks FROM t WHERE len(toks) >= 1),
+uni AS (SELECT tk, count(*) AS c1
+        FROM (SELECT unnest(toks) AS tk FROM base) GROUP BY tk),
+pr AS (SELECT toks[i] AS a, toks[i + 1] AS b
+       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM base WHERE len(toks) >= 2)),
+pairs AS (SELECT a, b, count(*) AS c2 FROM pr GROUP BY a, b),
+tot AS (SELECT (SELECT sum(c2) FROM pairs) AS n2,
+               (SELECT sum(c1) FROM uni) AS n1)
+SELECT p.a, p.b, CAST(p.c2 AS BIGINT) AS c2,
+       CAST(ua.c1 AS BIGINT) AS ca, CAST(ub.c1 AS BIGINT) AS cb,
+       CAST(floor(log2(((CAST(p.c2 AS DOUBLE) * n1) * n1)
+                       / ((CAST(n2 AS DOUBLE) * ua.c1) * ub.c1))
+                  * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+FROM pairs p JOIN uni ua ON ua.tk = p.a JOIN uni ub ON ub.tk = p.b, tot
+WHERE p.c2 >= {_PMI_MIN_COUNT}
+ORDER BY pmi_micro DESC, a, b LIMIT {_PMI_K}
+"""
+
+EVAL_REGISTRY["collocation_pmi_topk"] = (collocation_pmi_topk, _PMI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Embedding spectrum (operators/spectral.py): exact integer Gram +
+# power iteration — the anisotropy/collapse diagnostic run before
+# trusting cosine thresholds on an embedding column.
+# ---------------------------------------------------------------------------
+
+_SPEC_DIM = 64
+_SPEC_ITERS = 3
+
+
+def embedding_spectrum_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenpair of the uncentered second-moment (Gram)
+    matrix of the quantized embeddings, 3 integer power iterations.
+    Per-dimension rows: Gram diagonal, eigvec coordinate (1e6-scaled),
+    plus the constant Rayleigh eigenvalue and its ppm share of the
+    trace (top_share_ppm -> 1e6/dim means isotropic; near 1e6 means
+    collapsed). The Gram pass is the only corpus scan (Arrow partial
+    X^T X per batch); the iteration is exact driver-side model state."""
+    from dnsflow_clickhouse_spark.operators.spectral import (
+        gram_matrix,
+        top_eig_power,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    res = top_eig_power(
+        gram_matrix(e, "embedding", _SPEC_DIM), _SPEC_DIM, iters=_SPEC_ITERS
+    )
+    rows = [
+        (
+            i + 1,
+            int(res.gram_diag[i]),
+            int(res.eigvec_scaled[i]),
+            int(res.top_eig),
+            int(res.top_share_ppm),
+        )
+        for i in range(_SPEC_DIM)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "i bigint, g_diag bigint, v_scaled bigint,"
+        " top_eig bigint, top_share_ppm bigint",
+    ).orderBy("i")
+
+
+def _spec_iter(prev: str, n: int) -> str:
+    return f"""
+u{n} AS (SELECT c.i, sum(c.g * {prev}.v) AS u
+         FROM cell c JOIN {prev} ON {prev}.i = c.j GROUP BY c.i),
+m{n} AS (SELECT max(abs(u)) AS m FROM u{n}),
+v{n} AS (SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                   * ((abs(u) * 1000000) // m) AS v
+         FROM u{n}, m{n})"""
+
+
+_SPEC_SQL = f"""
+WITH e AS (SELECT list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+           FROM embeddings),
+idx AS (SELECT unnest(generate_series(1, {_SPEC_DIM})) AS i),
+cell AS (SELECT ii.i AS i, jj.i AS j, sum(q[ii.i] * q[jj.i]) AS g
+         FROM e, idx ii, idx jj GROUP BY 1, 2),
+v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM idx),
+{_spec_iter('v0', 1)},
+{_spec_iter('v1', 2)},
+{_spec_iter('v2', 3)},
+num AS (SELECT sum(c.g * a.v * b.v) AS n
+        FROM cell c JOIN v3 a ON a.i = c.i JOIN v3 b ON b.i = c.j),
+den AS (SELECT sum(v * v) AS d FROM v3),
+tr AS (SELECT sum(g) AS t FROM cell WHERE i = j)
+SELECT idx.i,
+       CAST(c.g AS BIGINT) AS g_diag,
+       CAST(v3.v AS BIGINT) AS v_scaled,
+       CAST(n // d AS BIGINT) AS top_eig,
+       CAST((n // d) * 1000000 // t AS BIGINT) AS top_share_ppm
+FROM idx
+JOIN cell c ON c.i = idx.i AND c.j = idx.i
+JOIN v3 ON v3.i = idx.i, num, den, tr
+ORDER BY idx.i
+"""
+
+EVAL_REGISTRY["embedding_spectrum_power"] = (
+    embedding_spectrum_power,
+    _SPEC_SQL,
+)

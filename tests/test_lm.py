@@ -137,3 +137,39 @@ def test_token_jsd_partial_overlap_hand_replay(spark):
     assert (r.grp_a, r.grp_b, r.n_a, r.n_b) == ("p", "q", 2, 2)
     assert r.jsd_nano == expect
     assert 0 < r.jsd_bits < 1
+
+
+def test_pmi_collocations_hand_replay(spark):
+    from dnsflow_clickhouse_spark.operators.lm import pmi_collocations
+    from dnsflow_clickhouse_spark.functions.textfn import tokens as _toks
+
+    # doc1: x y x y -> pairs (x,y)x2 (y,x)x1 ; doc2: x y z -> (x,y) (y,z)
+    # c2: (x,y)=3 (y,x)=1 (y,z)=1, N2=5 ; uni: x=3 y=3 z=1, N1=7
+    df = spark.createDataFrame([("x y x y",), ("x y z",)], "text string")
+    rows = pmi_collocations(
+        df, _toks(F.col("text")), min_count=2, k=10
+    ).collect()
+    assert len(rows) == 1  # only (x,y) survives min_count=2
+    r = rows[0]
+    assert (r["a"], r["b"], r["c2"], r["ca"], r["cb"]) == ("x", "y", 3, 3, 3)
+    ratio = ((3.0 * 7) * 7) / ((5.0 * 3) * 3)  # pinned op order
+    assert r["pmi_micro"] == math.floor(math.log2(ratio) * MICRO + 0.5)
+
+
+def test_pmi_min_count_and_ordering(spark):
+    from dnsflow_clickhouse_spark.operators.lm import pmi_collocations
+    from dnsflow_clickhouse_spark.functions.textfn import tokens as _toks
+
+    # "a b" repeated 3x and "c d" repeated 2x inside filler: both pass
+    # min_count=2; the rarer pair has the higher PMI (smaller unigram
+    # mass) and must sort first.
+    df = spark.createDataFrame(
+        [("a b a b a b",), ("c d c d",), ("a filler a filler a",)],
+        "text string",
+    )
+    rows = pmi_collocations(df, _toks(F.col("text")), min_count=2, k=10).collect()
+    got = [(r["a"], r["b"]) for r in rows]
+    assert ("c", "d") in got and ("a", "b") in got
+    assert got.index(("c", "d")) < got.index(("a", "b"))
+    micros = [r["pmi_micro"] for r in rows]
+    assert micros == sorted(micros, reverse=True)
