@@ -374,3 +374,71 @@ def component_census(
             ).cast("int"),
         )
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in
+    a hyperlinked environment") over a bipartite/directed edge set in
+    exact integer micro-units: per iteration auth(d) = Σ_{s→d} hub(s)
+    then hub(s) = Σ_{s→d} auth(d), each half-step rescaled to max 1e6
+    via ``(r * 1e6) div max(r)`` — scores are NONNEGATIVE throughout,
+    so truncating (Spark ``div``) and flooring (DuckDB ``//``) division
+    agree, the same trick that keeps PageRank above oracle-replayable.
+
+    Rescaling by the max (not the L2 norm — sqrt would break integer
+    exactness) bounds every raw sum by 1e6 * max_degree < 2^63 for any
+    real graph, and preserves the score ORDERING, which is what HITS
+    is consumed for (top hubs / top authorities).
+
+    Scale shape mirrors :func:`pagerank_exact`: the loop body is two
+    node-keyed join+sum pairs plus a one-row max broadcast back into
+    the expression; edges materialize once (barrier) and each
+    half-step's scores are barriered so the unrolled lineage stays
+    flat. Returns (hubs, authorities) as (id, hub) / (id, auth).
+    """
+    barrier = _make_barrier(edges.sparkSession, checkpoint_dir)
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    if num_partitions:
+        e = e.repartition(num_partitions, "__s")
+    e = barrier(e)
+    hubs = (
+        e.select(F.col("__s").alias("id"))
+        .distinct()
+        .withColumn("h", F.lit(1_000_000).cast("long"))
+    )
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            hubs.join(e, hubs.id == e.__s)
+            .groupBy("__d")
+            .agg(F.sum("h").alias("__r"))
+        )
+        amax = araw.agg(F.max("__r").alias("__m"))
+        auth = barrier(
+            araw.crossJoin(F.broadcast(amax)).select(
+                F.col("__d").alias("id"),
+                F.expr("(__r * 1000000) div __m").cast("long").alias("a"),
+            )
+        )
+        hraw = (
+            auth.join(e, auth.id == e.__d)
+            .groupBy("__s")
+            .agg(F.sum("a").alias("__r"))
+        )
+        hmax = hraw.agg(F.max("__r").alias("__m"))
+        hubs = barrier(
+            hraw.crossJoin(F.broadcast(hmax)).select(
+                F.col("__s").alias("id"),
+                F.expr("(__r * 1000000) div __m").cast("long").alias("h"),
+            )
+        )
+    return hubs.select("id", F.col("h").alias("hub")), auth.select(
+        "id", F.col("a").alias("auth")
+    )

@@ -364,3 +364,54 @@ DNS5_REGISTRY = {
     "asof_last_click": (asof_last_click, _ASOF_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, _BPE_SQL),
 }
+
+
+def item_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS authorities (3 exact-integer iterations)
+    over the bipartite user -> props.k item graph: items endorsed by
+    users who endorse many well-endorsed items rank highest — the
+    mutually-reinforcing counterpart of item_pagerank's random walk.
+    Max-rescaled integer half-steps replay bit-exactly in any engine
+    (operators/graph.py: hits_scores)."""
+    from dnsflow_clickhouse_spark.operators.graph import hits_scores
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    edges = ev.filter(F.col("k").isNotNull()).select(
+        F.col("user_id").alias("src"), F.col("k").alias("dst")
+    )
+    # item vocabulary is ~100 nodes; size the loop shuffles accordingly
+    _, auth = hits_scores(edges, iterations=3, num_partitions=8)
+    return auth.select(F.col("id").alias("item"), "auth").orderBy(
+        F.col("auth").desc(), "item"
+    )
+
+
+def _hits_iter(h_prev: str, n: int) -> str:
+    return f"""
+a{n}r AS (SELECT d, sum(h) AS r FROM e JOIN {h_prev} ON {h_prev}.id = e.s
+          GROUP BY d),
+a{n} AS (SELECT d AS id, (r * 1000000) // (SELECT max(r) FROM a{n}r) AS a
+         FROM a{n}r),
+h{n}r AS (SELECT s, sum(a) AS r FROM e JOIN a{n} ON a{n}.id = e.d
+          GROUP BY s),
+h{n} AS (SELECT s AS id, (r * 1000000) // (SELECT max(r) FROM h{n}r) AS h
+         FROM h{n}r)"""
+
+
+_HITS_SQL = f"""
+WITH ev AS (SELECT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events),
+e AS (SELECT DISTINCT user_id AS s, k AS d FROM ev WHERE k IS NOT NULL),
+h0 AS (SELECT DISTINCT s AS id, CAST(1000000 AS HUGEINT) AS h FROM e),
+{_hits_iter("h0", 1)},
+{_hits_iter("h1", 2)},
+{_hits_iter("h2", 3)}
+SELECT id AS item, CAST(a AS BIGINT) AS auth FROM a3
+ORDER BY auth DESC, item
+"""
+
+DNS5_REGISTRY["item_hits_authorities"] = (item_hits_authorities, _HITS_SQL)

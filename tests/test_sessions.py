@@ -219,3 +219,37 @@ def test_scd2_history_feeds_asof_join(spark):
         ).collect()
     }
     assert got == {2: "gold", 4: "gold", 9: "silver"}
+
+
+def test_hits_scores_match_python_replay(spark):
+    from dnsflow_clickhouse_spark.operators.graph import hits_scores
+
+    # bipartite graph: u1->{a,b}, u2->{a}, u3->{a,c}; 'a' is the
+    # consensus authority, u1/u3 the strong hubs
+    raw = [(1, "a"), (1, "b"), (2, "a"), (3, "a"), (3, "c"), (1, "a")]
+    edges = spark.createDataFrame(raw, "src long, dst string")
+
+    def replay(iters):
+        e = sorted(set(raw))
+        hubs = {s: 1_000_000 for s, _ in e}
+        auth = {}
+        for _ in range(iters):
+            ar = {}
+            for s, d in e:
+                ar[d] = ar.get(d, 0) + hubs[s]
+            am = max(ar.values())
+            auth = {d: (r * 1_000_000) // am for d, r in ar.items()}
+            hr = {}
+            for s, d in e:
+                hr[s] = hr.get(s, 0) + auth[d]
+            hm = max(hr.values())
+            hubs = {s: (r * 1_000_000) // hm for s, r in hr.items()}
+        return hubs, auth
+
+    h_df, a_df = hits_scores(edges, iterations=3)
+    want_h, want_a = replay(3)
+    assert {r.id: r.hub for r in h_df.collect()} == want_h
+    assert {r.id: r.auth for r in a_df.collect()} == want_a
+    # structural sanity: 'a' dominates, and the max-rescale pins it at 1e6
+    assert want_a["a"] == 1_000_000
+    assert want_a["a"] > want_a["b"] and want_a["a"] > want_a["c"]
