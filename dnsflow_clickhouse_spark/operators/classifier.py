@@ -129,14 +129,19 @@ def batch_perceptron_train(
     weights: dict[int, int] = {}
     trace: list[tuple[int, int, int, int]] = []
     for epoch in range(1, epochs + 1):
-        wdf = _weights_df(spark, weights)
-        mis = (
-            _scores(feats, lab, wdf)
-            .filter(F.col("y") * F.col("score") <= 0)
-            .select("id", "y")
-            .localCheckpoint(eager=False)
-        )
-        n_mis = mis.count()
+        if not weights:
+            # zero weights: every featured document has margin 0 and
+            # counts as misclassified — skip the scoring pass
+            mis = feats.select("id").distinct().join(lab, "id")
+        else:
+            wdf = _weights_df(spark, weights)
+            mis = (
+                _scores(feats, lab, wdf)
+                .filter(F.col("y") * F.col("score") <= 0)
+                .select("id", "y")
+            )
+        mis = mis.localCheckpoint(eager=False)
+        n_mis = mis.count()  # materializes the checkpoint for the join
         grad = (
             feats.join(mis, "id")
             .groupBy("b")
