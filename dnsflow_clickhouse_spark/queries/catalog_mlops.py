@@ -1503,3 +1503,83 @@ MLOPS_REGISTRY["component_aware_shards"] = (
     component_aware_shards,
     _FAM_SHARDS_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced (diversity-preserving) sampling: equal quotas from
+# every embedding cluster instead of frequency-weighted draws — the
+# anti-mode-collapse subsampling step (the cluster-then-sample shape of
+# SemDeDup / DC-style corpus diversification). Composes the
+# deterministic Lloyd k-means with the hash-priority grouped top-K.
+# ---------------------------------------------------------------------------
+
+_CBS_QUOTA = 25
+_CBS_SEED = 3
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quota sample over the k-means partition of the
+    embedding space (k=4, 2 fixed iterations — the same trained
+    quantizer kmeans_cluster_report attests): within each cluster, the
+    25 vectors with the smallest deterministic hash priority win, so
+    reruns are byte-identical and every region of the space keeps
+    representation regardless of its population. One in-row assignment
+    pass + one grouped-top-K window — the established 100 TB shapes."""
+    from pyspark.sql import Window
+
+    from dnsflow_clickhouse_spark.operators.sampling import sample_key
+    from dnsflow_clickhouse_spark.operators.similarity import kmeans_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_quantized(
+        e, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    w = Window.partitionBy("cid").orderBy("pri", "vec_id")
+    return (
+        assigned.select(
+            F.col("id").alias("vec_id"),
+            "cid",
+            sample_key("id", seed=_CBS_SEED).alias("pri"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _CBS_QUOTA)
+        .select("cid", "rk", "vec_id", "pri")
+        .orderBy("cid", "rk")
+    )
+
+
+def _sql_cluster_balanced() -> str:
+    parts, fin = _sql_kmeans_block("b", "q", 64, KMEANS_K, KMEANS_ITERS)
+    sqd = (
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> (q.qv[i] - {fin}.c[i]) * (q.qv[i] - {fin}.c[i]))) AS BIGINT)"
+    )
+    pri = (
+        f"(({_sql_poly('CAST(vec_id AS VARCHAR)', seed=_CBS_SEED)})"
+        f" * 2654435761) % {POLY_MOD} % 1000000"
+    )
+    blocks = ",\n".join(parts)
+    return f"""
+WITH q AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings),
+{blocks},
+asgn AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, {fin}.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sqd}, {fin}.cid) AS rn
+    FROM q CROSS JOIN {fin}) WHERE rn = 1),
+sel AS (
+  SELECT cid, vec_id, {pri} AS pri,
+         row_number() OVER (PARTITION BY cid ORDER BY {pri}, vec_id) AS rk
+  FROM asgn)
+SELECT cid, CAST(rk AS BIGINT) AS rk, vec_id, CAST(pri AS BIGINT) AS pri
+FROM sel WHERE rk <= {_CBS_QUOTA} ORDER BY cid, rk
+"""
+
+
+MLOPS_REGISTRY["cluster_balanced_sample"] = (
+    cluster_balanced_sample,
+    _sql_cluster_balanced(),
+)

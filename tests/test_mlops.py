@@ -875,3 +875,26 @@ def test_overlap_containment_subsumed_doc(spark):
     # ...while symmetric Jaccard = 2/6 misses it at the same threshold
     jac = ngram_jaccard_pairs(df, "doc_id", "text", ngram=3, threshold=0.8)
     assert jac.count() == 0
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from dnsflow_clickhouse_spark.queries.catalog_mlops import (
+        _CBS_QUOTA,
+        cluster_balanced_sample,
+    )
+
+    rows = cluster_balanced_sample(spark, "/root/testdata/sf0.001").collect()
+    per_cid = {}
+    for r in rows:
+        per_cid.setdefault(r.cid, []).append((r.rk, r.vec_id, r.pri))
+    # quota respected per cluster, ranks contiguous from 1, priorities
+    # non-decreasing in rank (the hash-priority ordering)
+    for cid, members in per_cid.items():
+        assert len(members) <= _CBS_QUOTA
+        ranks = [m[0] for m in sorted(members)]
+        assert ranks == list(range(1, len(members) + 1))
+        pris = [m[2] for m in sorted(members)]
+        assert pris == sorted(pris)
+    # byte-identical rerun
+    again = cluster_balanced_sample(spark, "/root/testdata/sf0.001").collect()
+    assert rows == again
