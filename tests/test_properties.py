@@ -224,3 +224,78 @@ def test_lloyd_numpy_matches_python_reference(vals, k, iters):
     rows = [(i, v) for i, v in enumerate(vals)]
     got = _lloyd_numpy([(0, i, v) for i, v in rows], 1, k, iters)[0]
     assert got == _py_lloyd(rows, k, iters), (vals, k, iters)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=1,
+                max_size=6,
+            ),
+            st.sampled_from([1, -1]),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_perceptron_label_flip_antisymmetry(spark, docs):
+    """Negating every label negates the weights and preserves the whole
+    trace (n_mis, grad_l1, w_l1): y*score <= 0 iff (-y)*(-score) <= 0,
+    so the misclassified sets coincide epoch by epoch."""
+    from dnsflow_clickhouse_spark.functions.textfn import tokens
+    from dnsflow_clickhouse_spark.operators.classifier import (
+        batch_perceptron_train,
+        hashed_token_features,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, (toks, _) in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    feats = hashed_token_features(df, "doc_id", tokens(F.col("text")), 8)
+    feats = feats.localCheckpoint(eager=False)
+
+    def lab(sign):
+        return spark.createDataFrame(
+            [(i, sign * y) for i, (_, y) in enumerate(docs)],
+            "id long, y long",
+        )
+
+    m_pos = batch_perceptron_train(feats, lab(1), 8, epochs=2)
+    m_neg = batch_perceptron_train(feats, lab(-1), 8, epochs=2)
+    assert m_pos.trace == m_neg.trace
+    assert {b: -w for b, w in m_pos.weights.items() if w != 0} == {
+        b: w for b, w in m_neg.weights.items() if w != 0
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=10, max_value=13),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_hits_ignores_edge_multiplicity(spark, edges, dup):
+    """HITS runs on the DISTINCT edge set: replicating every edge
+    ``dup`` times must leave hubs and authorities untouched."""
+    from dnsflow_clickhouse_spark.operators.graph import hits_scores
+
+    once = spark.createDataFrame(edges, "src long, dst long")
+    many = spark.createDataFrame(edges * dup, "src long, dst long")
+    h1, a1 = hits_scores(once, iterations=2)
+    h2, a2 = hits_scores(many, iterations=2)
+    assert {r.id: r.hub for r in h1.collect()} == {
+        r.id: r.hub for r in h2.collect()
+    }
+    assert {r.id: r.auth for r in a1.collect()} == {
+        r.id: r.auth for r in a2.collect()
+    }
