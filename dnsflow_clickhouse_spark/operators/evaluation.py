@@ -377,3 +377,81 @@ def psi_from_cells(
             (F.col("psi_pico").cast("double") / 1e12).alias("psi_bits"),
         )
     )
+
+
+def ndcg_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: Column | str,
+    score: Column,
+    rel: Column,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per group (Järvelin & Kekäläinen 2002) — the ranked-
+    retrieval sign-off for a quality scorer: AUC asks "does the score
+    order pairs correctly?", NDCG@k asks "are the TOP slots of the
+    ranking actually relevant?", which is what matters when only the
+    head of the ranking is kept (top-k curation, search, dedup-canon
+    election).
+
+    Exactness discipline: the log discount quantizes PER POSITION to
+    integer micros — disc(r) = floor(1e6 / log2(r + 1) + 0.5), a
+    pinned double op chain on a small integer — and DCG/IDCG are exact
+    integer sums of rel * disc; ndcg_ppm is one nonnegative integer
+    division (NULL when the group has no relevant rows). Both rankings
+    carry total tie-breaks (score DESC then id; ideal: rel DESC, score
+    DESC, id), so any engine replays the exact permutation.
+
+    Scale shape: one shuffle on the group key, two in-partition sorts
+    (actual + ideal rank from the same Exchange — the grouped-top-K
+    window pattern used repo-wide), one hash aggregate.
+
+    Output: group_col, n, n_pos, dcg_micro, idcg_micro, ndcg_ppm.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    base = df.select(
+        F.col(group_col).alias("g"),
+        idc.alias("id"),
+        score.alias("s"),
+        rel.cast("long").alias("r"),
+    )
+    w_actual = Window.partitionBy("g").orderBy(F.col("s").desc(), "id")
+    w_ideal = Window.partitionBy("g").orderBy(
+        F.col("r").desc(), F.col("s").desc(), "id"
+    )
+
+    def disc(rk: Column) -> Column:
+        return F.floor(F.lit(1_000_000.0) / F.log2(rk + 1) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    ranked = base.withColumn("rk1", F.row_number().over(w_actual)).withColumn(
+        "rk2", F.row_number().over(w_ideal)
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("n_pos"),
+        F.sum(
+            F.when(F.col("rk1") <= k, F.col("r") * disc(F.col("rk1"))).otherwise(
+                F.lit(0)
+            )
+        ).alias("dcg_micro"),
+        F.sum(
+            F.when(F.col("rk2") <= k, F.col("r") * disc(F.col("rk2"))).otherwise(
+                F.lit(0)
+            )
+        ).alias("idcg_micro"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("dcg_micro").cast("long").alias("dcg_micro"),
+        F.col("idcg_micro").cast("long").alias("idcg_micro"),
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.expr(f"dcg_micro * {PPM} div idcg_micro"),
+        )
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )

@@ -949,3 +949,61 @@ EVAL_REGISTRY["embedding_spectrum_power"] = (
     embedding_spectrum_power,
     _SPEC_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 (operators/evaluation.py): the ranked-retrieval sign-off —
+# AUC orders pairs, NDCG grades the TOP slots, which is what matters
+# when only the head of a ranking survives (top-k curation).
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+def ranking_ndcg_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the hash pseudo-score against the lang='en' label,
+    per source slice — integer micro discounts, exact DCG/IDCG sums,
+    total tie-breaks both rankings (operators/evaluation.py)."""
+    from dnsflow_clickhouse_spark.operators.evaluation import ndcg_by_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return ndcg_by_group(
+        d,
+        "source",
+        "doc_id",
+        sample_key("doc_id", seed=7),
+        (F.col("lang") == "en").cast("long"),
+        k=_NDCG_K,
+    ).orderBy("source")
+
+
+_NDCG_SQL = f"""
+WITH sc AS (
+  SELECT source AS g, doc_id, ({_SQL_SAMPLE_KEY}) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r
+  FROM documents),
+rk AS (
+  SELECT g, r,
+         row_number() OVER (PARTITION BY g ORDER BY s DESC, doc_id) AS rk1,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY r DESC, s DESC, doc_id) AS rk2
+  FROM sc),
+a AS (
+  SELECT g, count(*) AS n, sum(r) AS n_pos,
+         sum(CASE WHEN rk1 <= {_NDCG_K}
+                  THEN r * CAST(floor(1000000.0 / log2(rk1 + 1) + 0.5)
+                                AS BIGINT) ELSE 0 END) AS dcg_micro,
+         sum(CASE WHEN rk2 <= {_NDCG_K}
+                  THEN r * CAST(floor(1000000.0 / log2(rk2 + 1) + 0.5)
+                                AS BIGINT) ELSE 0 END) AS idcg_micro
+  FROM rk GROUP BY g)
+SELECT g AS source, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(dcg_micro AS BIGINT) AS dcg_micro,
+       CAST(idcg_micro AS BIGINT) AS idcg_micro,
+       CAST(CASE WHEN idcg_micro > 0
+                 THEN dcg_micro * {PPM} // idcg_micro END AS BIGINT)
+         AS ndcg_ppm
+FROM a ORDER BY source
+"""
+
+EVAL_REGISTRY["ranking_ndcg_by_source"] = (ranking_ndcg_by_source, _NDCG_SQL)

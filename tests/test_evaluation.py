@@ -194,3 +194,35 @@ def test_psi_report_hand_replay_and_zero_drift(spark):
     assert out["g2"].psi_pico == psi_pico([5, 5], [5, 5]) == 0
     assert out["g3"].psi_pico == psi_pico([9, 0], [3, 0])
     assert (out["g3"].n_ref, out["g3"].n_cur) == (9, 3)
+
+
+def test_ndcg_hand_replay_and_edge_cases(spark):
+    import math
+
+    from dnsflow_clickhouse_spark.operators.evaluation import ndcg_by_group
+
+    # g1: actual ranking by score desc = [1(rel),2,3(rel),4]; k=2 ->
+    # DCG = disc(1); ideal top-2 = both relevant -> IDCG = disc(1)+disc(2)
+    # g2: perfect ranking -> ndcg == 1e6 ; g3: no relevant -> NULL
+    rows = [
+        ("g1", 1, 90, 1), ("g1", 2, 80, 0), ("g1", 3, 70, 1), ("g1", 4, 60, 0),
+        ("g2", 5, 99, 1), ("g2", 6, 50, 0),
+        ("g3", 7, 10, 0), ("g3", 8, 20, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, s long, r long")
+    out = {
+        r["g"]: r
+        for r in ndcg_by_group(
+            df, "g", "id", F.col("s"), F.col("r"), k=2
+        ).collect()
+    }
+
+    def disc(rk):
+        return math.floor(1_000_000.0 / math.log2(rk + 1) + 0.5)
+
+    g1 = out["g1"]
+    assert (g1["dcg_micro"], g1["idcg_micro"]) == (disc(1), disc(1) + disc(2))
+    assert g1["ndcg_ppm"] == disc(1) * 1_000_000 // (disc(1) + disc(2))
+    assert out["g2"]["ndcg_ppm"] == 1_000_000  # perfect ranking
+    assert out["g3"]["ndcg_ppm"] is None  # no relevant rows: undefined
+    assert out["g3"]["idcg_micro"] == 0
