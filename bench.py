@@ -118,9 +118,36 @@ def _dns_batch(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
     return wall, per_report
 
 
+def _idle_gate() -> float:
+    """Bounded wait for the box to go quiet before timing anything.
+
+    The official per-round artifact is produced by an external harness
+    that typically runs this right after a full pytest + oracle sweep —
+    i.e. with minutes of 32-thread load still draining from the 1-min
+    average. Round 4 shipped a ~29% noise-inflated artifact exactly
+    this way. Gate: poll until load_1m < SPARK_GRAFT_IDLE_GATE
+    (default 1.0; 0 disables) or SPARK_GRAFT_IDLE_WAIT_MAX seconds
+    (default 240) elapse, whichever first. Returns seconds waited so
+    the artifact records it.
+    """
+    threshold = float(os.environ.get("SPARK_GRAFT_IDLE_GATE", "1.0"))
+    cap = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_MAX", "240"))
+    if threshold <= 0:
+        return 0.0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < cap:
+        load = _loadavg()
+        if load < threshold:
+            break
+        print(f"# idle-gate: load_1m={load}, waiting", file=sys.stderr)
+        time.sleep(15)
+    return round(time.perf_counter() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else None
+    idle_waited = _idle_gate()
     spark = get_spark(app_name="dnsflow-bench")
     load_start = _loadavg()
 
@@ -151,6 +178,7 @@ def main() -> None:
         "policy": "min-of-2-passes+rerun-on-1.5x-disagree",
         "load_1m": [load_start, load_end],
         "n_third_runs": len(third_runs),
+        "idle_gate_waited_s": idle_waited,
     }
 
     detail = {
