@@ -8,25 +8,25 @@ outranks stale-but-unchanged attestations): the six CC/prefix-kernel
 queries (kernel-stage fusion + neighbor-min CC seeding), the PQ/IVF-PQ
 / k-means block (sampled driver-side training + Arrow ADC kernels),
 and the five model-evaluation queries (decimal overflow widenings).
-Next the TEN queries that are brand-new this round
+Next the ELEVEN queries that are brand-new this round
 (containment_pairs, dsir_importance_weights, lang_token_jsd,
 perceptron_train_trace, perceptron_source_score, collocation_pmi_topk,
 embedding_spectrum_power, item_hits_authorities,
-cluster_balanced_sample, ranking_ndcg_by_source) — never-attested code
-outranks everything stale. Then the round-2-stale rotation the round-4
-verdict asked for — 24 of the 43 fit; the 19 deferred to the TOP of
-the round-6 window are the lowest-risk pure-SQL / map-only shapes
-untouched since round 2 (q11_value_concentration,
+cluster_balanced_sample, ranking_ndcg_by_source, qps_anomaly_report) —
+never-attested code outranks everything stale. Then the round-2-stale
+rotation the round-4 verdict asked for — 23 of the 43 fit; the 20
+deferred to the TOP of the round-6 window are the lowest-risk pure-SQL
+/ map-only shapes untouched since round 2 (q11_value_concentration,
 q12_priority_class_counts, range_frame_rolling, null_semantics_report,
 unpivot_daily_metrics, session_stats, doc_length_histogram,
 event_value_percentiles, grouping_sets_events, doc_token_stats,
 weighted_doc_sample, fuzzy_near_titles, doc_bpe_tokens,
 props_json_rollup, chunk_documents, pack_sequences,
-stratified_doc_sample, temperature_lang_resample, doc_fingerprints).
-One changed-code query did not fit: event_cooccurrence (a decimal
-overflow widening, value-identical — hash-verified against its oracle
-at sf0.01 in-round); it joins the round-6 head alongside the deferred
-nineteen.
+stratified_doc_sample, temperature_lang_resample, doc_fingerprints,
+repetition_report). One changed-code query did not fit:
+event_cooccurrence (a decimal overflow widening, value-identical —
+hash-verified against its oracle at sf0.01 in-round); it joins the
+round-6 head alongside the deferred twenty.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -107,6 +107,7 @@ _PRIORITY = [
     "item_hits_authorities",
     "cluster_balanced_sample",
     "ranking_ndcg_by_source",
+    "qps_anomaly_report",
     # --- round-2-stale rotation (31 of 43; the 12 deferred pure-SQL
     # shapes lead the round-6 window, see module docstring) ---
     "topk_rollup_chain",
@@ -122,7 +123,6 @@ _PRIORITY = [
     "embedding_ivf_ann",
     "lang_id_confusion",
     "multimodal_features",
-    "repetition_report",
     "tfidf_top_terms",
     "quality_quantile_gate",
     "decontamination_report",

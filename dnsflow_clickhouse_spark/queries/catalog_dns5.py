@@ -415,3 +415,100 @@ ORDER BY auth DESC, item
 """
 
 DNS5_REGISTRY["item_hits_authorities"] = (item_hits_authorities, _HITS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive QPS anomaly detection: each (day, hour-of-day) bucket
+# vs the expanding average of PRIOR days' same-hour counts — the ops
+# alarm a DNS analytics deployment runs on the A1 QPS rollup (traffic
+# is hour-of-day seasonal, so "same hour, previous days" is the right
+# baseline; a plain trailing window would alarm every diurnal ramp).
+# ---------------------------------------------------------------------------
+
+_ANOM_MIN_HISTORY = 7  # require a week of same-hour history
+_ANOM_THRESHOLD_PPM = 500_000  # |count - baseline| >= 50% of baseline
+
+
+def qps_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, hour) buckets whose event count deviates >= 50% from the
+    average of all prior days' same-hour counts (>= 7 days history).
+    Exactness: the deviation test cross-multiplies instead of dividing
+    (|cnt * n_prior - sum_prior| * 1e6 div sum_prior, numerator widened
+    to decimal so ~1e10-events/hour deployments cannot wrap int64);
+    every quantity is a nonnegative integer, so truncating and flooring
+    division agree. One hash agg + one expanding window partitioned by
+    hour-of-day (24 partitions of day-count length — trivially
+    redistributable at any scale)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("ep")
+    )
+    return anomalies_from_epochs(ev)
+
+
+def anomalies_from_epochs(ev: DataFrame) -> DataFrame:
+    """Core of qps_anomaly_report over a frame with one ``ep`` (epoch
+    seconds) column — split out so fixtures can drive it directly."""
+    hc = (
+        ev.select(
+            F.floor(F.col("ep") / 86400).cast("long").alias("day"),
+            (F.floor(F.col("ep") / 3600) % 24).cast("long").alias("hod"),
+        )
+        .groupBy("day", "hod")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("hod")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = hc.select(
+        "day",
+        "hod",
+        "cnt",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prior"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias(
+            "sum_prior"
+        ),
+    )
+    return (
+        scored.filter(F.col("n_prior") >= _ANOM_MIN_HISTORY)
+        .withColumn(
+            "dev_ppm",
+            F.expr(
+                "abs(CAST(cnt AS DECIMAL(38,0)) * n_prior - sum_prior)"
+                " * 1000000 div sum_prior"
+            ).cast("long"),
+        )
+        .filter(F.col("dev_ppm") >= _ANOM_THRESHOLD_PPM)
+        .orderBy("day", "hod")
+    )
+
+
+_ANOM_SQL = f"""
+WITH hc AS (
+  SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) % 24 AS BIGINT) AS hod,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+sc AS (
+  SELECT day, hod, cnt,
+         count(*) OVER (PARTITION BY hod ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS n_prior,
+         coalesce(sum(cnt) OVER (PARTITION BY hod ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS sum_prior
+  FROM hc)
+SELECT day, hod, CAST(cnt AS BIGINT) AS cnt,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       CAST(sum_prior AS BIGINT) AS sum_prior,
+       CAST(abs(CAST(cnt AS HUGEINT) * n_prior - sum_prior) * 1000000
+            // sum_prior AS BIGINT) AS dev_ppm
+FROM sc
+WHERE n_prior >= {_ANOM_MIN_HISTORY}
+  AND abs(CAST(cnt AS HUGEINT) * n_prior - sum_prior) * 1000000
+      >= {_ANOM_THRESHOLD_PPM} * CAST(sum_prior AS HUGEINT)
+ORDER BY day, hod
+"""
+
+DNS5_REGISTRY["qps_anomaly_report"] = (qps_anomaly_report, _ANOM_SQL)

@@ -253,3 +253,27 @@ def test_hits_scores_match_python_replay(spark):
     # structural sanity: 'a' dominates, and the max-rescale pins it at 1e6
     assert want_a["a"] == 1_000_000
     assert want_a["a"] > want_a["b"] and want_a["a"] > want_a["c"]
+
+
+def test_qps_anomaly_seasonal_baseline(spark):
+    from dnsflow_clickhouse_spark.queries.catalog_dns5 import (
+        anomalies_from_epochs,
+    )
+
+    # hour-of-day 5: days 0..8 carry 10 events each, day 9 spikes to 20
+    # (dev = |20*9 - 90| * 1e6 / 90 = 1e6). Hour 6 is flat: no rows.
+    rows = []
+    for day in range(10):
+        n = 20 if day == 9 else 10
+        rows += [(day * 86400 + 5 * 3600 + i,) for i in range(n)]
+        rows += [(day * 86400 + 6 * 3600 + i,) for i in range(10)]
+    out = anomalies_from_epochs(
+        spark.createDataFrame(rows, "ep long")
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["day"], r["hod"], r["cnt"], r["n_prior"], r["sum_prior"]) == (
+        9, 5, 20, 9, 90,
+    )
+    assert r["dev_ppm"] == 1_000_000
+    # days 0-7 have < 7 days of history and are never scored
