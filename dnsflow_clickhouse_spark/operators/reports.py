@@ -372,3 +372,51 @@ def user_tags(middle: DataFrame, dims: EnrichDims) -> DataFrame:
     return known.groupBy("userName").agg(
         F.array_distinct(F.flatten(F.collect_list("tags3"))).alias("tags")
     )
+
+
+def seasonal_hour_anomalies(
+    hour_counts: DataFrame,
+    min_history: int = 7,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Seasonal-naive anomaly scoring over (day, hod, cnt) hour-bucket
+    counts: each bucket vs the expanding average of PRIOR days'
+    same-hour counts (DNS traffic is diurnal — a same-hour baseline is
+    the one that does not alarm every ramp). Exactness: the deviation
+    test cross-multiplies (|cnt * n_prior - sum_prior| * 1e6 div
+    sum_prior) with a decimal-widened numerator, all quantities
+    nonnegative integers, so any engine replays it. One expanding
+    window over 24 hour-of-day partitions of day-count length.
+
+    Shared by the batch query (queries/catalog_dns5.qps_anomaly_report)
+    and the streaming fold (streaming/pipeline.streaming_qps_anomaly) —
+    the batch ≡ streaming parity contract of the pipeline module.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("hod")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = hour_counts.select(
+        "day",
+        "hod",
+        "cnt",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prior"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias(
+            "sum_prior"
+        ),
+    )
+    return (
+        scored.filter(F.col("n_prior") >= min_history)
+        .withColumn(
+            "dev_ppm",
+            F.expr(
+                "abs(CAST(cnt AS DECIMAL(38,0)) * n_prior - sum_prior)"
+                " * 1000000 div sum_prior"
+            ).cast("long"),
+        )
+        .filter(F.col("dev_ppm") >= threshold_ppm)
+        .orderBy("day", "hod")
+    )

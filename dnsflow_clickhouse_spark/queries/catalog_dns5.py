@@ -445,10 +445,11 @@ def qps_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomalies_from_epochs(ev)
 
 
-def anomalies_from_epochs(ev: DataFrame) -> DataFrame:
-    """Core of qps_anomaly_report over a frame with one ``ep`` (epoch
-    seconds) column — split out so fixtures can drive it directly."""
-    hc = (
+def bucket_hour_counts(ev: DataFrame) -> DataFrame:
+    """(day, hod, cnt) hour buckets from a frame with one ``ep``
+    (epoch seconds) column — the map+agg half shared with the
+    streaming fold."""
+    return (
         ev.select(
             F.floor(F.col("ep") / 86400).cast("long").alias("day"),
             (F.floor(F.col("ep") / 3600) % 24).cast("long").alias("hod"),
@@ -456,31 +457,19 @@ def anomalies_from_epochs(ev: DataFrame) -> DataFrame:
         .groupBy("day", "hod")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = (
-        Window.partitionBy("hod")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, -1)
+
+
+def anomalies_from_epochs(ev: DataFrame) -> DataFrame:
+    """Core of qps_anomaly_report over a frame with one ``ep`` (epoch
+    seconds) column — split out so fixtures and the streaming parity
+    test can drive it directly (scoring: operators/reports.py:
+    seasonal_hour_anomalies)."""
+    from dnsflow_clickhouse_spark.operators.reports import (
+        seasonal_hour_anomalies,
     )
-    scored = hc.select(
-        "day",
-        "hod",
-        "cnt",
-        F.count(F.lit(1)).over(w).cast("long").alias("n_prior"),
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias(
-            "sum_prior"
-        ),
-    )
-    return (
-        scored.filter(F.col("n_prior") >= _ANOM_MIN_HISTORY)
-        .withColumn(
-            "dev_ppm",
-            F.expr(
-                "abs(CAST(cnt AS DECIMAL(38,0)) * n_prior - sum_prior)"
-                " * 1000000 div sum_prior"
-            ).cast("long"),
-        )
-        .filter(F.col("dev_ppm") >= _ANOM_THRESHOLD_PPM)
-        .orderBy("day", "hod")
+
+    return seasonal_hour_anomalies(
+        bucket_hour_counts(ev), _ANOM_MIN_HISTORY, _ANOM_THRESHOLD_PPM
     )
 
 

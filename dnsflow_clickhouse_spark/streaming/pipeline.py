@@ -442,3 +442,39 @@ def streaming_psi(
         )
     )
     return psi_from_cells(cells, group_col, n_buckets)
+
+
+def merge_hour_counts(state: DataFrame | None, batch_counts: DataFrame) -> DataFrame:
+    """Cross-batch (day, hod, cnt) hour-bucket state for streaming
+    anomaly detection: additive fold (union + sum), state bounded by
+    days x 24 rows. Like merge_hist_state this is NOT replay-idempotent
+    (counts re-add) — pair with the idempotent batch-id sink when
+    retries are possible."""
+    from pyspark.sql import functions as F
+
+    if state is None:
+        return batch_counts
+    return (
+        state.unionByName(batch_counts)
+        .groupBy("day", "hod")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def streaming_qps_anomaly(
+    counts: DataFrame,
+    min_history: int = 7,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """Seasonal-naive anomaly report over the folded hour-count state —
+    the streaming face of queries/catalog_dns5.qps_anomaly_report,
+    scoring on day x 24-sized frames only (no history rescans, no
+    fact-table pass). Because the fold is additive and the scorer is a
+    pure function of the folded counts, the batch and streaming paths
+    are value-identical once the same events have arrived (parity
+    test in tests/test_streaming.py)."""
+    from dnsflow_clickhouse_spark.operators.reports import (
+        seasonal_hour_anomalies,
+    )
+
+    return seasonal_hour_anomalies(counts, min_history, threshold_ppm)

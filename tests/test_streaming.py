@@ -530,3 +530,32 @@ def test_streaming_psi_fold_matches_batch(spark):
         assert (got[g].n_ref, got[g].n_cur) == (want[g].n_ref, want[g].n_cur)
     # y's current slice abandoned bucket 0 entirely -> strong drift
     assert got["y"].psi_bits > 1
+
+
+def test_streaming_anomaly_matches_batch(spark):
+    """Fold the same epochs through 3 micro-batches: the streaming
+    anomaly report must equal the batch query's, row for row."""
+    from dnsflow_clickhouse_spark.queries.catalog_dns5 import (
+        anomalies_from_epochs,
+        bucket_hour_counts,
+    )
+    from dnsflow_clickhouse_spark.streaming.pipeline import (
+        merge_hour_counts,
+        streaming_qps_anomaly,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for day in range(10):
+        n = 22 if day == 9 else 10
+        rows += [(day * 86400 + 5 * 3600 + i,) for i in range(n)]
+    ev = spark.createDataFrame(rows, "ep long")
+    batch = anomalies_from_epochs(ev).collect()
+
+    state = None
+    for k in range(3):  # deterministic 3-way split, batches overlap days
+        part = ev.filter(F.col("ep") % 3 == k)
+        state = merge_hour_counts(state, bucket_hour_counts(part))
+    stream = streaming_qps_anomaly(state).collect()
+    assert stream == batch
+    assert len(batch) == 1 and batch[0]["cnt"] == 22
