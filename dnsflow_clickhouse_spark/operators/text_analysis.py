@@ -70,15 +70,26 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def _round6(x: Column) -> Column:
+    """6-decimal rounding BOTH engines compute on the actual double:
+    floor(x * 1e6 + 0.5) / 1e6. Spark's ``round`` is HALF_UP on the
+    SHORTEST DECIMAL STRING of the double (BigDecimal.valueOf), DuckDB's
+    on the numeric value — a score whose shortest string lands exactly
+    on a 7th-decimal 5 (e.g. "0.5006875") rounds differently in the two
+    engines (caught live at sf0.1: 3 documents hashed 0.500688 vs
+    0.500687). The floor form has no string detour; the final /1e6 is
+    one IEEE division both engines perform identically."""
+    return F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality: length, alnum-ness, stopword-ness. The
     expression shape is fixed so cross-engine doubles agree."""
     toks = token_count(text).cast("double")
-    return F.round(
+    return _round6(
         F.lit(0.3) * F.least(F.lit(1.0), toks / F.lit(200.0))
         + F.lit(0.4) * (F.lit(1.0) - non_alnum_ratio(text))
-        + F.lit(0.3) * stopword_ratio(text),
-        6,
+        + F.lit(0.3) * stopword_ratio(text)
     )
 
 
@@ -135,14 +146,13 @@ def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.col("__toks")
     n_toks = F.col("toks")
     sw_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS_EN)))
-    quality = F.round(
+    quality = _round6(
         F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / F.lit(200.0))
         + F.lit(0.4) * (F.lit(1.0) - non_alnum_ratio(t))
         + F.lit(0.3)
         * F.when(n_toks == 0, F.lit(0.0)).otherwise(
             sw_hits.cast("double") / n_toks.cast("double")
-        ),
-        6,
+        )
     )
     return (
         df.withColumn("__toks", tokens(t))
@@ -166,14 +176,13 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     from dnsflow_clickhouse_spark.functions.textfn import STOPWORDS_EN
 
     sw_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS_EN)))
-    quality = F.round(
+    quality = _round6(
         F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / F.lit(200.0))
         + F.lit(0.4) * (F.lit(1.0) - non_alnum_ratio(t))
         + F.lit(0.3)
         * F.when(n_toks == 0, F.lit(0.0)).otherwise(
             sw_hits.cast("double") / n_toks.cast("double")
-        ),
-        6,
+        )
     )
     out = df.withColumn("__toks", tokens(t)).withColumn(
         "toks", F.size(toks).cast("long")

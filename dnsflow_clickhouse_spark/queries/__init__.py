@@ -13,20 +13,27 @@ Next the ELEVEN queries that are brand-new this round
 perceptron_train_trace, perceptron_source_score, collocation_pmi_topk,
 embedding_spectrum_power, item_hits_authorities,
 cluster_balanced_sample, ranking_ndcg_by_source, qps_anomaly_report) —
-never-attested code outranks everything stale. Then the round-2-stale
-rotation the round-4 verdict asked for — 23 of the 43 fit; the 20
-deferred to the TOP of the round-6 window are the lowest-risk pure-SQL
-/ map-only shapes untouched since round 2 (q11_value_concentration,
+never-attested code outranks everything stale. Then the FOUR
+quality-rounding-fix consumers not already in the window
+(quality_feature_matrix, per_source_caps, curation_funnel,
+doc_quality_score — the text_analysis._round6 change altered
+round-boundary values; quality_quantile_gate, the fifth consumer, was
+already windowed, and the whole catalog was re-verified at BOTH
+sf0.01 and sf0.1 in-round). Then the round-2-stale rotation the
+round-4 verdict asked for — 19 of the 43 fit; the 24 deferred to the
+TOP of the round-6 window are the lowest-risk pure-SQL / map-only
+shapes untouched since round 2 (q11_value_concentration,
 q12_priority_class_counts, range_frame_rolling, null_semantics_report,
 unpivot_daily_metrics, session_stats, doc_length_histogram,
 event_value_percentiles, grouping_sets_events, doc_token_stats,
 weighted_doc_sample, fuzzy_near_titles, doc_bpe_tokens,
 props_json_rollup, chunk_documents, pack_sequences,
 stratified_doc_sample, temperature_lang_resample, doc_fingerprints,
-repetition_report). One changed-code query did not fit:
-event_cooccurrence (a decimal overflow widening, value-identical —
-hash-verified against its oracle at sf0.01 in-round); it joins the
-round-6 head alongside the deferred twenty.
+repetition_report, topk_rollup_chain, ip_function_rollup,
+authority_slice_docs, simhash_docs). One changed-code query did not
+fit: event_cooccurrence (a decimal overflow widening, value-identical
+— hash-verified against its oracle at sf0.01 in-round); it joins the
+round-6 head alongside the deferred twenty-four.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -108,17 +115,21 @@ _PRIORITY = [
     "cluster_balanced_sample",
     "ranking_ndcg_by_source",
     "qps_anomaly_report",
+    # --- quality-rounding fix (text_analysis._round6): every consumer
+    # of the scored quality changed value on round-boundary docs; the
+    # two windowed ones (doc_quality_score, quality_quantile_gate) are
+    # above, these three re-enter for same-round attestation ---
+    "quality_feature_matrix",
+    "per_source_caps",
+    "curation_funnel",
+    "doc_quality_score",
     # --- round-2-stale rotation (31 of 43; the 12 deferred pure-SQL
     # shapes lead the round-6 window, see module docstring) ---
-    "topk_rollup_chain",
-    "ip_function_rollup",
     "cidr_membership_rollup",
     "geo_region_rollup",
-    "authority_slice_docs",
     "minhash_band_buckets",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
-    "simhash_docs",
     "simhash_near_docs",
     "embedding_ivf_ann",
     "lang_id_confusion",

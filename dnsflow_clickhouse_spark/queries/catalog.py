@@ -619,15 +619,15 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS toks,
-       round(
+       floor((
          0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 200.0)
          + 0.4 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
               ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                    / CAST(length(text) AS DOUBLE) END))
          + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0
               ELSE CAST(len(list_filter(toks, t -> lower(t) IN ({_SW_LIST}))) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE) END),
-         6) AS quality
+                   / CAST(len(toks) AS DOUBLE) END)
+         ) * 1000000 + 0.5) / 1000000 AS quality
 FROM t
 ORDER BY doc_id
 """

@@ -149,15 +149,15 @@ def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dnsflow_clickhouse_spark.functions.textfn import STOPWORDS_EN as _SW
 
 _SW_LIST = ", ".join(f"'{w}'" for w in _SW)
-_QUALITY_EXPR = rf"""round(
+_QUALITY_EXPR = rf"""floor((
   0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 200.0)
   + 0.4 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
        ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
             / CAST(length(text) AS DOUBLE) END))
   + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0
        ELSE CAST(len(list_filter(toks, t -> lower(t) IN ({_SW_LIST}))) AS DOUBLE)
-            / CAST(len(toks) AS DOUBLE) END),
-  6)"""
+            / CAST(len(toks) AS DOUBLE) END)
+  ) * 1000000 + 0.5) / 1000000"""
 
 _QUANTILE_GATE_SQL = rf"""
 WITH t AS (

@@ -142,15 +142,15 @@ WITH t AS (
 ),
 q AS (
   SELECT doc_id, source,
-         round(
+         floor((
            0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 200.0)
            + 0.4 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
                 ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                      / CAST(length(text) AS DOUBLE) END))
            + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0
                 ELSE CAST(len(list_filter(toks, x -> lower(x) IN ({_SW_LIST2}))) AS DOUBLE)
-                     / CAST(len(toks) AS DOUBLE) END),
-           6) AS quality
+                     / CAST(len(toks) AS DOUBLE) END)
+           ) * 1000000 + 0.5) / 1000000 AS quality
   FROM t
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY source

@@ -189,3 +189,36 @@ def test_normalize_text(spark):
     )
     got = [r[0] for r in df.select(normalize_text("t")).collect()]
     assert got == ["hello world", "hello world", "hello world", ""]
+
+
+def test_round6_is_engine_portable_on_half_boundaries(spark):
+    """Spark's round() HALF_UPs the shortest decimal STRING of a double
+    ("0.5006875" -> 0.500688) while DuckDB and python round the actual
+    double (0.50068749999... -> 0.500687) — caught live at sf0.1 on 3
+    quality scores. _round6 must agree with the numeric-value rounding
+    in all three engines on exactly these boundary doubles."""
+    import math
+
+    import duckdb
+
+    from dnsflow_clickhouse_spark.operators.text_analysis import _round6
+
+    vals = [0.5006875, 0.1234565, 0.9999995, 0.2500005, 0.0, 1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["y"] for r in df.select(_round6(F.col("x")).alias("y")).collect()
+    ]
+    want_py = [math.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+    want_duck = [
+        duckdb.sql(
+            f"SELECT floor(CAST({v!r} AS DOUBLE) * 1000000 + 0.5) / 1000000"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want_py == want_duck
+    # and the old F.round really does diverge on the first value — the
+    # reason _round6 exists (if Spark ever fixes this, revisit)
+    diverges = (
+        df.limit(1).select(F.round(F.lit(0.5006875), 6).alias("r")).collect()
+    )
+    assert diverges[0]["r"] == 0.500688 != want_py[0]
