@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from dnsflow_clickhouse_spark.functions.textfn import tokens
 from dnsflow_clickhouse_spark.operators.dedup import ngrams_from_tokens
 
@@ -57,7 +59,7 @@ def tf_idf_top_terms(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rn")
+        .select("doc_id", "term", "tf", "df", portable_round(F.col("score"), 6).alias("score"), "rn")
     )
 
 

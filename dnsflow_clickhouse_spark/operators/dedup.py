@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
@@ -588,7 +590,7 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", portable_round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "jaccard")
     )
@@ -651,7 +653,7 @@ def overlap_containment_pairs(
             "inter",
             F.col("size_a").cast("long").alias("size_a"),
             F.col("size_b").cast("long").alias("size_b"),
-            F.round(
+            portable_round(
                 F.col("inter") / F.least("size_a", "size_b"), 6
             ).alias("containment"),
         )
@@ -971,7 +973,7 @@ def prefix_filtered_jaccard_pairs(
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        verified.withColumn("jaccard", F.round(jac, 6))
+        verified.withColumn("jaccard", portable_round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "jaccard")
     )

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from dnsflow_clickhouse_spark.operators.util import cpu_repartition
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -534,7 +536,7 @@ def hyperplane_lsh_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(
+        portable_round(
             int_dot_pandas(F.col("qv"), F.col("cv")).cast("double")
             / (F.col("qn") * F.col("cn")),
             6,

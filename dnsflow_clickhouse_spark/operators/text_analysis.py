@@ -71,15 +71,12 @@ def fingerprint(text: Column) -> Column:
 
 
 def _round6(x: Column) -> Column:
-    """6-decimal rounding BOTH engines compute on the actual double:
-    floor(x * 1e6 + 0.5) / 1e6. Spark's ``round`` is HALF_UP on the
-    SHORTEST DECIMAL STRING of the double (BigDecimal.valueOf), DuckDB's
-    on the numeric value — a score whose shortest string lands exactly
-    on a 7th-decimal 5 (e.g. "0.5006875") rounds differently in the two
-    engines (caught live at sf0.1: 3 documents hashed 0.500688 vs
-    0.500687). The floor form has no string detour; the final /1e6 is
-    one IEEE division both engines perform identically."""
-    return F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)
+    """6-decimal engine-portable rounding — see functions/numeric.py
+    (Spark's round() HALF_UPs the shortest decimal string; caught live
+    at sf0.1 on three quality scores)."""
+    from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
+    return portable_round(x, 6)
 
 
 def quality_score(text: Column) -> Column:

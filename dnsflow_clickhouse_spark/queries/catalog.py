@@ -27,6 +27,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from dnsflow_clickhouse_spark.functions.domains import (
     AUTHORITY_PATTERN,
     authority_domain,
@@ -93,11 +95,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.sum(_cents("l_quantity")) / 100.0).alias("sum_qty"),
             (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
-            F.round(F.sum(disc_e6) / 1e6, 2).alias("sum_disc_price"),
-            F.round((F.sum(charge_e10).cast("double")) / 1e10, 2).alias("sum_charge"),
-            F.round(F.sum(_cents("l_quantity")) / 100.0 / F.count(F.lit(1)), 6).alias("avg_qty"),
-            F.round(F.sum(_cents("l_extendedprice")) / 100.0 / F.count(F.lit(1)), 6).alias("avg_price"),
-            F.round(F.sum(_bp("l_discount")) / 10000.0 / F.count(F.lit(1)), 6).alias("avg_disc"),
+            portable_round(F.sum(disc_e6) / 1e6, 2).alias("sum_disc_price"),
+            portable_round((F.sum(charge_e10).cast("double")) / 1e10, 2).alias("sum_charge"),
+            portable_round(F.sum(_cents("l_quantity")) / 100.0 / F.count(F.lit(1)), 6).alias("avg_qty"),
+            portable_round(F.sum(_cents("l_extendedprice")) / 100.0 / F.count(F.lit(1)), 6).alias("avg_price"),
+            portable_round(F.sum(_bp("l_discount")) / 10000.0 / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -110,11 +112,11 @@ SELECT
   l_linestatus,
   sum({_SQL_CENTS.format(c='l_quantity')}) / 100.0 AS sum_qty,
   sum({_SQL_CENTS.format(c='l_extendedprice')}) / 100.0 AS sum_base_price,
-  round(sum({_SQL_CENTS.format(c='l_extendedprice')} * (10000 - {_SQL_BP.format(c='l_discount')})) / 1e6, 2) AS sum_disc_price,
-  round(CAST(sum({_SQL_CENTS.format(c='l_extendedprice')} * (10000 - {_SQL_BP.format(c='l_discount')}) * (10000 + {_SQL_BP.format(c='l_tax')})) AS DOUBLE) / 1e10, 2) AS sum_charge,
-  round(sum({_SQL_CENTS.format(c='l_quantity')}) / 100.0 / count(*), 6) AS avg_qty,
-  round(sum({_SQL_CENTS.format(c='l_extendedprice')}) / 100.0 / count(*), 6) AS avg_price,
-  round(sum({_SQL_BP.format(c='l_discount')}) / 10000.0 / count(*), 6) AS avg_disc,
+  floor(sum({_SQL_CENTS.format(c='l_extendedprice')} * (10000 - {_SQL_BP.format(c='l_discount')})) / 1e6 * 100 + 0.5) / 100 AS sum_disc_price,
+  floor(CAST(sum({_SQL_CENTS.format(c='l_extendedprice')} * (10000 - {_SQL_BP.format(c='l_discount')}) * (10000 + {_SQL_BP.format(c='l_tax')})) AS DOUBLE) / 1e10 * 100 + 0.5) / 100 AS sum_charge,
+  floor(sum({_SQL_CENTS.format(c='l_quantity')}) / 100.0 / count(*) * 1000000 + 0.5) / 1000000 AS avg_qty,
+  floor(sum({_SQL_CENTS.format(c='l_extendedprice')}) / 100.0 / count(*) * 1000000 + 0.5) / 1000000 AS avg_price,
+  floor(sum({_SQL_BP.format(c='l_discount')}) / 10000.0 / count(*) * 1000000 + 0.5) / 1000000 AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -149,7 +151,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, [F.desc("__rev_e6"), F.asc("l_orderkey")], 10
     ).select(
         "l_orderkey",
-        F.round(F.col("__rev_e6") / 1e6, 2).alias("revenue"),
+        portable_round(F.col("__rev_e6") / 1e6, 2).alias("revenue"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         "o_orderpriority",
     )
@@ -158,7 +160,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_SQL = f"""
 SELECT
   l_orderkey,
-  round(sum({_SQL_CENTS.format(c='l_extendedprice')} * (10000 - {_SQL_BP.format(c='l_discount')})) / 1e6, 2) AS revenue,
+  floor(sum({_SQL_CENTS.format(c='l_extendedprice')} * (10000 - {_SQL_BP.format(c='l_discount')})) / 1e6 * 100 + 0.5) / 100 AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
   o_orderpriority
 FROM lineitem
@@ -193,14 +195,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(rev_e6) / 1e6, 2).alias("revenue"))
+        .agg(portable_round(F.sum(rev_e6) / 1e6, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 _Q5_SQL = f"""
 SELECT n_name,
-       round(sum({_SQL_CENTS.format(c='l_extendedprice')} * (10000 - {_SQL_BP.format(c='l_discount')})) / 1e6, 2) AS revenue
+       floor(sum({_SQL_CENTS.format(c='l_extendedprice')} * (10000 - {_SQL_BP.format(c='l_discount')})) / 1e6 * 100 + 0.5) / 100 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -279,7 +281,7 @@ def event_type_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = Window.partitionBy()
     return (
         agg.withColumn(
-            "ratio", F.round(F.col("cnt") / F.sum("cnt").over(total), 6)
+            "ratio", portable_round(F.col("cnt") / F.sum("cnt").over(total), 6)
         )
         .orderBy("event_type")
     )
@@ -287,7 +289,7 @@ def event_type_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENT_TYPE_RATIO_SQL = """
 SELECT event_type, count(*) AS cnt,
-       round(count(*) / (sum(count(*)) OVER ()), 6) AS ratio
+       floor(count(*) / (sum(count(*)) OVER ()) * 1000000 + 0.5) / 1000000 AS ratio
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -126,7 +126,7 @@ scored AS (
                     tf.term) AS INTEGER) AS rn
   FROM tf JOIN dfreq USING (term)
 )
-SELECT doc_id, term, tf, df, round(raw, 6) AS score, rn
+SELECT doc_id, term, tf, df, floor(raw * 1000000 + 0.5) / 1000000 AS score, rn
 FROM scored WHERE rn <= 3
 ORDER BY doc_id, rn
 """

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from dnsflow_clickhouse_spark.operators.range_join import prefix_bucketed_range_join
 from dnsflow_clickhouse_spark.sources.tables import load_table
 
@@ -99,8 +101,8 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("event_id", 1).over(w).alias("next_event_id"),
             F.dense_rank().over(Window.partitionBy("user_id").orderBy("event_type")).alias("type_rank"),
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(
+            portable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            portable_round(
                 F.avg(cents).over(w.rowsBetween(-2, 0)) / 100.0, 2
             ).alias("moving_avg3"),
         )
@@ -113,10 +115,10 @@ SELECT user_id, event_id,
        lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event_id,
        CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS type_rank,
        CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS quartile,
-       round(percent_rank() OVER (PARTITION BY user_id ORDER BY event_id), 6) AS pct_rank,
-       round(avg(CAST(round(value * 100) AS BIGINT)) OVER (
+       floor(percent_rank() OVER (PARTITION BY user_id ORDER BY event_id) * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(avg(CAST(round(value * 100) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY event_id
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 2) AS moving_avg3
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0 * 100 + 0.5) / 100 AS moving_avg3
 FROM events WHERE user_id < 10
 ORDER BY user_id, event_id
 """

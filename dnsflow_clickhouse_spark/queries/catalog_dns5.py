@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from dnsflow_clickhouse_spark.functions.textfn import (
     BPE_SPLIT_PATTERN,
     bpe_token_count,
@@ -36,7 +38,7 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_ev").alias("n_events"),
             F.max("n_ev").alias("max_session_events"),
-            F.round(F.sum("span_us") / 1e6, 3).alias("active_seconds"),
+            portable_round(F.sum("span_us") / 1e6, 3).alias("active_seconds"),
         )
         .orderBy("user_id")
     )
@@ -62,7 +64,7 @@ WITH flagged AS (
 )
 SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
        max(n_ev) AS max_session_events,
-       round(sum(span_us) / 1e6, 3) AS active_seconds
+       floor(sum(span_us) / 1e6 * 1000 + 0.5) / 1000 AS active_seconds
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
@@ -135,7 +137,7 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("bpe").alias("bpe_tokens"),
             F.sum("ws").alias("ws_tokens"),
-            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("subword_ratio"),
+            portable_round(F.sum("bpe") / F.sum("ws"), 6).alias("subword_ratio"),
         )
         .orderBy("lang")
     )
@@ -153,7 +155,7 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, CAST(sum(bpe) AS BIGINT) AS bpe_tokens, CAST(sum(ws) AS BIGINT) AS ws_tokens,
-       round(sum(bpe) / sum(ws), 6) AS subword_ratio
+       floor(sum(bpe) / sum(ws) * 1000000 + 0.5) / 1000000 AS subword_ratio
 FROM t GROUP BY lang ORDER BY lang
 """
 

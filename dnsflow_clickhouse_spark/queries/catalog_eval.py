@@ -294,9 +294,9 @@ _RRF_SQL = f"""
 {_SQL_QV},
 cpairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_dot_product(a.qv, b.qv)
+         floor(list_dot_product(a.qv, b.qv)
                / (sqrt(list_dot_product(a.qv, a.qv))
-                  * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+                  * sqrt(list_dot_product(b.qv, b.qv))) * 1000000 + 0.5) / 1000000 AS cosine
   FROM q a JOIN q b ON a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id),
 ca AS (SELECT query_id, neighbor_id,
               row_number() OVER (PARTITION BY query_id

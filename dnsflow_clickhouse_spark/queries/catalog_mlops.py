@@ -168,8 +168,8 @@ p AS (
 
 _JACCARD_SQL = f"""
 WITH {_JACCARD_CTES}
-SELECT id_a, id_b, inter, round(inter / (na + nb - inter), 6) AS jaccard
-FROM p WHERE round(inter / (na + nb - inter), 6) >= 0.5
+SELECT id_a, id_b, inter, floor(inter / (na + nb - inter) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM p WHERE floor(inter / (na + nb - inter) * 1000000 + 0.5) / 1000000 >= 0.5
 ORDER BY id_a, id_b
 """
 
@@ -195,7 +195,7 @@ _CONTAIN_SQL = f"""
 WITH {_JACCARD_CTES}
 SELECT id_a, id_b, inter,
        CAST(na AS BIGINT) AS size_a, CAST(nb AS BIGINT) AS size_b,
-       round(inter / least(na, nb), 6) AS containment
+       floor(inter / least(na, nb) * 1000000 + 0.5) / 1000000 AS containment
 FROM p WHERE inter * 1000000 >= {_CONTAIN_PPM} * least(na, nb)
 ORDER BY id_a, id_b
 """
@@ -220,7 +220,7 @@ _COMPONENTS_SQL = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 edges AS (
   SELECT id_a, id_b FROM p
-  WHERE round(inter / (na + nb - inter), 6) >= 0.5
+  WHERE floor(inter / (na + nb - inter) * 1000000 + 0.5) / 1000000 >= 0.5
 ),
 nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges),
 sym AS (SELECT id_a AS a, id_b AS b FROM edges
@@ -261,7 +261,7 @@ _CANONICAL_SQL = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 edges AS (
   SELECT id_a, id_b FROM p
-  WHERE round(inter / (na + nb - inter), 6) >= 0.5
+  WHERE floor(inter / (na + nb - inter) * 1000000 + 0.5) / 1000000 >= 0.5
 ),
 nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges),
 sym AS (SELECT id_a AS a, id_b AS b FROM edges
@@ -406,8 +406,8 @@ _KNN_SQL = f"""
 WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_dot_product(a.qv, b.qv)
-               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+         floor(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) * 1000000 + 0.5) / 1000000 AS cosine
   FROM q a JOIN q b ON a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
@@ -458,8 +458,8 @@ WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
 bq AS (SELECT vec_id, qv, {_sql_bucket('qv')} AS bucket FROM q),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_dot_product(a.qv, b.qv)
-               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+         floor(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) * 1000000 + 0.5) / 1000000 AS cosine
   FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
@@ -473,8 +473,8 @@ bq AS (SELECT vec_id, qv, {_sql_bucket('qv')} AS bucket FROM q),
 probes AS (SELECT vec_id, qv, bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 1) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 2) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 4) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 8) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 16) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 32) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 64) AS bucket FROM bq UNION ALL SELECT vec_id, qv, xor(bucket, 128) AS bucket FROM bq),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_dot_product(a.qv, b.qv)
-               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))), 6) AS cosine
+         floor(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) * 1000000 + 0.5) / 1000000 AS cosine
   FROM probes a JOIN bq b ON a.bucket = b.bucket AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
@@ -523,7 +523,7 @@ ranked AS (
   SELECT n.vec_id, c.cid AS cell,
          row_number() OVER (
            PARTITION BY n.vec_id
-           ORDER BY round(list_dot_product(n.qv, c.cv) / (n.nrm * c.cnrm), 6) DESC, c.cid
+           ORDER BY floor(list_dot_product(n.qv, c.cv) / (n.nrm * c.cnrm) * 1000000 + 0.5) / 1000000 DESC, c.cid
          ) AS rn
   FROM n CROSS JOIN c
 ),
@@ -531,7 +531,7 @@ asgc AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
 asgq AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe}),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_dot_product(an.qv, bn.qv) / (an.nrm * bn.nrm), 6) AS cosine
+         floor(list_dot_product(an.qv, bn.qv) / (an.nrm * bn.nrm) * 1000000 + 0.5) / 1000000 AS cosine
   FROM asgq a JOIN asgc b ON a.cell = b.cell AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id
   JOIN n an ON an.vec_id = a.vec_id
   JOIN n bn ON bn.vec_id = b.vec_id
@@ -698,7 +698,7 @@ _CENSUS_SQL = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 edges AS (
   SELECT id_a AS a, id_b AS b FROM p
-  WHERE round(inter / (na + nb - inter), 6) >= 0.5
+  WHERE floor(inter / (na + nb - inter) * 1000000 + 0.5) / 1000000 >= 0.5
 ),
 nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
 sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
@@ -1480,7 +1480,7 @@ _FAM_SHARDS_SQL = f"""
 WITH RECURSIVE {_JACCARD_CTES},
 edges AS (
   SELECT id_a, id_b FROM p
-  WHERE round(inter / (na + nb - inter), 6) >= 0.5
+  WHERE floor(inter / (na + nb - inter) * 1000000 + 0.5) / 1000000 >= 0.5
 ),
 nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges),
 sym AS (SELECT id_a AS a, id_b AS b FROM edges

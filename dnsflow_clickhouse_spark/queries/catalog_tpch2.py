@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from dnsflow_clickhouse_spark.queries.catalog import _SQL_BP, _SQL_CENTS, _bp, _cents
 from dnsflow_clickhouse_spark.sources.tables import load_table
 
@@ -69,12 +71,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & _bp("l_discount").between(500, 700)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(rev_e6) / 1e6, 2).alias("revenue"))
+        .agg(portable_round(F.sum(rev_e6) / 1e6, 2).alias("revenue"))
     )
 
 
 _Q6_SQL = f"""
-SELECT round(sum({_SQL_CENTS.format(c='l_extendedprice')} * {_SQL_BP.format(c='l_discount')}) / 1e6, 2) AS revenue
+SELECT floor(sum({_SQL_CENTS.format(c='l_extendedprice')} * {_SQL_BP.format(c='l_discount')}) / 1e6 * 100 + 0.5) / 100 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND {_SQL_BP.format(c='l_discount')} BETWEEN 500 AND 700
@@ -145,7 +147,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(per_part), l.l_partkey == F.col("__pk"))
         .filter(_cents("l_quantity") * F.col("__cnt") * 10 < 2 * F.col("__sum_qc"))
         .agg(
-            F.round(F.sum(_cents("l_extendedprice")) / 100.0 / 7.0, 6).alias(
+            portable_round(F.sum(_cents("l_extendedprice")) / 100.0 / 7.0, 6).alias(
                 "avg_yearly"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -154,7 +156,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17_SQL = f"""
-SELECT round(sum({_SQL_CENTS.format(c='l_extendedprice')}) / 100.0 / 7.0, 6) AS avg_yearly,
+SELECT floor(sum({_SQL_CENTS.format(c='l_extendedprice')}) / 100.0 / 7.0 * 1000000 + 0.5) / 1000000 AS avg_yearly,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey

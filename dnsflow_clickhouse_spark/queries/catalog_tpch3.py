@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from dnsflow_clickhouse_spark.queries.catalog import (
     _SQL_BP,
     _SQL_CENTS,
@@ -92,14 +94,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_rev_e6()) / 1e6, 2).alias("revenue"))
+        .agg(portable_round(F.sum(_rev_e6()) / 1e6, 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 _Q7_SQL = f"""
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(rev_e6) / 1e6, 2) AS revenue
+       floor(sum(rev_e6) / 1e6 * 100 + 0.5) / 100 AS revenue
 FROM (
   SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
          EXTRACT(year FROM l_shipdate) AS l_year,
@@ -156,7 +158,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
+            portable_round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0))
                 / F.sum(vol),
                 6,
@@ -168,8 +170,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_SQL = f"""
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)
-             / sum(rev_e6), 6) AS mkt_share
+       floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)
+             / sum(rev_e6) * 1000000 + 0.5) / 1000000 AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM o_orderdate) AS o_year,
          n2.n_name AS supp_nation,
@@ -306,7 +308,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            F.round(
+            portable_round(
                 F.lit(100)
                 * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0))
                 / F.sum(vol),
@@ -317,8 +319,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_SQL = f"""
-SELECT round(100 * sum(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV_E6} ELSE 0 END)
-             / sum({_SQL_REV_E6}), 6) AS promo_revenue
+SELECT floor(100 * sum(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV_E6} ELSE 0 END)
+             / sum({_SQL_REV_E6}) * 1000000 + 0.5) / 1000000 AS promo_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -356,7 +358,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("__rev_e6") / 1e6, 2).alias("total_revenue"),
+            portable_round(F.col("__rev_e6") / 1e6, 2).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -370,7 +372,7 @@ WITH revenue AS (
     AND l_shipdate <  TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, round(rev_e6 / 1e6, 2) AS total_revenue
+SELECT s_suppkey, s_name, floor(rev_e6 / 1e6 * 100 + 0.5) / 100 AS total_revenue
 FROM revenue JOIN supplier ON supplier_no = s_suppkey
 WHERE rev_e6 = (SELECT max(rev_e6) FROM revenue)
 ORDER BY s_suppkey
@@ -503,13 +505,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & qty.between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(_rev_e6()) / 1e6, 2).alias("revenue"),
+        portable_round(F.sum(_rev_e6()) / 1e6, 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 _Q19_SQL = f"""
-SELECT round(sum({_SQL_REV_E6}) / 1e6, 2) AS revenue, count(*) AS n_items
+SELECT floor(sum({_SQL_REV_E6}) / 1e6 * 100 + 0.5) / 100 AS revenue, count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)

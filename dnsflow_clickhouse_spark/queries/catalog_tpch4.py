@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dnsflow_clickhouse_spark.functions.numeric import portable_round
+
 from dnsflow_clickhouse_spark.queries.catalog import _SQL_CENTS, _cents
 from dnsflow_clickhouse_spark.queries.catalog_tpch3 import _SQL_REV_E6, _rev_e6
 from dnsflow_clickhouse_spark.sources.tables import load_table
@@ -44,14 +46,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(_rev_e6()) / 1e6, 2).alias("sum_profit"))
+        .agg(portable_round(F.sum(_rev_e6()) / 1e6, 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 _Q9_SQL = f"""
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-       round(sum({_SQL_REV_E6}) / 1e6, 2) AS sum_profit
+       floor(sum({_SQL_REV_E6}) / 1e6 * 100 + 0.5) / 100 AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
