@@ -64,3 +64,31 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     plan = physical_plan(_q("q22_idle_customers", spark))
     assert "LeftAnti" in plan
     assert "Broadcast" in plan
+
+
+def test_pmi_topk_lowers_to_take_ordered(spark):
+    # the top-50 collocation cut must be TakeOrderedAndProject, not a
+    # global sort of every surviving pair
+    plan = physical_plan(_q("collocation_pmi_topk", spark))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ndcg_ranks_share_one_group_exchange(spark):
+    # both window sorts (actual + ideal rank) hang off the same
+    # hashpartitioning(g) — a second group exchange would double-shuffle
+    # the corpus
+    plan = physical_plan(_q("ranking_ndcg_by_source", spark))
+    assert plan.count("hashpartitioning(g#") <= 1
+
+
+def test_perceptron_scoring_joins_broadcast(spark):
+    # model weights and labels enter the scoring pass as broadcasts;
+    # the corpus-side feature table must never sort-merge against them
+    df = _q("perceptron_source_score", spark)
+    assert_broadcast_join(df)
+
+
+def test_anomaly_report_is_agg_plus_one_window(spark):
+    # hour-bucket agg + the expanding hod window + final sort: three
+    # exchanges ceiling, nothing corpus-sized shuffles twice
+    assert count_exchanges(_q("qps_anomaly_report", spark)) <= 3
