@@ -172,7 +172,15 @@ def main() -> None:
     timings = {n: round(min(ts), 3) for n, ts in runs.items()}
     total = sum(timings.values())
 
-    dns_wall, per_report = _dns_batch(spark, sf_dir)
+    # min-of-2 like the catalog queries: the batch runs LAST, on a box
+    # heated by two full passes — a single measurement swung 12.3-17.9s
+    # across otherwise-identical round-5 runs
+    dns_wall_1, per_report_1 = _dns_batch(spark, sf_dir)
+    dns_wall_2, per_report_2 = _dns_batch(spark, sf_dir)
+    if dns_wall_2 <= dns_wall_1:
+        dns_wall, per_report = dns_wall_2, per_report_2
+    else:
+        dns_wall, per_report = dns_wall_1, per_report_1
     load_end = _loadavg()
     noise_guard = {
         "policy": "min-of-2-passes+rerun-on-1.5x-disagree",
