@@ -299,3 +299,43 @@ def test_hits_ignores_edge_multiplicity(spark, edges, dup):
     assert {r.id: r.auth for r in a1.collect()} == {
         r.id: r.auth for r in a2.collect()
     }
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from([2, 3, 6]),
+)
+def test_portable_round_matches_python_and_duckdb(spark, vals, digits):
+    """portable_round must equal floor(x*10^d + 0.5)/10^d computed by
+    python AND by DuckDB on the same doubles — the three-way agreement
+    that F.round(x, d) lacks on boundary values."""
+    import math
+
+    import duckdb
+
+    from dnsflow_clickhouse_spark.functions.numeric import (
+        portable_round,
+        sql_portable_round,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["y"]
+        for r in df.select(portable_round(F.col("x"), digits).alias("y"))
+        .collect()
+    ]
+    scale = 10**digits
+    want_py = [math.floor(v * scale + 0.5) / scale for v in vals]
+    con = duckdb.connect()
+    want_duck = [
+        con.execute(
+            f"SELECT {sql_portable_round(f'CAST({v!r} AS DOUBLE)', digits)}"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want_py == want_duck
