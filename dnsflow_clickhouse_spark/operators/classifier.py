@@ -68,9 +68,17 @@ def hashed_token_features(
     replays it), c = occurrence count. One explode + one hash
     aggregate; documents with zero tokens contribute no rows and are
     therefore outside the training set by construction.
+
+    The table is REPARTITIONED BY id before the aggregate: hash(id)
+    clusters (id, b) too, so the aggregate adds no second exchange, and
+    every downstream epoch — the label join, the per-doc score
+    aggregate, the misclassified join — reuses this one partitioning
+    instead of re-shuffling the corpus (the training loop's per-epoch
+    shuffles collapse to the d-bucket gradient aggregate).
     """
     return (
         df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .repartition("id")
         .select("id", F.explode("toks").alias("tok"))
         .select(
             "id", (poly_hash(F.col("tok")) % F.lit(n_features)).alias("b")
@@ -124,8 +132,14 @@ def batch_perceptron_train(
     full label-weighted feature mass.
     """
     spark = features.sparkSession
-    feats = features.localCheckpoint(eager=False)
-    lab = labels.localCheckpoint(eager=False)
+    # persist, not localCheckpoint: InMemoryRelation PRESERVES the
+    # feature table's hashpartitioning(id) (a checkpoint's LogicalRDD
+    # forgets it), so every epoch's label join, per-doc score aggregate
+    # and misclassified join reuse the one up-front shuffle. The
+    # features cache is left in place for the caller's scoring pass;
+    # labels are co-partitioned and dropped when training ends.
+    feats = features.persist()
+    lab = labels.repartition("id").persist()
     weights: dict[int, int] = {}
     trace: list[tuple[int, int, int, int]] = []
     for epoch in range(1, epochs + 1):
@@ -140,20 +154,22 @@ def batch_perceptron_train(
                 .filter(F.col("y") * F.col("score") <= 0)
                 .select("id", "y")
             )
-        mis = mis.localCheckpoint(eager=False)
-        n_mis = mis.count()  # materializes the checkpoint for the join
+        mis = mis.persist()
+        n_mis = mis.count()  # materializes the cache for the join
         grad = (
             feats.join(mis, "id")
             .groupBy("b")
             .agg(F.sum(F.col("y") * F.col("c")).alias("g"))
             .collect()
         )
+        mis.unpersist()
         grad_l1 = 0
         for row in grad:
             weights[row["b"]] = weights.get(row["b"], 0) + row["g"]
             grad_l1 += abs(row["g"])
         w_l1 = sum(abs(w) for w in weights.values())
         trace.append((epoch, n_mis, grad_l1, w_l1))
+    lab.unpersist()
     return PerceptronModel(weights, trace, n_features)
 
 

@@ -683,7 +683,8 @@ def _perceptron_parts(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("y"),
     )
-    features = features.localCheckpoint(eager=False)
+    # batch_perceptron_train persists the id-partitioned feature table;
+    # the scoring pass reuses that same cache (same plan object)
     model = batch_perceptron_train(
         features, labels, _PCT_FEATURES, epochs=_PCT_EPOCHS
     )
