@@ -107,8 +107,16 @@ def _dns_batch(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
     raw = synthetic_raw_events(spark, sf_dir)
     dims = demo_dims(spark)
     t0 = time.perf_counter()
-    out = process_batch(raw, dims, SYNTH_APP_TIME, deterministic=True)
+    out, base = process_batch(
+        raw, dims, SYNTH_APP_TIME, deterministic=True, return_base=True
+    )
     per_report: dict[str, float] = {}
+    # materialize the shared cached base on its own clock so the first
+    # report (dns_flow_qps) isn't billed for the scan+parse+enrich the
+    # whole fan-out amortizes (r5 verdict: report attribution honesty)
+    t1 = time.perf_counter()
+    base.write.format("noop").mode("overwrite").save()
+    per_report["base_materialize"] = round(time.perf_counter() - t1, 3)
     for name, df in out.items():
         t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 def portable_round(x: Column, digits: int) -> Column:
     """floor(x * 10^digits + 0.5) / 10^digits — see module docstring.
-    Correct (HALF_UP-equivalent) for nonnegative x only."""
+    Correct (HALF_UP-equivalent) for nonnegative x only. Signed
+    callers (e.g. cosine similarity in operators/similarity.py) get
+    half-toward-+inf on negative exact halves instead of
+    half-away-from-zero — acceptable by design, because the DuckDB
+    oracles replay this IDENTICAL floor form (sql_portable_round), so
+    cross-engine parity holds for any sign; only the HALF_UP label is
+    nonnegative-specific."""
     scale = float(10**digits)
     return F.floor(x * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 

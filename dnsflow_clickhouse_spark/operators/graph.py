@@ -403,6 +403,10 @@ def hits_scores(
     half-step's scores are barriered so the unrolled lineage stays
     flat. Returns (hubs, authorities) as (id, hub) / (id, auth).
     """
+    if iterations < 1:
+        # auth is seeded inside the loop; zero iterations would leave
+        # it None and crash on the final select — make that explicit
+        raise ValueError(f"hits_scores needs iterations >= 1, got {iterations}")
     barrier = _make_barrier(edges.sparkSession, checkpoint_dir)
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
     if num_partitions:

@@ -117,6 +117,27 @@ TRAIN_CAP = 8192
 _PRI_MOD = 2**31 - 1
 
 
+def _warn_if_cap_binds(sample: list, cap: int, where: str) -> None:
+    """Loudly flag when a training cap BINDS (collected sample hit the
+    cap): from that point Spark trains on the priority sample while the
+    DuckDB oracles keep training on the FULL table via unrolled CTEs,
+    so the oracle gate would start failing on the whole kmeans/PQ
+    family with no pointer to the cause (the ADVICE latent). At the
+    shipped test scales (embeddings sf0.1 = 2000 rows) the cap never
+    binds; this warning is the diagnostic breadcrumb for a future
+    scale bump."""
+    if len(sample) >= cap:
+        import warnings
+
+        warnings.warn(
+            f"{where}: training cap binds (sample == cap == {cap}); "
+            "Spark now trains on the priority sample while DuckDB "
+            "oracles train on the full table — expect oracle "
+            "hash mismatches on the kmeans/PQ query family",
+            stacklevel=3,
+        )
+
+
 def _train_priority(id_col: Column) -> Column:
     """Deterministic pseudo-random training-sample priority for an id:
     pmod(xxhash64(id), 2^31-1). Pure integer arithmetic, no state; ties
@@ -592,6 +613,7 @@ def kmeans_quantized(
         .limit(train_cap)
         .collect()
     )
+    _warn_if_cap_binds(sample, train_cap, "kmeans")
     cents = _lloyd_numpy([(0, r.id, r.q) for r in sample], 1, k, iters)[0]
 
     def assign(frame: DataFrame) -> DataFrame:
@@ -805,6 +827,7 @@ def ivfpq_build(
         .limit(train_cap)
         .collect()
     )
+    _warn_if_cap_binds(sample, train_cap, "ivfpq_build")
     cells = _lloyd_numpy([(0, r.id, r.q) for r in sample], 1, n_cells, iters)[0]
     C = np.asarray(cells, dtype=np.int64)
     X = np.asarray([list(r.q) for r in sample], dtype=np.int64)
@@ -956,6 +979,7 @@ def grouped_kmeans_quantized(
         .limit(train_cap * n_groups)
         .collect()
     )
+    _warn_if_cap_binds(sample, train_cap * n_groups, "grouped codebooks")
     books = _lloyd_numpy([(r.g, r.id, r.q) for r in sample], n_groups, k, iters)
 
     def assign(frame: DataFrame) -> DataFrame:

@@ -63,20 +63,22 @@ def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     quantized vectors. One corpus scan; d^2 rows per Arrow batch."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = np.zeros((dim, dim), dtype=np.int64)
-        seen = False
+        # yield the d^2 partial PER ARROW BATCH (~1e4 rows), not per
+        # partition: the int64 partial's overflow bound is then
+        # rows_per_batch * max|q|^2, which numpy holds with ~1e4x
+        # headroom; a per-partition accumulator would instead grow with
+        # partition size and could wrap int64 silently in numpy before
+        # the decimal(38,0) widening in the Spark-side sum below
+        ii, jj = np.meshgrid(
+            np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
+        )
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack(
                 [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
             )
-            acc += x.T @ x
-            seen = True
-        if seen:
-            ii, jj = np.meshgrid(
-                np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
-            )
+            acc = x.T @ x
             yield pd.DataFrame(
                 {"i": ii.ravel(), "j": jj.ravel(), "g": acc.ravel()}
             )

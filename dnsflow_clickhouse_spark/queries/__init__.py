@@ -2,38 +2,22 @@
 
 The registry is an ordered dict and the order is load-bearing: the
 correctness driver verifies the first 50 entries per round.
-``_PRIORITY`` pins the round-5 window — the smoke query first, then
-EVERY query whose operator code changed this round (changed code
-outranks stale-but-unchanged attestations): the six CC/prefix-kernel
-queries (kernel-stage fusion + neighbor-min CC seeding), the PQ/IVF-PQ
-/ k-means block (sampled driver-side training + Arrow ADC kernels),
-and the five model-evaluation queries (decimal overflow widenings).
-Next the ELEVEN queries that are brand-new this round
-(containment_pairs, dsir_importance_weights, lang_token_jsd,
-perceptron_train_trace, perceptron_source_score, collocation_pmi_topk,
-embedding_spectrum_power, item_hits_authorities,
-cluster_balanced_sample, ranking_ndcg_by_source, qps_anomaly_report) —
-never-attested code outranks everything stale. Then the FOUR
-quality-rounding-fix consumers not already in the window
-(quality_feature_matrix, per_source_caps, curation_funnel,
-doc_quality_score — the text_analysis._round6 change altered
-round-boundary values; quality_quantile_gate, the fifth consumer, was
-already windowed, and the whole catalog was re-verified at BOTH
-sf0.01 and sf0.1 in-round). Then the round-2-stale rotation the
-round-4 verdict asked for — 19 of the 43 fit; the 24 deferred to the
-TOP of the round-6 window are the lowest-risk pure-SQL / map-only
-shapes untouched since round 2 (q11_value_concentration,
-q12_priority_class_counts, range_frame_rolling, null_semantics_report,
-unpivot_daily_metrics, session_stats, doc_length_histogram,
-event_value_percentiles, grouping_sets_events, doc_token_stats,
-weighted_doc_sample, fuzzy_near_titles, doc_bpe_tokens,
-props_json_rollup, chunk_documents, pack_sequences,
-stratified_doc_sample, temperature_lang_resample, doc_fingerprints,
-repetition_report, topk_rollup_chain, ip_function_rollup,
-authority_slice_docs, simhash_docs). One changed-code query did not
-fit: event_cooccurrence (a decimal overflow widening, value-identical
-— hash-verified against its oracle at sf0.01 in-round); it joins the
-round-6 head alongside the deferred twenty-four.
+``_PRIORITY`` pins the round-6 window, burning the attestation backlog
+to zero (the r5 verdict's #1 ask). After the smoke query: the 25
+queries whose latest driver green is round 2 (24 pure-SQL/map-only
+shapes named in the r5 verdict) plus event_cooccurrence (r5 decimal
+widening that missed the r5 window). Then the round-6 changed-code
+queries: perceptron_train_trace / perceptron_source_score (epoch
+actions fused to one, literal-map weights, acc_ppm decimal widening)
+and embedding_spectrum_power (per-batch Gram partials). Then the
+TWELVE portable-round-sweep consumers (commit 9e4595b, round 5) whose
+last driver row predates that sweep — the r5 verdict's "changed code
+without a same-round driver row" gap: event_type_ratio, window_suite,
+q19/q14/q15/q9/q3/q5/q6/q17/q7/q8. Round-6 code changes that did NOT
+fit (the kmeans/PQ family's cap-binding warning, HITS argument
+validation — both non-semantic) are instead attested in the committed
+SWEEP_VERIFY_r06.json artifact (tools/verify_oracle.py --json), the
+other r5 ask. The tail fills with the stalest remaining r3 rows.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -78,72 +62,67 @@ for _part in _PARTS:
         )
     _MERGED.update(_part)
 
-# First 50 = driver correctness window for this round (round 5).
+# First 50 = driver correctness window for this round (round 6).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- queries whose kernel code changed after the r4 window ran
-    # (the prefix-filtered Jaccard kernel swap, commits 0144507/422b57f)
-    # or changes THIS round (kernel-stage fusion, GEMM sizing) — the
-    # repo's discipline: changed code gets a same-round driver row ---
-    "neardup_components",
-    "dedup_canonical_keep",
-    "prefix_jaccard_pairs",
-    "neardup_component_census",
-    "component_aware_shards",
-    "semdedup_keep",
-    # --- round-5 changed code: sampled k-means/PQ training + Arrow ADC
-    # kernels (similarity.py) and decimal widenings (evaluation.py) ---
-    "embedding_pq_ann",
-    "embedding_ivfpq_ann",
-    "kmeans_cluster_report",
-    "score_auc_by_source",
-    "score_calibration_bins",
-    "feature_correlation_report",
-    "ols_tokens_per_char",
-    "value_drift_psi",
-    "embedding_rp_components",  # rides the changed CC loop (graph.py)
-    # --- brand-new this round: never driver-attested ---
-    "containment_pairs",
-    "dsir_importance_weights",
-    "lang_token_jsd",
+    # --- the 24 round-2-stale queries deferred from the r5 window
+    # (r5 verdict ask #1: burn the attestation backlog to zero) ---
+    "q11_value_concentration",
+    "q12_priority_class_counts",
+    "range_frame_rolling",
+    "null_semantics_report",
+    "unpivot_daily_metrics",
+    "session_stats",
+    "doc_length_histogram",
+    "event_value_percentiles",
+    "grouping_sets_events",
+    "doc_token_stats",
+    "weighted_doc_sample",
+    "fuzzy_near_titles",
+    "doc_bpe_tokens",
+    "props_json_rollup",
+    "chunk_documents",
+    "pack_sequences",
+    "stratified_doc_sample",
+    "temperature_lang_resample",
+    "doc_fingerprints",
+    "repetition_report",
+    "topk_rollup_chain",
+    "ip_function_rollup",
+    "authority_slice_docs",
+    "simhash_docs",
+    # r5 decimal widening whose driver row predates the change
+    "event_cooccurrence",
+    # --- round-6 changed code: perceptron epoch fusion + literal-map
+    # weights + acc_ppm widening; spectral per-batch Gram partials ---
     "perceptron_train_trace",
     "perceptron_source_score",
-    "collocation_pmi_topk",
     "embedding_spectrum_power",
-    "item_hits_authorities",
-    "cluster_balanced_sample",
-    "ranking_ndcg_by_source",
-    "qps_anomaly_report",
-    # --- quality-rounding fix (text_analysis._round6): every consumer
-    # of the scored quality changed value on round-boundary docs; the
-    # two windowed ones (doc_quality_score, quality_quantile_gate) are
-    # above, these three re-enter for same-round attestation ---
-    "quality_feature_matrix",
-    "per_source_caps",
-    "curation_funnel",
-    "doc_quality_score",
-    # --- round-2-stale rotation (31 of 43; the 12 deferred pure-SQL
-    # shapes lead the round-6 window, see module docstring) ---
-    "cidr_membership_rollup",
-    "geo_region_rollup",
-    "minhash_band_buckets",
-    "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_near_docs",
-    "embedding_ivf_ann",
-    "lang_id_confusion",
-    "multimodal_features",
-    "tfidf_top_terms",
-    "quality_quantile_gate",
-    "decontamination_report",
-    "group_split_leakproof",
-    "pii_redaction_report",
-    "column_profile_events",
-    "event_gini_concentration",
-    "inverted_index_terms",
-    "hll_distinct_users",
-    "cms_heavy_hitters",
+    # --- portable-round sweep consumers (r5 commit 9e4595b) whose
+    # last driver green predates the sweep ---
+    "event_type_ratio",
+    "window_suite",
+    "q19_disjunctive_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q9_product_profit",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q17_small_quantity",
+    "q7_volume_shipping",
+    "q8_market_share",
+    # --- stalest remaining r3 rows fill the tail ---
+    "qps_trend",
+    "qps_per_client",
+    "response_code_ratio",
+    "grouped_topk_users",
+    "flow_report_topk",
+    "trend_rollup_daily",
+    "range_join_tiers",
+    "authority_domain_rollup",
+    "dedup_exact_docs",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -734,7 +734,12 @@ def perceptron_source_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_correct").cast("long").alias("n_correct"),
-            F.expr("n_correct * 1000000 div n_docs").alias("acc_ppm"),
+            # n_correct * 1e6 wraps int64 at ~9.2e12 docs per source —
+            # widen to decimal(38,0) like the sibling ppm divisions
+            # (calibration_bins, psi_from_cells, gini, cooccurrence)
+            F.expr("CAST(n_correct AS DECIMAL(38,0)) * 1000000 div n_docs")
+            .cast("long")
+            .alias("acc_ppm"),
             F.col("margin_sum").cast("long").alias("margin_sum"),
         )
         .orderBy("source")
@@ -804,7 +809,8 @@ SELECT t.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN l.y * sf.score > 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_correct,
-       CAST(sum(CASE WHEN l.y * sf.score > 0 THEN 1 ELSE 0 END)
+       CAST(CAST(sum(CASE WHEN l.y * sf.score > 0 THEN 1 ELSE 0 END)
+                 AS DECIMAL(38,0))
             * 1000000 // count(*) AS BIGINT) AS acc_ppm,
        CAST(sum(l.y * sf.score) AS BIGINT) AS margin_sum
 FROM sf JOIN lab l USING (doc_id) JOIN t USING (doc_id)

