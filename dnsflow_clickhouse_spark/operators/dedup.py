@@ -977,3 +977,123 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "jaccard")
     )
+
+
+def _ordered_grams(toks: Column, k: int) -> Column:
+    """ORDERED token k-grams (duplicates preserved, position i = 1-based
+    gram start) — unlike :func:`ngrams_from_tokens`, which distincts,
+    because winnowing needs the positional sequence. Docs with fewer
+    than k tokens yield an empty array (no full k-gram exists)."""
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), cnt - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(cnt >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram in
+    order, slide a window of ``w`` consecutive hashes, and in each full
+    window select the minimal hash, ties broken by the RIGHTMOST
+    position (the paper's rule). The distinct selections are the
+    fingerprints: any substring match of at least w + k - 1 tokens
+    between two documents is GUARANTEED to share a fingerprint, and
+    expected density is 2/(w+1) — the local-span complement to whole-
+    document MinHash (which sees documents as gram SETS and misses
+    partial containment of long spans).
+
+    Scale shape: the gram hashes are built by the vectorized Arrow
+    fold (poly_hashes_arrow) on the id-repartitioned corpus and
+    checkpointed (a live HOF array under a Generate re-evaluates per
+    emitted row — the repo's measured 6x trap), then ONE window pass
+    (sliding min over w rows) on the same id partitioning and a
+    distinct. Nothing quadratic; output is ~2/(w+1) of the gram count.
+
+    Output: id, fp_hash, fp_pos (1-based gram position of the selected
+    hash; one row per distinct (hash, pos) selection per doc).
+    """
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .transform(lambda d: cpu_repartition(d, "id"))
+        .select("id", tokens(F.col("__text")).alias("__toks"))
+        .select("id", _ordered_grams(F.col("__toks"), k).alias("__grams"))
+        .select("id", poly_hashes_arrow(F.col("__grams")).alias("__hs"))
+        .localCheckpoint(eager=False)
+    )
+    ex = base.select(
+        "id",
+        F.size("__hs").alias("__ng"),
+        F.posexplode("__hs").alias("__pos0", "__h"),
+    )
+    wspec = Window.partitionBy("id").orderBy("__pos0").rowsBetween(0, w - 1)
+    sel = (
+        ex.withColumn(
+            "__m",
+            F.min(
+                F.struct(
+                    F.col("__h").alias("h"), (-F.col("__pos0")).alias("np")
+                )
+            ).over(wspec),
+        )
+        # full windows only: the guarantee needs w hashes in frame
+        .filter(F.col("__pos0") <= F.col("__ng") - w)
+        .select(
+            "id",
+            F.col("__m.h").alias("fp_hash"),
+            (F.lit(1) - F.col("__m.np")).cast("long").alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnowed_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 64,
+) -> DataFrame:
+    """Partial-overlap (plagiarism-style) candidate pairs from shared
+    winnowing fingerprints: documents sharing >= ``min_shared``
+    distinct selected hashes. Fingerprints occurring in more than
+    ``max_df`` documents are dropped before pairing (the stop-gram
+    guard every fingerprint index needs — a boilerplate gram shared by
+    the whole corpus must not fan out quadratically; at 100 TB this cap
+    is what bounds the self-join, same discipline as the LSH bucket
+    cap in minhash_bands_df).
+
+    Plan: fingerprints -> distinct (id, hash) -> document-frequency
+    filter (one hash agg) -> hash-keyed self-join (bounded by max_df
+    per key) -> pair count HAVING. Output: doc_a, doc_b, n_shared.
+    """
+    fph = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select("id", "fp_hash")
+        .distinct()
+    )
+    ok = (
+        fph.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp_hash")
+    )
+    kept = fph.join(ok, "fp_hash")
+    a = kept.select(F.col("fp_hash"), F.col("id").alias("doc_a"))
+    b = kept.select(F.col("fp_hash"), F.col("id").alias("doc_b"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -455,3 +455,166 @@ def ndcg_by_group(
         .cast("long")
         .alias("ndcg_ppm"),
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: Column | str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Spearman rank correlation per group, in exact integer ppm.
+
+    Rank-based complement to :func:`correlation_pairs` (Pearson): a
+    monotone-but-nonlinear relation between two quality signals (e.g.
+    heuristic score vs document length) shows up here and not there.
+
+    Exactness discipline: both rankings are CRISP PERMUTATIONS —
+    ``row_number`` ordered by (value, id) — not tie-averaged ranks, so
+    every d = rank_x - rank_y is an exact integer and the classic
+    rho = 1 - 6*sum(d^2) / (n*(n^2-1)) needs one integer division:
+    rho_ppm = 1e6 - 12e6*sum(d^2) div (2n(n^2-1)), assembled with
+    decimal(38,0) widening (sum(d^2) <= n^3/3 wraps int64 near ~3e6
+    rows per group; the widened product holds to ~1e9). The id
+    tie-break makes tied values contribute a deterministic, engine-
+    replayable permutation (documented bias vs tie-averaged Spearman;
+    for corpus diagnostics the monotone signal is what matters).
+
+    Scale shape: one shuffle on the group key, two in-partition sorts
+    over the SAME exchange (the grouped-window pattern), one hash
+    aggregate. Output: group_col, n, sum_d2, rho_ppm (NULL when n < 2).
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    base = df.select(
+        F.col(group_col).alias("g"), idc.alias("id"), x.alias("x"), y.alias("y")
+    )
+    w_x = Window.partitionBy("g").orderBy("x", "id")
+    w_y = Window.partitionBy("g").orderBy("y", "id")
+    ranked = base.select(
+        "g",
+        F.row_number().over(w_x).alias("rx"),
+        F.row_number().over(w_y).alias("ry"),
+    )
+    d2 = ((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).cast(
+        "decimal(38,0)"
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d2).alias("sum_d2")
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_d2").cast("long").alias("sum_d2"),
+        F.when(
+            F.col("n") >= 2,
+            F.lit(PPM)
+            - F.expr(
+                "CAST(6000000 AS DECIMAL(38,0)) * sum_d2"
+                " div (CAST(n AS DECIMAL(38,0)) * n * n - n)"
+            ),
+        )
+        .cast("long")
+        .alias("rho_ppm"),
+    )
+
+
+def prf1_by_class(
+    df: DataFrame, truth: Column | str, pred: Column | str
+) -> DataFrame:
+    """Per-class precision / recall / F1 (ppm) for a multi-class
+    prediction — the sign-off table behind a confusion matrix (e.g.
+    the lang-id heuristic vs the gold lang column).
+
+    All-integer assembly: tp/fp/fn are plain conditional sums on a
+    UNION of (truth-keyed, pred-keyed) class views — one pass each —
+    and F1 uses the nested-division-free identity
+    f1 = 2*tp / (2*tp + fp + fn), so the three ratios are single
+    integer ppm divisions (decimal-widened; NULL when the denominator
+    is zero, i.e. a class absent from both truth and prediction side).
+
+    Scale shape: two hash aggregates over the fact table (one keyed by
+    truth class, one by pred class) + one tiny outer join on the class
+    vocabulary — no per-row crossing, no window.
+    Output: class, n_true, n_pred, tp, precision_ppm, recall_ppm,
+    f1_ppm.
+    """
+    t = _col(truth).alias("t")
+    p = _col(pred).alias("p")
+    base = df.select(t, p)
+    by_true = base.groupBy(F.col("t").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("t") == F.col("p"), 1).otherwise(0)).alias("tp"),
+    )
+    by_pred = base.groupBy(F.col("p").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    full = by_true.join(by_pred, "cls", "full_outer").select(
+        "cls",
+        F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+    )
+    return full.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.expr("CAST(tp AS DECIMAL(38,0)) * 1000000 div n_pred"),
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("CAST(tp AS DECIMAL(38,0)) * 1000000 div n_true"),
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(
+            (F.col("n_true") + F.col("n_pred")) > 0,
+            F.expr(
+                "CAST(2 AS DECIMAL(38,0)) * tp * 1000000"
+                " div (n_true + n_pred)"
+            ),
+        )
+        .cast("long")
+        .alias("f1_ppm"),
+    )
+
+
+def brier_by_group(
+    df: DataFrame, group_col: str, score_ppm: Column | str, label: Column | str
+) -> DataFrame:
+    """Brier score per group over a ppm-quantized score in [0, 1e6]
+    and a binary label — the squared-error complement to
+    :func:`calibration_bins` (which bins; Brier summarizes).
+
+    Exact integers end-to-end: each row contributes (s - y*1e6)^2
+    (bounded by 1e12), summed in decimal(38,0); the reported
+    brier_micro2 = sum div n is the mean squared error in micro^2
+    units (divide by 1e12 for the usual [0,1] Brier). One hash
+    aggregate; no window, no doubles.
+
+    Output: group_col, n, n_pos, brier_micro2.
+    """
+    s = _col(score_ppm).cast("long")
+    y = _col(label).cast("long")
+    e = F.col("s") - F.col("y") * F.lit(PPM)
+    agg = (
+        df.select(F.col(group_col).alias("g"), s.alias("s"), y.alias("y"))
+        .withColumn("e2", (e * e).cast("decimal(38,0)"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("e2").alias("se"),
+        )
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("se div n").cast("long").alias("brier_micro2"),
+    )

@@ -446,3 +446,59 @@ def hits_scores(
     return hubs.select("id", F.col("h").alias("hub")), auth.select(
         "id", F.col("a").alias("auth")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983; the distributed
+    peel loop of Montresor et al. 2013): symmetrize the edge set,
+    then ``rounds`` times remove every node whose current degree is
+    below ``k`` together with its incident edges. After enough rounds
+    the survivors are exactly the k-core (maximal subgraph with all
+    degrees >= k); a FIXED round count keeps the loop an unrollable,
+    engine-replayable recurrence — the same contract as
+    :func:`pagerank_exact` (each round is pure integer counting, so
+    the oracle unrolls it as CTEs and hash-matches).
+
+    Scale shape per round: one hash aggregate on the node key (degree
+    count) + two semi-joins of the edge set against the surviving
+    nodes — all keyed by node id; the edge frame is barriered each
+    round so the unrolled lineage stays flat. Like every fixpoint loop
+    in this module, pass ``checkpoint_dir`` on a real cluster.
+
+    Returns surviving (id, degree) after ``rounds`` peels — degree is
+    the count within the surviving subgraph.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"kcore_peel needs k >= 1 and rounds >= 1, got {k=} {rounds=}")
+    barrier = _make_barrier(edges.sparkSession, checkpoint_dir)
+    # symmetrize + dedup: degree = number of distinct neighbors
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if num_partitions:
+        e = e.repartition(num_partitions, "a")
+    e = barrier(e)
+    for _ in range(rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        e = barrier(
+            e.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+        )
+    return (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("a").alias("id"), F.col("degree").cast("long").alias("degree"))
+    )

@@ -220,3 +220,94 @@ def fuzzy_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    x: Column | str,
+    k_micro: int | Column,
+    h_micro: int | Column,
+) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) per series, exact
+    integers: s_t = max(0, s_{t-1} + x_t*1e6 - k_micro), alarm when
+    s_t > h_micro. k is the drift allowance (typically mean + slack),
+    h the decision threshold.
+
+    The recurrence looks inherently sequential, but it has the classic
+    prefix-scan identity s_t = S_t - min(0, min_{j<=t} S_j) with
+    S_t = sum_{i<=t}(x_i*1e6 - k) — so the distributed plan is ONE
+    shuffle on the series key and two cumulative window aggregates
+    (running sum, running min) over the same in-partition sort; no
+    iteration, no state store. Any SQL engine replays it verbatim,
+    which is what lets a sequential detector carry a value-hash oracle.
+
+    Integer discipline: x is cast to long and scaled to micros before
+    the sums; |S_t| <= n * max(x*1e6 + k) bounds int64 to ~9e12 rows
+    per series at x ~ 1e6-scale — per-SERIES length, not corpus size.
+
+    ``k_micro``/``h_micro`` may be Columns (e.g. a per-series mean
+    joined in beforehand) — they must be constant WITHIN a series.
+    Output: series_col, order_col, x, cusum_micro, alarm (0/1).
+    """
+    xv = (F.col(x) if isinstance(x, str) else x).cast("long")
+    kc = (F.lit(k_micro) if isinstance(k_micro, int) else k_micro).cast("long")
+    hc = (F.lit(h_micro) if isinstance(h_micro, int) else h_micro).cast("long")
+    base = df.select(
+        F.col(series_col).alias("g"),
+        F.col(order_col).alias("t"),
+        xv.alias("x"),
+        kc.alias("__k"),
+        hc.alias("__h"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = base.withColumn(
+        "srun", F.sum(F.col("x") * F.lit(PPM) - F.col("__k")).over(w)
+    ).withColumn("smin", F.min("srun").over(w))
+    cus = F.col("srun") - F.least(F.lit(0), F.col("smin"))
+    return stepped.select(
+        F.col("g").alias(series_col),
+        F.col("t").alias(order_col),
+        "x",
+        cus.cast("long").alias("cusum_micro"),
+        (cus > F.col("__h")).cast("int").alias("alarm"),
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: Column | str,
+    k: int,
+    l_min: int = 2,
+) -> DataFrame:
+    """Privacy audit over quasi-identifier equivalence classes
+    (Sweeney 2002 k-anonymity; Machanavajjhala 2007 l-diversity): for
+    each distinct quasi-identifier combination, the class size n, the
+    number of distinct sensitive values l, and the two violation flags
+    (n < k re-identifiable, l < l_min attribute-disclosable). A
+    training-data pipeline runs this before releasing event-derived
+    features (the same governance family as pii_redaction_report).
+
+    One hash aggregate keyed by the quasi columns (count + exact
+    count_distinct — Catalyst plans the distinct via Expand with
+    map-side partials; the 100 TB path swaps approx_count_distinct).
+    Output: *quasi_cols, n, l_distinct, under_k, under_l.
+    """
+    s = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    agg = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(s).alias("l_distinct"),
+    )
+    return agg.select(
+        *quasi_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("l_distinct").cast("long").alias("l_distinct"),
+        (F.col("n") < k).cast("int").alias("under_k"),
+        (F.col("l_distinct") < l_min).cast("int").alias("under_l"),
+    )

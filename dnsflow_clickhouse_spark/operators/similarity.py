@@ -1191,3 +1191,101 @@ def random_projection(
             "component",
         )
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_pool: int = 20,
+    k_sel: int = 5,
+    lambda_ppm: int = 700_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): from each query's exact top-``k_pool`` cosine pool, greedily
+    select ``k_sel`` items maximizing
+    lambda * sim(q, i) - (1 - lambda) * max_{s in selected} sim(i, s)
+    — the relevance-vs-redundancy dial every retrieval-augmented
+    pipeline needs when the top of a ranking is near-duplicates.
+
+    Exactness: similarities are integer micros via the pinned IEEE
+    chain floor(dot / (sqrt(n_a) * sqrt(n_b)) * 1e6 + 0.5) (exact int
+    dot products, correctly-rounded sqrt / div — identical in any
+    engine), lambda is ppm, so every greedy score is an int64 and the
+    argmax (ties -> lowest id) is a total order any SQL engine replays
+    by unrolling the k_sel steps as CTEs.
+
+    Scale shape: stage 1 is :func:`cosine_topk` (broadcast query block,
+    Arrow GEMM per corpus block, window top-k). Stage 2 joins the pool
+    back to its vectors and runs the greedy loop per query group in one
+    Arrow kernel — O(k_pool^2) integer work per query, zero driver
+    participation, queries scale out horizontally. Nothing ever
+    materializes corpus x corpus.
+
+    Output: query_id, rnk (selection order 1..k_sel), neighbor_id,
+    simq_micro.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pool = cosine_topk(queries, corpus, id_col, vec_col, k=k_pool)
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("nv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    rows = (
+        pool.select("query_id", "neighbor_id")
+        .join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    lam, ilam = int(lambda_ppm), 1_000_000 - int(lambda_ppm)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("rnk", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("simq_micro", T.LongType()),
+        ]
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sorted by id so numpy's first-occurrence argmax IS the
+        # lowest-id tie-break the oracle replays
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["nv"]])
+        q = np.asarray(pdf["qv"].iloc[0], dtype=np.int64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
+        qn = float(np.sqrt(float(q @ q)))
+        simq = np.floor((mat @ q) / (norms * qn) * 1e6 + 0.5).astype(np.int64)
+        sims = np.floor(
+            (mat @ mat.T) / np.outer(norms, norms) * 1e6 + 0.5
+        ).astype(np.int64)
+        n = len(ids)
+        picked: list[int] = []
+        alive = np.ones(n, dtype=bool)
+        for _ in range(min(k_sel, n)):
+            if not picked:
+                score = simq.copy()
+            else:
+                score = lam * simq - ilam * sims[:, picked].max(axis=1)
+            score[~alive] = np.iinfo(np.int64).min
+            i = int(np.argmax(score))
+            picked.append(i)
+            alive[i] = False
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(picked),
+                "rnk": np.arange(1, len(picked) + 1, dtype=np.int64),
+                "neighbor_id": ids[picked],
+                "simq_micro": simq[picked],
+            }
+        )
+
+    return rows.groupBy("query_id").applyInPandas(greedy, schema=out_schema)

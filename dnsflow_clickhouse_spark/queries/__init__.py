@@ -17,7 +17,14 @@ q19/q14/q15/q9/q3/q5/q6/q17/q7/q8. Round-6 code changes that did NOT
 fit (the kmeans/PQ family's cap-binding warning, HITS argument
 validation — both non-semantic) are instead attested in the committed
 SWEEP_VERIFY_r06.json artifact (tools/verify_oracle.py --json), the
-other r5 ask. The tail fills with the stalest remaining r3 rows.
+other r5 ask. Next the EIGHT queries brand-new this round — never-
+attested code outranks everything stale: spearman_quality_chars,
+lang_id_prf1, brier_quality_en (evaluation.py additions),
+event_rate_cusum, event_k_anonymity (profiling.py),
+winnowed_span_pairs (dedup.py winnowing), embedding_mmr_rerank
+(similarity.py), neardup_kcore (graph.py). The one remaining slot
+takes the stalest r3 row (qps_trend); the other r3-stale rows rotate
+in round 7.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -113,16 +120,17 @@ _PRIORITY = [
     "q17_small_quantity",
     "q7_volume_shipping",
     "q8_market_share",
-    # --- stalest remaining r3 rows fill the tail ---
+    # --- brand-new round-6 queries: never driver-attested ---
+    "spearman_quality_chars",
+    "lang_id_prf1",
+    "brier_quality_en",
+    "event_rate_cusum",
+    "event_k_anonymity",
+    "winnowed_span_pairs",
+    "embedding_mmr_rerank",
+    "neardup_kcore",
+    # --- stalest remaining r3 row fills the last slot ---
     "qps_trend",
-    "qps_per_client",
-    "response_code_ratio",
-    "grouped_topk_users",
-    "flow_report_topk",
-    "trend_rollup_daily",
-    "range_join_tiers",
-    "authority_domain_rollup",
-    "dedup_exact_docs",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -1014,3 +1014,171 @@ FROM a ORDER BY source
 """
 
 EVAL_REGISTRY["ranking_ndcg_by_source"] = (ranking_ndcg_by_source, _NDCG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 evaluation additions: Spearman rank correlation (monotone
+# complement to Pearson), per-class precision/recall/F1 over the
+# lang-id heuristic, and the Brier score of the quality heuristic as a
+# probability for lang=='en' (operators/evaluation.py).
+# ---------------------------------------------------------------------------
+
+from dnsflow_clickhouse_spark.operators.util import cpu_repartition  # noqa: E402
+from dnsflow_clickhouse_spark.queries.catalog_corpus import (  # noqa: E402
+    _QUALITY_EXPR,
+)
+
+
+def spearman_quality_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rank correlation (exact integer ppm) between
+    the heuristic quality score and the document character count — the
+    monotone-association audit of "is quality just length?" that the
+    Pearson report (feature_correlation_report) can understate for
+    nonlinear but monotone relations. Crisp-permutation ranks
+    (row_number, ties by doc_id) make the statistic engine-replayable
+    (operators/evaluation.py: spearman_by_group)."""
+    from dnsflow_clickhouse_spark.operators.evaluation import spearman_by_group
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        analyze_documents,
+    )
+
+    d = analyze_documents(
+        cpu_repartition(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
+    return spearman_by_group(
+        d, "source", "doc_id", F.col("quality"), F.col("n_chars")
+    ).orderBy("source")
+
+
+_SPEARMAN_SQL = f"""
+WITH t AS (SELECT doc_id, source, n_chars, {_SQL_TOKS} AS toks, text
+           FROM documents),
+q AS (SELECT doc_id, source, n_chars, {_QUALITY_EXPR} AS quality FROM t),
+rk AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY quality, doc_id)
+           AS rx,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS ry
+  FROM q),
+a AS (SELECT source, count(*) AS n,
+             sum(CAST((rx - ry) * (rx - ry) AS HUGEINT)) AS sum_d2
+      FROM rk GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+       CAST(CASE WHEN n >= 2 THEN {PPM} - (CAST(6000000 AS HUGEINT) * sum_d2)
+                 // (CAST(n AS HUGEINT) * n * n - n) END AS BIGINT)
+         AS rho_ppm
+FROM a ORDER BY source
+"""
+
+
+def lang_id_prf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (ppm) of the stopword-hit lang-id
+    heuristic against the gold lang column — the sign-off table the
+    raw confusion matrix (lang_id_confusion) feeds. F1 uses the
+    division-free identity 2*tp/(n_true + n_pred), so all three ratios
+    are single decimal-widened integer divisions (operators/
+    evaluation.py: prf1_by_class)."""
+    from dnsflow_clickhouse_spark.operators.evaluation import prf1_by_class
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        analyze_documents,
+    )
+
+    d = analyze_documents(
+        cpu_repartition(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
+    return (
+        prf1_by_class(d, F.col("lang"), F.col("lang_guess"))
+        .withColumnRenamed("cls", "lang")
+        .orderBy("lang")
+    )
+
+
+def _sql_prf1() -> str:
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        LANG_STOPWORDS,
+        _LANG_ORDER,
+    )
+
+    hit = {
+        lg: "len(list_filter(toks, t -> lower(t) IN ("
+        + ", ".join(repr(w) for w in LANG_STOPWORDS[lg])
+        + ")))"
+        for lg in _LANG_ORDER
+    }
+    best = f"greatest({', '.join(hit.values())})"
+    case = " ".join(
+        f"WHEN best > 0 AND {hit[lg]} = best THEN '{lg}'" for lg in _LANG_ORDER
+    )
+    return f"""
+WITH t AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT lang, toks, {best} AS best FROM t),
+g AS (SELECT lang, CASE {case} ELSE 'unknown' END AS lang_guess FROM s),
+bt AS (SELECT lang AS cls, count(*) AS n_true,
+              sum(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END) AS tp
+       FROM g GROUP BY 1),
+bp AS (SELECT lang_guess AS cls, count(*) AS n_pred FROM g GROUP BY 1),
+f AS (SELECT coalesce(bt.cls, bp.cls) AS cls,
+             coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+             coalesce(tp, 0) AS tp
+      FROM bt FULL JOIN bp ON bt.cls = bp.cls)
+SELECT cls AS lang, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+       CAST(CASE WHEN n_pred > 0
+                 THEN CAST(tp AS HUGEINT) * {PPM} // n_pred END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN n_true > 0
+                 THEN CAST(tp AS HUGEINT) * {PPM} // n_true END AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN n_true + n_pred > 0
+                 THEN CAST(2 AS HUGEINT) * tp * {PPM} // (n_true + n_pred)
+            END AS BIGINT) AS f1_ppm
+FROM f ORDER BY lang
+"""
+
+
+def brier_quality_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score per source of the quality heuristic read as a
+    probability that lang == 'en' (exact integer micro^2 units) — the
+    squared-error summary that complements the reliability table
+    (score_calibration_bins); operators/evaluation.py:
+    brier_by_group."""
+    from dnsflow_clickhouse_spark.operators.evaluation import brier_by_group
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        analyze_documents,
+    )
+
+    d = analyze_documents(
+        cpu_repartition(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
+    scored = d.select(
+        "source",
+        F.round(F.col("quality") * 1_000_000).cast("long").alias("score_ppm"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return brier_by_group(scored, "source", "score_ppm", "y").orderBy("source")
+
+
+_BRIER_SQL = f"""
+WITH t AS (SELECT doc_id, source, lang, {_SQL_TOKS} AS toks, text
+           FROM documents),
+q AS (SELECT source,
+             CAST(round({_QUALITY_EXPR} * 1000000) AS BIGINT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM t),
+a AS (SELECT source, count(*) AS n, sum(y) AS n_pos,
+             sum(CAST((s - y * {PPM}) AS HUGEINT)
+                 * (s - y * {PPM})) AS se
+      FROM q GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(se // n AS BIGINT) AS brier_micro2
+FROM a ORDER BY source
+"""
+
+EVAL_REGISTRY.update(
+    {
+        "spearman_quality_chars": (spearman_quality_chars, _SPEARMAN_SQL),
+        "lang_id_prf1": (lang_id_prf1, _sql_prf1()),
+        "brier_quality_en": (brier_quality_en, _BRIER_SQL),
+    }
+)

@@ -1591,3 +1591,221 @@ MLOPS_REGISTRY["cluster_balanced_sample"] = (
     cluster_balanced_sample,
     _sql_cluster_balanced(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): the
+# partial-overlap dedup family member — MinHash/Jaccard see documents
+# as gram SETS and miss a long copied span inside otherwise-different
+# documents; winnowing guarantees any shared run of >= w + k - 1 tokens
+# shares a selected fingerprint (operators/dedup.py:
+# winnow_fingerprints / winnowed_span_pairs).
+# ---------------------------------------------------------------------------
+
+_WIN_K, _WIN_W, _WIN_MIN_SHARED, _WIN_MAX_DF = 3, 4, 5, 64
+
+
+def winnowed_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism-style candidate pairs: documents sharing >= 5
+    winnowing fingerprints (token 3-grams, window 4, stop-gram cap at
+    document frequency 64 so corpus-wide boilerplate can't fan out
+    quadratically)."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        winnowed_span_pairs as _pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return _pairs(
+        d, "doc_id", "text", _WIN_K, _WIN_W, _WIN_MIN_SHARED, _WIN_MAX_DF
+    ).orderBy("doc_a", "doc_b")
+
+
+_WINNOW_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, len(toks) - {_WIN_K} + 1 AS ng, u.i AS pos,
+         {_sql_poly(f"array_to_string(toks[u.i:u.i+{_WIN_K - 1}], ' ')")} AS h
+  FROM t, LATERAL unnest(
+    generate_series(1, greatest(len(toks) - {_WIN_K} + 1, 0))) AS u(i)),
+m AS (
+  SELECT doc_id, ng, pos,
+         min(struct_pack(h := h, p := -pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS mm
+  FROM g),
+sel AS (
+  SELECT DISTINCT doc_id, (mm).h AS fp_hash
+  FROM m WHERE pos <= ng - {_WIN_W} + 1),
+ok AS (SELECT fp_hash FROM sel GROUP BY 1 HAVING count(*) <= {_WIN_MAX_DF}),
+k AS (SELECT sel.doc_id, sel.fp_hash FROM sel JOIN ok USING (fp_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM k a JOIN k b USING (fp_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WIN_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+MLOPS_REGISTRY["winnowed_span_pairs"] = (winnowed_span_pairs, _WINNOW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity rerank (Carbonell & Goldstein 1998): relevance-vs-
+# redundancy selection from each query's exact top-20 cosine pool —
+# what a RAG/search pipeline runs when the head of a ranking is
+# near-duplicates (operators/similarity.py: mmr_rerank). The oracle
+# unrolls the 5 greedy selections as CTEs over the same integer-micro
+# similarity chain.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL, _MMR_SEL, _MMR_LAMBDA = 20, 5, 700_000
+
+
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR rerank of the first 20 query vectors: greedy top-5 from the
+    exact top-20 cosine pool, lambda = 0.7 ppm, all scores in exact
+    int64 micros (argmax ties -> lowest neighbor id)."""
+    from dnsflow_clickhouse_spark.operators.similarity import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding",
+        k_pool=_MMR_POOL, k_sel=_MMR_SEL, lambda_ppm=_MMR_LAMBDA,
+    ).orderBy("query_id", "rnk")
+
+
+def _sql_mmr() -> str:
+    lam, ilam = _MMR_LAMBDA, 1_000_000 - _MMR_LAMBDA
+    cosd = (
+        "list_dot_product(a.qv, b.qv)"
+        " / (sqrt(list_dot_product(a.qv, a.qv))"
+        " * sqrt(list_dot_product(b.qv, b.qv)))"
+    )
+    simd = (
+        "list_dot_product(v1.qv, v2.qv)"
+        " / (sqrt(list_dot_product(v1.qv, v1.qv))"
+        " * sqrt(list_dot_product(v2.qv, v2.qv)))"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings)",
+        f"""pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         floor({cosd} * 1000000 + 0.5) / 1000000 AS cosine,
+         CAST(floor({cosd} * 1000000 + 0.5) AS BIGINT) AS simq
+  FROM q a JOIN q b ON a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id)""",
+        f"""pool AS (
+  SELECT query_id, neighbor_id, simq FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM pairs) WHERE rn <= {_MMR_POOL})""",
+        f"""pw AS (
+  SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+         CAST(floor({simd} * 1000000 + 0.5) AS BIGINT) AS sim
+  FROM pool p1 JOIN pool p2
+    ON p1.query_id = p2.query_id AND p1.neighbor_id != p2.neighbor_id
+  JOIN q v1 ON v1.vec_id = p1.neighbor_id
+  JOIN q v2 ON v2.vec_id = p2.neighbor_id)""",
+        f"""sel1 AS (
+  SELECT query_id, neighbor_id, simq, 1 AS rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY simq DESC, neighbor_id) AS rn
+    FROM pool) WHERE rn = 1)""",
+        "selall1 AS (SELECT * FROM sel1)",
+    ]
+    for t in range(2, _MMR_SEL + 1):
+        prev = f"selall{t - 1}"
+        parts.append(
+            f"""m{t} AS (
+  SELECT p.query_id, p.neighbor_id, p.simq, max(pw.sim) AS ms
+  FROM pool p
+  JOIN pw ON pw.query_id = p.query_id AND pw.a = p.neighbor_id
+  JOIN {prev} s ON s.query_id = pw.query_id AND s.neighbor_id = pw.b
+  LEFT JOIN {prev} x
+    ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+  WHERE x.neighbor_id IS NULL
+  GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"""sel{t} AS (
+  SELECT query_id, neighbor_id, simq, {t} AS rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY ({lam} * simq - {ilam} * ms) DESC, neighbor_id) AS rn
+    FROM m{t}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"selall{t} AS (SELECT * FROM {prev}"
+            f" UNION ALL SELECT * FROM sel{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+       CAST(simq AS BIGINT) AS simq_micro
+FROM selall{_MMR_SEL} ORDER BY query_id, rnk
+"""
+    )
+
+
+MLOPS_REGISTRY["embedding_mmr_rerank"] = (embedding_mmr_rerank, _sql_mmr())
+
+
+# ---------------------------------------------------------------------------
+# k-core of the near-dup graph (Seidman 1983): connected components
+# over near-dup pairs famously OVER-merge through weak chain links
+# (A~B~C with A!~C); the 2-core strips every chain/leaf and keeps only
+# densely inter-similar clusters — the members a canonical election
+# can safely collapse. Fixed peel rounds keep the loop an unrollable
+# recurrence (operators/graph.py: kcore_peel).
+# ---------------------------------------------------------------------------
+
+_KCORE_K, _KCORE_ROUNDS = 2, 3
+
+
+def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving (id, in-core degree) of the 2-core of the threshold-
+    0.5 trigram-Jaccard near-dup graph after 3 peel rounds (converged:
+    round 1 already reaches the fixpoint on this corpus; 3 is the
+    safety margin the oracle unrolls)."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+    from dnsflow_clickhouse_spark.operators.graph import kcore_peel
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filtered_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, threshold=0.5
+    )
+    return kcore_peel(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+        num_partitions=8,
+    ).orderBy("id")
+
+
+def _sql_kcore() -> str:
+    parts = [
+        "pr AS (SELECT id_a, id_b FROM p WHERE"
+        " floor(inter / (na + nb - inter) * 1000000 + 0.5) / 1000000 >= 0.5)",
+        "e0 AS (SELECT id_a AS a, id_b AS b FROM pr"
+        " UNION SELECT id_b, id_a FROM pr)",
+    ]
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"d{r} AS (SELECT a, count(*) AS c FROM {prev} GROUP BY a)")
+        parts.append(f"k{r} AS (SELECT a FROM d{r} WHERE c >= {_KCORE_K})")
+        parts.append(
+            f"e{r} AS (SELECT e.a, e.b FROM {prev} e"
+            f" JOIN k{r} x ON e.a = x.a JOIN k{r} y ON e.b = y.a)"
+        )
+        prev = f"e{r}"
+    return f"""
+WITH {_JACCARD_CTES},
+{', '.join(parts)}
+SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY a ORDER BY id
+"""
+
+
+MLOPS_REGISTRY["neardup_kcore"] = (neardup_kcore, _sql_kcore())

@@ -356,3 +356,149 @@ PROFILING_REGISTRY = {
     "data_quality_expectations": (data_quality_expectations, _EXPECT_SQL),
     "user_state_history": (user_state_history, _SCD2_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: CUSUM change detection over the hourly event-rate
+# series, and a k-anonymity / l-diversity privacy audit of the event
+# stream's quasi-identifier classes (operators/profiling.py).
+# ---------------------------------------------------------------------------
+
+# drift allowance k = 1.5x the series mean, alarm threshold h = 8x the
+# series mean (in micros): a sustained run above 1.5x the average rate
+# accumulates toward an alarm, isolated Poisson spikes decay
+_CUSUM_K_NUM, _CUSUM_K_DEN = 3, 2
+_CUSUM_H_MULT = 8
+
+
+def event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM over each event type's hourly count series: alarm
+    hours where the cumulative positive drift above 1.5x the series
+    mean exceeds 8x the mean. The sequential recurrence runs as two
+    cumulative window aggregates via the prefix-scan identity
+    (operators/profiling.py: cusum_changepoints) — one shuffle, no
+    iteration, value-hash oracle. Output: one row per (event_type,
+    hour) with the exact cusum trajectory and the alarm flag."""
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        cusum_changepoints,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("long")
+        .alias("hour_ep"),
+    )
+    counts = ev.groupBy("event_type", "hour_ep").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    means = counts.groupBy("event_type").agg(
+        F.expr("CAST(sum(cnt) AS DECIMAL(38,0)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("mean_micro")
+    )
+    joined = counts.join(F.broadcast(means), "event_type")
+    return cusum_changepoints(
+        joined,
+        "event_type",
+        "hour_ep",
+        F.col("cnt"),
+        F.expr(f"mean_micro * {_CUSUM_K_NUM} div {_CUSUM_K_DEN}"),
+        F.expr(f"mean_micro * {_CUSUM_H_MULT}"),
+    ).orderBy("event_type", "hour_ep")
+
+
+_CUSUM_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT)
+           * 3600 AS hour_ep
+  FROM events),
+c AS (SELECT event_type, hour_ep, count(*) AS cnt FROM h GROUP BY 1, 2),
+m AS (SELECT event_type,
+             CAST(CAST(sum(cnt) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+               AS mean_micro
+      FROM c GROUP BY 1),
+s AS (
+  SELECT c.event_type, c.hour_ep, c.cnt,
+         m.mean_micro * {_CUSUM_K_NUM} // {_CUSUM_K_DEN} AS k_micro,
+         m.mean_micro * {_CUSUM_H_MULT} AS h_micro,
+         sum(c.cnt * 1000000 - m.mean_micro * {_CUSUM_K_NUM} // {_CUSUM_K_DEN})
+           OVER (PARTITION BY c.event_type ORDER BY c.hour_ep) AS srun
+  FROM c JOIN m USING (event_type)),
+s2 AS (
+  SELECT *, min(srun) OVER (PARTITION BY event_type ORDER BY hour_ep) AS smin
+  FROM s)
+SELECT event_type, hour_ep, CAST(cnt AS BIGINT) AS x,
+       CAST(srun - least(0, smin) AS BIGINT) AS cusum_micro,
+       CAST(CASE WHEN srun - least(0, smin) > h_micro THEN 1 ELSE 0 END
+            AS INT) AS alarm
+FROM s2 ORDER BY event_type, hour_ep
+"""
+
+
+_KANON_K, _KANON_L = 5, 3
+
+
+def event_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of the event stream before feature release: the
+    quasi-identifier is (event_type, hour bucket), the sensitive
+    attribute is user_id. Per event type, how many equivalence classes
+    exist, how many violate k-anonymity (n < 5) or l-diversity
+    (distinct users < 3), and the worst class sizes (operators/
+    profiling.py: k_anonymity_report, rolled up per type)."""
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        k_anonymity_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("long")
+        .alias("hour_ep"),
+        "user_id",
+    )
+    classes = k_anonymity_report(
+        ev, ["event_type", "hour_ep"], "user_id", _KANON_K, _KANON_L
+    )
+    return (
+        classes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("under_k").cast("long").alias("n_under_k"),
+            F.sum("under_l").cast("long").alias("n_under_l"),
+            F.min("n").alias("min_class_n"),
+            F.min("l_distinct").alias("min_class_l"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KANON_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT)
+           * 3600 AS hour_ep,
+         user_id
+  FROM events),
+cls AS (
+  SELECT event_type, hour_ep, count(*) AS n,
+         count(DISTINCT user_id) AS l_distinct
+  FROM h GROUP BY 1, 2)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_under_k,
+       CAST(sum(CASE WHEN l_distinct < {_KANON_L} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_under_l,
+       CAST(min(n) AS BIGINT) AS min_class_n,
+       CAST(min(l_distinct) AS BIGINT) AS min_class_l
+FROM cls GROUP BY event_type ORDER BY event_type
+"""
+
+
+PROFILING_REGISTRY.update(
+    {
+        "event_rate_cusum": (event_rate_cusum, _CUSUM_SQL),
+        "event_k_anonymity": (event_k_anonymity, _KANON_SQL),
+    }
+)

@@ -226,3 +226,67 @@ def test_ndcg_hand_replay_and_edge_cases(spark):
     assert out["g2"]["ndcg_ppm"] == 1_000_000  # perfect ranking
     assert out["g3"]["ndcg_ppm"] is None  # no relevant rows: undefined
     assert out["g3"]["idcg_micro"] == 0
+
+
+def test_spearman_perfect_reversed_and_scrambled(spark):
+    from dnsflow_clickhouse_spark.operators.evaluation import spearman_by_group
+
+    rows = (
+        # monotone increasing -> rho 1.0 (sum_d2 = 0)
+        [("m", i, float(i), i * 10) for i in range(1, 6)]
+        # perfectly reversed -> rho -1.0
+        + [("r", i, float(i), -i) for i in range(1, 6)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, x double, y long")
+    got = {
+        r.g: r
+        for r in spearman_by_group(
+            df, "g", "id", F.col("x"), F.col("y")
+        ).collect()
+    }
+    assert got["m"].sum_d2 == 0 and got["m"].rho_ppm == 1_000_000
+    assert got["r"].rho_ppm == -1_000_000
+    # pure-python replay of a scrambled permutation: crisp ranks by
+    # (value, id), rho_ppm = 1e6 - 6e6*sum_d2 // (n^3 - n)
+    xs = [3.0, 1.0, 2.0, 5.0, 4.0]
+    ys = [10, 30, 20, 40, 50]
+    rows2 = [("s", i + 1, xs[i], ys[i]) for i in range(5)]
+    df2 = spark.createDataFrame(rows2, "g string, id long, x double, y long")
+    rx = {i: r for r, i in enumerate(sorted(range(5), key=lambda i: (xs[i], i)), 1)}
+    ry = {i: r for r, i in enumerate(sorted(range(5), key=lambda i: (ys[i], i)), 1)}
+    sum_d2 = sum((rx[i] - ry[i]) ** 2 for i in range(5))
+    want = 1_000_000 - (6_000_000 * sum_d2) // (5**3 - 5)
+    got2 = spearman_by_group(df2, "g", "id", F.col("x"), F.col("y")).collect()[0]
+    assert got2.sum_d2 == sum_d2 and got2.rho_ppm == want
+
+
+def test_prf1_by_class_counts_and_identities(spark):
+    from dnsflow_clickhouse_spark.operators.evaluation import prf1_by_class
+
+    # truth: a,a,a,b,b,c  pred: a,a,b,b,a,d
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"), ("c", "d")]
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = {r.cls: r for r in prf1_by_class(df, "t", "p").collect()}
+    a = got["a"]
+    assert (a.n_true, a.n_pred, a.tp) == (3, 3, 2)
+    assert a.precision_ppm == 2 * 1_000_000 // 3
+    assert a.recall_ppm == 2 * 1_000_000 // 3
+    assert a.f1_ppm == 2 * 2 * 1_000_000 // 6
+    # class 'd' never in truth: precision 0, recall NULL
+    d = got["d"]
+    assert (d.n_true, d.n_pred, d.tp) == (0, 1, 0)
+    assert d.precision_ppm == 0 and d.recall_ppm is None
+    # class 'c' never predicted: recall 0, precision NULL
+    c = got["c"]
+    assert c.precision_ppm is None and c.recall_ppm == 0
+
+
+def test_brier_by_group_exact(spark):
+    from dnsflow_clickhouse_spark.operators.evaluation import brier_by_group
+
+    # (score_ppm, y): errors 0.2^2 and 0.4^2 -> mean 0.1 in micro^2
+    rows = [("g", 800_000, 1), ("g", 400_000, 0)]
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    got = brier_by_group(df, "g", "s", "y").collect()[0]
+    want = ((800_000 - 1_000_000) ** 2 + 400_000**2) // 2
+    assert (got.n, got.n_pos, got.brier_micro2) == (2, 1, want)

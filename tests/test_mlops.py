@@ -898,3 +898,117 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     # byte-identical rerun
     again = cluster_balanced_sample(spark, "/root/testdata/sf0.001").collect()
     assert rows == again
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD, POLY_MULT
+    from dnsflow_clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    def py_poly(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * POLY_MULT + ord(ch)) % POLY_MOD
+        return h
+
+    def py_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+        toks = text.split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [py_poly(g) for g in grams]
+        out = set()
+        for start in range(len(hs) - w + 1):
+            window = hs[start : start + w]
+            m = min(window)
+            # rightmost minimal hash (the paper's tie rule)
+            pos = start + max(i for i, h in enumerate(window) if h == m)
+            out.add((m, pos + 1))  # 1-based
+        return out
+
+    texts = [
+        (1, "a b c d e f g h i j"),
+        (2, "the cat sat on the mat the cat sat on the mat"),
+        (3, "x y"),  # shorter than k: no fingerprints
+        (4, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.id, r.fp_hash, r.fp_pos)
+        for r in winnow_fingerprints(df, "doc_id", "text", 3, 4).collect()
+    }
+    want = {
+        (i, h, p) for i, t in texts for (h, p) in py_winnow(t, 3, 4)
+    }
+    assert got == want
+
+
+def test_winnowing_shared_span_guarantee(spark):
+    """Any shared token run of >= w + k - 1 tokens must share at least
+    one selected fingerprint hash (the paper's detection guarantee)."""
+    from dnsflow_clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    span = "quick brown fox jumps over the lazy dog tonight"  # 9 >= 4+3-1
+    texts = [
+        (1, "alpha beta " + span + " gamma delta epsilon"),
+        (2, "completely different prefix words here " + span),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", 3, 4).collect()
+    h1 = {r.fp_hash for r in fps if r.id == 1}
+    h2 = {r.fp_hash for r in fps if r.id == 2}
+    assert h1 & h2, "shared span produced no shared fingerprint"
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    import math
+
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        QUANT_SCALE,
+        mmr_rerank,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0],   # close to query 0
+        2: [0.89, 0.11, 0.0],  # near-dup of 1
+        3: [0.0, 1.0, 0.0],   # diverse
+        4: [0.5, 0.5, 0.0],
+        5: [0.4, 0.1, 0.9],
+    }
+    rows = [(i, v) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k_pool, k_sel, lam = 5, 3, 700_000
+    got = mmr_rerank(
+        df.filter("vec_id = 0"), df, "vec_id", "embedding",
+        k_pool=k_pool, k_sel=k_sel, lambda_ppm=lam,
+    ).orderBy("rnk").collect()
+
+    # pure-python replay over the same quantized integers
+    q = {i: [round(float(x) * QUANT_SCALE) for x in v] for i, v in vecs.items()}
+
+    def sim(a, b):
+        d = sum(x * y for x, y in zip(q[a], q[b]))
+        na = math.sqrt(sum(x * x for x in q[a]))
+        nb = math.sqrt(sum(x * x for x in q[b]))
+        return math.floor(d / (na * nb) * 1e6 + 0.5)
+
+    cand = sorted(
+        (i for i in vecs if i != 0),
+        key=lambda i: (-sim(0, i), i),
+    )[:k_pool]
+    picked = []
+    remaining = sorted(cand)
+    for _ in range(k_sel):
+        if not picked:
+            best = max(remaining, key=lambda i: (sim(0, i), -i))
+        else:
+            best = max(
+                remaining,
+                key=lambda i: (
+                    lam * sim(0, i)
+                    - (1_000_000 - lam) * max(sim(i, s) for s in picked),
+                    -i,
+                ),
+            )
+        picked.append(best)
+        remaining.remove(best)
+    assert [r.neighbor_id for r in got] == picked
+    assert [r.simq_micro for r in got] == [sim(0, i) for i in picked]

@@ -125,3 +125,67 @@ def test_expect_report_all_green(spark):
         [row_rule("v_pos", F.col("v") > 0), unique_rule("id_unique", "id")],
     ).collect()
     assert all(r.passed == 1 and r.n_violations == 0 for r in rows)
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from dnsflow_clickhouse_spark.operators.profiling import cusum_changepoints
+
+    xs = [3, 3, 3, 9, 9, 2, 3, 12, 1, 1]
+    k, h = 4_000_000, 6_000_000  # k = 4.0, h = 6.0 in micros
+    rows = [("s", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = (
+        cusum_changepoints(df, "g", "t", "x", k, h)
+        .orderBy("t")
+        .collect()
+    )
+    # pure-python replay of Page's recurrence s_t = max(0, s + x*1e6 - k)
+    s, want = 0, []
+    for x in xs:
+        s = max(0, s + x * 1_000_000 - k)
+        want.append((s, int(s > h)))
+    assert [(r.cusum_micro, r.alarm) for r in got] == want
+
+
+def test_cusum_per_series_column_thresholds(spark):
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.profiling import cusum_changepoints
+
+    # two series with different k columns: 'a' never alarms, 'b' does
+    rows = [("a", t, 5, 10_000_000, 1_000_000) for t in range(3)] + [
+        ("b", t, 5, 1_000_000, 1_000_000) for t in range(3)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, x long, k long, h long")
+    got = {
+        (r.g, r.t): r
+        for r in cusum_changepoints(
+            df, "g", "t", "x", F.col("k"), F.col("h")
+        ).collect()
+    }
+    assert all(got[("a", t)].cusum_micro == 0 for t in range(3))
+    assert [got[("b", t)].cusum_micro for t in range(3)] == [
+        4_000_000,
+        8_000_000,
+        12_000_000,
+    ]
+    assert [got[("b", t)].alarm for t in range(3)] == [1, 1, 1]
+
+
+def test_k_anonymity_flags(spark):
+    from dnsflow_clickhouse_spark.operators.profiling import k_anonymity_report
+
+    rows = (
+        [("x", 1, u) for u in (1, 2, 3, 4, 5)]  # n=5, l=5: clean at k=5,l=2
+        + [("x", 2, 9), ("x", 2, 9)]  # n=2 < 5, l=1 < 2: both flags
+        + [("y", 1, u) for u in (7, 7, 7, 7, 8)]  # n=5, l=2: clean
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 long, sens long")
+    got = {
+        (r.q1, r.q2): r
+        for r in k_anonymity_report(df, ["q1", "q2"], "sens", 5, 2).collect()
+    }
+    assert (got[("x", 1)].under_k, got[("x", 1)].under_l) == (0, 0)
+    assert (got[("x", 2)].under_k, got[("x", 2)].under_l) == (1, 1)
+    assert (got[("y", 1)].n, got[("y", 1)].l_distinct) == (5, 2)
+    assert (got[("y", 1)].under_k, got[("y", 1)].under_l) == (0, 0)

@@ -277,3 +277,40 @@ def test_qps_anomaly_seasonal_baseline(spark):
     )
     assert r["dev_ppm"] == 1_000_000
     # days 0-7 have < 7 days of history and are never scored
+
+
+def test_kcore_peel_triangle_with_tail(spark):
+    from dnsflow_clickhouse_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 plus a tail 3-4-5: the 2-core is the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r.id: r.degree for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3 empties it (no 3-core exists)
+    assert kcore_peel(edges, k=3, rounds=3).count() == 0
+
+
+def test_kcore_peel_needs_multiple_rounds(spark):
+    from dnsflow_clickhouse_spark.operators.graph import kcore_peel
+
+    # a chain hanging off a square: peeling the chain takes a round per
+    # link — rounds=1 leaves the second link, rounds=3 reaches fixpoint
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    assert set(
+        r.id for r in kcore_peel(edges, k=2, rounds=1).collect()
+    ) == {1, 2, 3, 4, 5}
+    assert set(
+        r.id for r in kcore_peel(edges, k=2, rounds=3).collect()
+    ) == {1, 2, 3, 4}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=0, rounds=3)
