@@ -485,3 +485,60 @@ def streaming_qps_anomaly(
     )
 
     return seasonal_hour_anomalies(counts, min_history, threshold_ppm)
+
+
+def merge_series_hour_counts(
+    state: DataFrame | None, batch_counts: DataFrame
+) -> DataFrame:
+    """Cross-batch (series, hour_ep, cnt) state for streaming CUSUM:
+    additive fold (union + sum), state bounded by series x observed
+    hours. Same contract as merge_hour_counts: NOT replay-idempotent
+    (counts re-add on retry) — pair with the idempotent batch-id sink
+    when retries are possible. Late events for an already-folded hour
+    simply add into that hour's cell, so the rescore after the fold
+    sees the corrected series."""
+    if state is None:
+        return batch_counts
+    return (
+        state.unionByName(batch_counts)
+        .groupBy("series", "hour_ep")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def streaming_cusum(
+    counts: DataFrame,
+    k_num: int = 3,
+    k_den: int = 2,
+    h_mult: int = 8,
+) -> DataFrame:
+    """CUSUM drift report over the folded (series, hour_ep, cnt) state
+    — the streaming face of queries/catalog_profiling.event_rate_cusum,
+    rescoring on series x hours-sized frames only (no fact-table
+    rescans). The detector's sequential recurrence is a pure function
+    of the ordered hour counts (the prefix-scan identity in
+    operators/profiling.cusum_changepoints), and the fold is additive,
+    so batch and streaming are value-identical once the same events
+    have arrived — including late hours, which re-enter the prefix at
+    their event-time position instead of corrupting running state
+    (parity test in tests/test_streaming.py). Thresholds replay the
+    batch query's: k = mean * k_num/k_den, h = mean * h_mult, means
+    recomputed from the folded state each trigger."""
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        cusum_changepoints,
+    )
+
+    means = counts.groupBy("series").agg(
+        F.expr("CAST(sum(cnt) AS DECIMAL(38,0)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("mean_micro")
+    )
+    joined = counts.join(F.broadcast(means), "series")
+    return cusum_changepoints(
+        joined,
+        "series",
+        "hour_ep",
+        F.col("cnt"),
+        F.expr(f"mean_micro * {k_num} div {k_den}"),
+        F.expr(f"mean_micro * {h_mult}"),
+    )

@@ -92,3 +92,38 @@ def test_anomaly_report_is_agg_plus_one_window(spark):
     # hour-bucket agg + the expanding hod window + final sort: three
     # exchanges ceiling, nothing corpus-sized shuffles twice
     assert count_exchanges(_q("qps_anomaly_report", spark)) <= 3
+
+
+def test_cusum_runs_on_one_series_exchange(spark):
+    # hour agg -> per-type mean broadcast back -> the two cumulative
+    # windows share ONE series exchange + the final sort: ceiling 4,
+    # and the two window functions (running sum, running min) must not
+    # introduce a second series shuffle
+    df = _q("event_rate_cusum", spark)
+    assert count_exchanges(df) <= 4
+    plan = physical_plan(df)
+    assert plan.count("hashpartitioning(event_type") <= 2  # agg + window
+
+
+def test_brier_is_single_aggregate(spark):
+    # one group agg + final sort — no window, no join
+    df = _q("brier_quality_en", spark)
+    assert count_exchanges(df) <= 2
+    assert "Join" not in physical_plan(df)
+
+
+def test_spearman_ranks_share_one_group_exchange(spark):
+    # both row_number sorts (x-rank, y-rank) hang off the same
+    # hashpartitioning(g) — the ndcg discipline
+    plan = physical_plan(_q("spearman_quality_chars", spark))
+    assert plan.count("hashpartitioning(g#") <= 1
+
+
+def test_mmr_pool_broadcasts_and_greedy_is_arrow(spark):
+    # stage 1 broadcasts the query block (cosine_topk); stage 2 is one
+    # Arrow FlatMapGroupsInPandas over query_id — no sort-merge join
+    # anywhere (the pool and vector joins are all broadcast-able)
+    df = _q("embedding_mmr_rerank", spark)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan

@@ -559,3 +559,55 @@ def test_streaming_anomaly_matches_batch(spark):
     stream = streaming_qps_anomaly(state).collect()
     assert stream == batch
     assert len(batch) == 1 and batch[0]["cnt"] == 22
+
+
+def test_streaming_cusum_matches_batch(spark):
+    """The CUSUM fold (additive (series, hour_ep) counts) rescored by
+    the shared detector equals the one-shot batch result on the same
+    events — including a late hour arriving in a later micro-batch,
+    which re-enters the prefix at its event-time position."""
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        cusum_changepoints,
+    )
+    from dnsflow_clickhouse_spark.streaming.pipeline import (
+        merge_series_hour_counts,
+        streaming_cusum,
+    )
+
+    # one series, 12 hours, a sustained burst in hours 8-11
+    xs = [3, 3, 3, 3, 3, 3, 3, 3, 9, 9, 9, 9]
+    rows = [("a", h * 3600, x) for h, x in enumerate(xs)]
+    counts = spark.createDataFrame(rows, "series string, hour_ep long, cnt long")
+    means = counts.groupBy("series").agg(
+        F.expr("CAST(sum(cnt) AS DECIMAL(38,0)) * 1000000 div count(*)")
+        .cast("long")
+        .alias("mean_micro")
+    )
+    batch = (
+        cusum_changepoints(
+            counts.join(F.broadcast(means), "series"),
+            "series",
+            "hour_ep",
+            F.col("cnt"),
+            F.expr("mean_micro * 3 div 2"),
+            F.expr("mean_micro * 8"),
+        )
+        .orderBy("series", "hour_ep")
+        .collect()
+    )
+
+    # 3 micro-batches: hour 9 (index 9) arrives LATE in the last batch,
+    # split as partial counts (5 in batch 2, 4 in batch 3) to exercise
+    # the additive fold
+    b1 = [("a", h * 3600, xs[h]) for h in range(0, 6)]
+    b2 = [("a", h * 3600, xs[h]) for h in (6, 7, 8, 10)] + [("a", 9 * 3600, 5)]
+    b3 = [("a", 11 * 3600, xs[11]), ("a", 9 * 3600, 4)]
+    state = None
+    for b in (b1, b2, b3):
+        part = spark.createDataFrame(b, "series string, hour_ep long, cnt long")
+        state = merge_series_hour_counts(state, part)
+    stream = streaming_cusum(state).orderBy("series", "hour_ep").collect()
+    assert stream == batch
+    assert any(r.alarm == 1 for r in batch)  # the burst is detected
