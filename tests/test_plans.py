@@ -95,20 +95,22 @@ def test_anomaly_report_is_agg_plus_one_window(spark):
 
 
 def test_cusum_runs_on_one_series_exchange(spark):
-    # hour agg -> per-type mean broadcast back -> the two cumulative
-    # windows share ONE series exchange + the final sort: ceiling 4,
-    # and the two window functions (running sum, running min) must not
-    # introduce a second series shuffle
+    # (type, hour) agg -> per-type mean agg -> broadcast back -> the
+    # two cumulative windows SHARE one series exchange -> final sort:
+    # five Exchange nodes ceiling (incl. the broadcast), and the two
+    # window functions (running sum, running min) must not introduce a
+    # second series shuffle — asserted via the hashpartitioning count
     df = _q("event_rate_cusum", spark)
-    assert count_exchanges(df) <= 4
+    assert count_exchanges(df) <= 5
     plan = physical_plan(df)
-    assert plan.count("hashpartitioning(event_type") <= 2  # agg + window
+    assert plan.count("hashpartitioning(event_type") <= 3  # 2 aggs + window
 
 
 def test_brier_is_single_aggregate(spark):
-    # one group agg + final sort — no window, no join
+    # cpu repartition of the scan + one group agg + final sort —
+    # no window, no join
     df = _q("brier_quality_en", spark)
-    assert count_exchanges(df) <= 2
+    assert count_exchanges(df) <= 3
     assert "Join" not in physical_plan(df)
 
 

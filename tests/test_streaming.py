@@ -576,8 +576,9 @@ def test_streaming_cusum_matches_batch(spark):
         streaming_cusum,
     )
 
-    # one series, 12 hours, a sustained burst in hours 8-11
-    xs = [3, 3, 3, 3, 3, 3, 3, 3, 9, 9, 9, 9]
+    # one series, 12 hours, a sustained burst in hours 8-11; h_mult=2
+    # so the short test series can actually trip the alarm
+    xs = [3, 3, 3, 3, 3, 3, 3, 3, 20, 20, 20, 20]
     rows = [("a", h * 3600, x) for h, x in enumerate(xs)]
     counts = spark.createDataFrame(rows, "series string, hour_ep long, cnt long")
     means = counts.groupBy("series").agg(
@@ -592,7 +593,7 @@ def test_streaming_cusum_matches_batch(spark):
             "hour_ep",
             F.col("cnt"),
             F.expr("mean_micro * 3 div 2"),
-            F.expr("mean_micro * 8"),
+            F.expr("mean_micro * 2"),
         )
         .orderBy("series", "hour_ep")
         .collect()
@@ -602,12 +603,14 @@ def test_streaming_cusum_matches_batch(spark):
     # split as partial counts (5 in batch 2, 4 in batch 3) to exercise
     # the additive fold
     b1 = [("a", h * 3600, xs[h]) for h in range(0, 6)]
-    b2 = [("a", h * 3600, xs[h]) for h in (6, 7, 8, 10)] + [("a", 9 * 3600, 5)]
-    b3 = [("a", 11 * 3600, xs[11]), ("a", 9 * 3600, 4)]
+    b2 = [("a", h * 3600, xs[h]) for h in (6, 7, 8, 10)] + [("a", 9 * 3600, 12)]
+    b3 = [("a", 11 * 3600, xs[11]), ("a", 9 * 3600, 8)]
     state = None
     for b in (b1, b2, b3):
         part = spark.createDataFrame(b, "series string, hour_ep long, cnt long")
         state = merge_series_hour_counts(state, part)
-    stream = streaming_cusum(state).orderBy("series", "hour_ep").collect()
+    stream = (
+        streaming_cusum(state, h_mult=2).orderBy("series", "hour_ep").collect()
+    )
     assert stream == batch
     assert any(r.alarm == 1 for r in batch)  # the burst is detected
