@@ -618,3 +618,62 @@ def brier_by_group(
         F.col("n_pos").cast("long").alias("n_pos"),
         F.expr("se div n").cast("long").alias("brier_micro2"),
     )
+
+
+def average_precision_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: Column | str,
+    score: Column,
+    label: Column | str,
+) -> DataFrame:
+    """Average Precision (the PR-AUC summary) per group, exact integer
+    ppm — the IMBALANCED-data complement to :func:`auc_by_group`: with
+    1 positive per 10k rows a filter can post AUC 0.99 while its
+    precision at every operating point is garbage; AP is the metric
+    that notices.
+
+    AP = mean over positives (ranked by score) of precision@k. The
+    ranking is a CRISP PERMUTATION (score DESC, id — same pinning as
+    ndcg/spearman) so every engine replays the identical rank; each
+    precision@k quantizes to integer ppm (cum_pos_k * 1e6 div k) and
+    AP is their integer mean (div n_pos) — two floors, both replayed
+    verbatim by the oracle, no tie-averaging to drift.
+
+    Scale shape: one shuffle on the group key, one in-partition sort
+    (row_number + running positive count over the same window frame),
+    one hash aggregate. NULL ap_ppm for groups with no positives.
+    Output: group_col, n, n_pos, ap_ppm.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    base = df.select(
+        F.col(group_col).alias("g"),
+        idc.alias("id"),
+        score.alias("s"),
+        _col(label).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("s").desc(), "id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = base.select(
+        "g",
+        "y",
+        F.row_number().over(w).alias("k"),
+        F.sum("y").over(wr).alias("cum_pos"),
+    )
+    term = F.when(
+        F.col("y") == 1,
+        F.expr("CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div k"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(term).alias("term_sum"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.when(F.col("n_pos") > 0, F.expr("term_sum div n_pos"))
+        .cast("long")
+        .alias("ap_ppm"),
+    )

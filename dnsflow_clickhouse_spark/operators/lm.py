@@ -427,3 +427,53 @@ def pmi_collocations(
         .orderBy(F.col("pmi_micro").desc(), "a", "b")
         .limit(k)
     )
+
+
+def good_turing_vocab(
+    df: DataFrame, group_col: str, toks: Column
+) -> DataFrame:
+    """Vocabulary-growth diagnostics per group (Good 1953; Chao 1984):
+    token count N, observed vocabulary V, hapax/dis legomena counts
+    (f1, f2), the Good-Turing unseen-probability mass f1/N in ppm, and
+    the Chao1 lower-bound vocabulary estimate
+    V + f1*(f1-1) div (2*(f2+1)) (the bias-corrected form, finite when
+    f2 = 0). The question these answer for a curation run: "has this
+    source's vocabulary saturated, or does more crawl still buy new
+    types?" — sources whose unseen mass stays high are under-sampled;
+    sources near zero are exhausted (or templated).
+
+    All exact integers: two cascading hash aggregates — (group, token)
+    counts, then frequency-of-frequency rollup — both map-side
+    combinable; no window, no join. The (group, token) intermediate is
+    vocabulary-sized, not corpus-sized, at any SF.
+
+    Output: group_col, n_tokens, vocab, f1, f2, gt_unseen_ppm,
+    chao1_vocab.
+    """
+    per_tok = (
+        df.select(F.col(group_col).alias("g"), F.explode(toks).alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_tok.groupBy("g").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.expr("CAST(f1 AS DECIMAL(38,0)) * 1000000 div n_tokens")
+        .cast("long")
+        .alias("gt_unseen_ppm"),
+        (
+            F.col("vocab")
+            + F.expr("CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) div (2 * (f2 + 1))")
+        )
+        .cast("long")
+        .alias("chao1_vocab"),
+    )

@@ -22,9 +22,12 @@ attested code outranks everything stale: spearman_quality_chars,
 lang_id_prf1, brier_quality_en (evaluation.py additions),
 event_rate_cusum, event_k_anonymity (profiling.py),
 winnowed_span_pairs (dedup.py winnowing), embedding_mmr_rerank
-(similarity.py), neardup_kcore (graph.py). The one remaining slot
-takes the stalest r3 row (qps_trend); the other r3-stale rows rotate
-in round 7.
+(similarity.py), neardup_kcore (graph.py), pr_auc_by_source
+(average precision — evaluation.py) and vocab_growth_report
+(Good-Turing/Chao1 — lm.py). To fit the ten new queries,
+q8_market_share (one of the five portable-round consumers the r5
+judge personally re-verified) yields its slot; the r3-stale rows
+rotate in round 7.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -119,7 +122,6 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q17_small_quantity",
     "q7_volume_shipping",
-    "q8_market_share",
     # --- brand-new round-6 queries: never driver-attested ---
     "spearman_quality_chars",
     "lang_id_prf1",
@@ -129,8 +131,8 @@ _PRIORITY = [
     "winnowed_span_pairs",
     "embedding_mmr_rerank",
     "neardup_kcore",
-    # --- stalest remaining r3 row fills the last slot ---
-    "qps_trend",
+    "pr_auc_by_source",
+    "vocab_growth_report",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -1182,3 +1182,95 @@ EVAL_REGISTRY.update(
         "brier_quality_en": (brier_quality_en, _BRIER_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: average precision (PR-AUC) — the imbalanced-data
+# complement to ROC-AUC — and Good-Turing / Chao1 vocabulary-growth
+# diagnostics (operators/evaluation.py, operators/lm.py).
+# ---------------------------------------------------------------------------
+
+
+def pr_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision per source of n_chars as a predictor of
+    lang=='en' — the same pseudo-model score_auc_by_source signs off
+    with ROC-AUC, summarized the way an imbalanced filter should be
+    (precision at every positive's rank, crisp score-desc/doc_id
+    permutation, exact integer ppm)."""
+    from dnsflow_clickhouse_spark.operators.evaluation import (
+        average_precision_by_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return average_precision_by_group(
+        d,
+        "source",
+        "doc_id",
+        F.col("n_chars"),
+        (F.col("lang") == "en").cast("long"),
+    ).orderBy("source")
+
+
+_PR_AUC_SQL = f"""
+WITH b AS (
+  SELECT source AS g, doc_id, n_chars AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+r AS (
+  SELECT g, y,
+         row_number() OVER (PARTITION BY g ORDER BY s DESC, doc_id) AS k,
+         sum(y) OVER (PARTITION BY g ORDER BY s DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_pos
+  FROM b),
+a AS (
+  SELECT g, count(*) AS n, sum(y) AS n_pos,
+         sum(CASE WHEN y = 1
+                  THEN CAST(cum_pos AS HUGEINT) * {PPM} // k
+                  ELSE 0 END) AS term_sum
+  FROM r GROUP BY g)
+SELECT g AS source, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(CASE WHEN n_pos > 0 THEN term_sum // n_pos END AS BIGINT)
+         AS ap_ppm
+FROM a ORDER BY source
+"""
+
+
+def vocab_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing / Chao1 vocabulary diagnostics per source: token
+    count, observed vocabulary, hapax/dis legomena, unseen-probability
+    mass (ppm) and the Chao1 vocabulary lower bound — the
+    "is this source's vocabulary saturated?" gate a crawl-budget
+    planner consults (operators/lm.py: good_turing_vocab)."""
+    from dnsflow_clickhouse_spark.operators.lm import good_turing_vocab
+
+    d = cpu_repartition(load_table(spark, sf_dir, "documents"), "doc_id")
+    return good_turing_vocab(d, "source", tokens(F.col("text"))).orderBy(
+        "source"
+    )
+
+
+_VOCAB_SQL = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT source, unnest(toks) AS tok FROM t),
+pt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+a AS (
+  SELECT source, sum(c) AS n_tokens, count(*) AS vocab,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM pt GROUP BY source)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       CAST(CAST(f1 AS HUGEINT) * {PPM} // n_tokens AS BIGINT)
+         AS gt_unseen_ppm,
+       CAST(vocab + CAST(f1 AS HUGEINT) * (f1 - 1) // (2 * (f2 + 1))
+            AS BIGINT) AS chao1_vocab
+FROM a ORDER BY source
+"""
+
+EVAL_REGISTRY.update(
+    {
+        "pr_auc_by_source": (pr_auc_by_source, _PR_AUC_SQL),
+        "vocab_growth_report": (vocab_growth_report, _VOCAB_SQL),
+    }
+)

@@ -290,3 +290,44 @@ def test_brier_by_group_exact(spark):
     got = brier_by_group(df, "g", "s", "y").collect()[0]
     want = ((800_000 - 1_000_000) ** 2 + 400_000**2) // 2
     assert (got.n, got.n_pos, got.brier_micro2) == (2, 1, want)
+
+
+def test_average_precision_known_cases(spark):
+    from dnsflow_clickhouse_spark.operators.evaluation import (
+        average_precision_by_group,
+    )
+
+    rows = (
+        # 'p': both positives ranked top -> AP = 1.0
+        [("p", 1, 10, 1), ("p", 2, 9, 1), ("p", 3, 2, 0), ("p", 4, 1, 0)]
+        # 'w': single positive ranked LAST of 3 -> AP = 1/3
+        + [("w", 1, 9, 0), ("w", 2, 8, 0), ("w", 3, 1, 1)]
+        # 'm': positives at ranks 1 and 3 -> AP = (1/1 + 2/3) / 2
+        + [("m", 1, 9, 1), ("m", 2, 8, 0), ("m", 3, 7, 1)]
+        # 'z': no positives -> NULL
+        + [("z", 1, 5, 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, s long, y long")
+    got = {
+        r.g: r
+        for r in average_precision_by_group(
+            df, "g", "id", F.col("s"), "y"
+        ).collect()
+    }
+    assert got["p"].ap_ppm == 1_000_000
+    assert got["w"].ap_ppm == 1_000_000 // 3
+    # per-term ppm floors first, then the mean floors: (1e6 + 666666)//2
+    assert got["m"].ap_ppm == (1_000_000 + 2 * 1_000_000 // 3) // 2
+    assert got["z"].ap_ppm is None
+
+
+def test_good_turing_vocab_hand_counts(spark):
+    from dnsflow_clickhouse_spark.operators.lm import good_turing_vocab
+
+    # tokens: a a a b b c d e -> N=8 V=5 f1=3 (c,d,e) f2=1 (b)
+    rows = [("s", ["a", "a", "a", "b"]), ("s", ["b", "c", "d", "e"])]
+    df = spark.createDataFrame(rows, "g string, toks array<string>")
+    got = good_turing_vocab(df, "g", F.col("toks")).collect()[0]
+    assert (got.n_tokens, got.vocab, got.f1, got.f2) == (8, 5, 3, 1)
+    assert got.gt_unseen_ppm == 3 * 1_000_000 // 8
+    assert got.chao1_vocab == 5 + (3 * 2) // (2 * (1 + 1))
