@@ -677,3 +677,70 @@ def average_precision_by_group(
         .cast("long")
         .alias("ap_ppm"),
     )
+
+
+def roc_points_by_group(
+    df: DataFrame,
+    group_col: str,
+    score: Column | str,
+    label: Column | str,
+) -> DataFrame:
+    """The ROC OPERATING-POINT table per group: one row per distinct
+    score threshold with exact (tpr_ppm, fpr_ppm) when classifying
+    "score >= threshold" as positive — what auc_by_group integrates,
+    materialized so an operator can actually PICK a threshold (the
+    precision/recall trade is a point choice, not an area).
+
+    Same scale shape as auc_by_group: aggregate to one row per
+    (group, DISTINCT score) first — the window input is |distinct
+    scores| rows, never |rows| — then one descending cumulative window
+    and two decimal-widened ppm divisions (cum counts are nonnegative,
+    so truncating and flooring integer division agree).
+
+    Output: group_col, s, cum_pos, cum_neg, tpr_ppm, fpr_ppm (NULL
+    tpr/fpr for groups missing that class).
+    """
+    per_score = (
+        df.select(
+            F.col(group_col).alias("g"),
+            _col(score).alias("s"),
+            _col(label).cast("long").alias("y"),
+        )
+        .groupBy("g", "s")
+        .agg(
+            F.sum("y").alias("pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("g")
+    cum = per_score.select(
+        "g",
+        "s",
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("neg").over(w).alias("cum_neg"),
+        F.sum("pos").over(wall).alias("n_pos"),
+        F.sum("neg").over(wall).alias("n_neg"),
+    )
+    return cum.select(
+        F.col("g").alias(group_col),
+        "s",
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.col("cum_neg").cast("long").alias("cum_neg"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.expr("CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div n_pos"),
+        )
+        .cast("long")
+        .alias("tpr_ppm"),
+        F.when(
+            F.col("n_neg") > 0,
+            F.expr("CAST(cum_neg AS DECIMAL(38,0)) * 1000000 div n_neg"),
+        )
+        .cast("long")
+        .alias("fpr_ppm"),
+    )

@@ -477,3 +477,63 @@ def good_turing_vocab(
         .cast("long")
         .alias("chao1_vocab"),
     )
+
+
+def zipf_decay_by_group(
+    df: DataFrame, group_col: str, toks: Column, min_count: int = 1
+) -> DataFrame:
+    """Zipf decay exponent per group: the OLS slope magnitude of
+    log2(frequency) against log2(rank) over the group's token
+    frequency table (Zipf 1949 — natural text decays with exponent
+    ~1; templated/boilerplate sources decay much faster, token soup
+    much slower, so the exponent is a cheap "does this source look
+    like language?" gate alongside entropy and the vocabulary-growth
+    report).
+
+    Exactness: ranks are a crisp permutation (count DESC, token), both
+    logs quantize to integer micros via the pinned floor chain
+    (:func:`_quant_log2`), and the OLS slope is reported as the
+    NONNEGATIVE decay = (sx*sy - n*sxy) * 1e6 div (n*sxx - sx*sx) in
+    micro units (the sums carry micro^2 on both sides, so the raw
+    quotient is the unitless exponent; the 1e6 factor re-expresses it
+    in micros) — by construction frequency is non-increasing in rank, so
+    covariance <= 0 and both numerator and denominator are
+    nonnegative, keeping Spark's truncating div and DuckDB's flooring
+    // in agreement (the sign flip is deliberate; a signed slope would
+    diverge between engines on the division).
+
+    Scale shape: (group, token) hash agg -> one group-keyed window
+    rank over the VOCABULARY-sized table -> one hash agg. Groups with
+    a single type report NULL (slope undefined).
+
+    Output: group_col, n_types, zipf_decay_micro.
+    """
+    per_tok = (
+        df.select(F.col(group_col).alias("g"), F.explode(toks).alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), "tok")
+    pts = per_tok.select(
+        "g",
+        _quant_log2(F.row_number().over(w).cast("double"), MICRO).alias("x"),
+        _quant_log2(F.col("c").cast("double"), MICRO).alias("y"),
+    )
+    agg = pts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_types"),
+        F.when(
+            (F.col("n") >= 2) & (F.expr("n * sxx - sx * sx") > 0),
+            F.expr("(sx * sy - n * sxy) * 1000000 div (n * sxx - sx * sx)"),
+        )
+        .cast("long")
+        .alias("zipf_decay_micro"),
+    )

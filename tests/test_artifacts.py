@@ -88,3 +88,12 @@ def test_no_fractional_round_on_computed_doubles():
         "rounding hazard) — use functions.numeric.portable_round / "
         "sql_portable_round instead:\n" + "\n".join(offenders)
     )
+
+
+def test_priority_window_is_exactly_fifty():
+    """The driver verifies exactly the first 50 registry entries; a
+    _PRIORITY that silently grew or shrank would shift which queries
+    get attested this round."""
+    from dnsflow_clickhouse_spark.queries import _PRIORITY
+
+    assert len(_PRIORITY) == 50

@@ -331,3 +331,51 @@ def test_good_turing_vocab_hand_counts(spark):
     assert (got.n_tokens, got.vocab, got.f1, got.f2) == (8, 5, 3, 1)
     assert got.gt_unseen_ppm == 3 * 1_000_000 // 8
     assert got.chao1_vocab == 5 + (3 * 2) // (2 * (1 + 1))
+
+
+def test_roc_points_known_curve(spark):
+    from dnsflow_clickhouse_spark.operators.evaluation import (
+        roc_points_by_group,
+    )
+
+    # scores 4>3>2>1 with labels 1,1,0,1: thresholds walk the curve
+    rows = [("g", 4, 1), ("g", 3, 1), ("g", 2, 0), ("g", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    got = {
+        r.s: r for r in roc_points_by_group(df, "g", "s", "y").collect()
+    }
+    third = 1_000_000 // 3
+    assert (got[4].tpr_ppm, got[4].fpr_ppm) == (third, 0)
+    assert (got[3].tpr_ppm, got[3].fpr_ppm) == (2 * third, 0)
+    assert (got[2].tpr_ppm, got[2].fpr_ppm) == (2 * third, 1_000_000)
+    assert (got[1].tpr_ppm, got[1].fpr_ppm) == (1_000_000, 1_000_000)
+
+
+def test_zipf_decay_exact_powerlaw(spark):
+    import math
+
+    from dnsflow_clickhouse_spark.operators.lm import zipf_decay_by_group
+
+    # exact power law: count(rank r) = 2^(10 - r) -> slope exactly -1
+    # per doubling, i.e. log2(c) = 10 - log2-ish... build counts so
+    # that log2(count) = 16 - 2*log2(rank) exactly at ranks 1,2,4,8:
+    # rank 1 -> 2^16, rank 2 -> 2^14, rank 4 -> 2^12, rank 8 -> 2^10
+    toks = []
+    counts = {"a": 2**16, "b": 2**14, "c": 2**12, "d": 2**12, "e": 2**12,
+              "f": 2**10, "g": 2**10, "h": 2**10, "i": 2**10}
+    rows = [("g", [t] * c) for t, c in counts.items()]
+    df = spark.createDataFrame(rows, "g string, toks array<string>")
+    got = zipf_decay_by_group(df, "g", "toks").collect()[0]
+    # python replay with the same quantization
+    pts = []
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r, (t, c) in enumerate(ordered, 1):
+        q = lambda v: math.floor(math.log2(v) * 1_000_000 + 0.5)
+        pts.append((q(r), q(c)))
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts); sxy = sum(p[0] * p[1] for p in pts)
+    want = (sx * sy - n * sxy) * 1_000_000 // (n * sxx - sx * sx)
+    assert got.n_types == n and got.zipf_decay_micro == want
+    # decaying power law: exponent strictly positive and near 2e6
+    assert 1_500_000 < got.zipf_decay_micro < 2_500_000
