@@ -339,3 +339,61 @@ def test_portable_round_matches_python_and_duckdb(spark, vals, digits):
         for v in vals
     ]
     assert got == want_py == want_duck
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=60
+    ),
+    st.integers(min_value=0, max_value=2_000_000_000),
+    st.integers(min_value=0, max_value=4_000_000_000),
+)
+def test_cusum_prefix_scan_identity(spark, xs, k, h):
+    """The distributed form (running sum - clamped running min) equals
+    Page's sequential recurrence s_t = max(0, s_{t-1} + x*1e6 - k) for
+    ARBITRARY series and thresholds — the identity the operator's one-
+    shuffle plan rests on."""
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        cusum_changepoints,
+    )
+
+    rows = [("s", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = [
+        (r.cusum_micro, r.alarm)
+        for r in cusum_changepoints(df, "g", "t", "x", k, h)
+        .orderBy("t")
+        .collect()
+    ]
+    s, want = 0, []
+    for x in xs:
+        s = max(0, s + x * 1_000_000 - k)
+        want.append((s, int(s > h)))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_winnowing_guarantee_on_random_shared_spans(spark, data):
+    """Schleimer/Wilkerson/Aiken's detection guarantee, fuzzed: any two
+    documents sharing a token run of >= w + k - 1 tokens share at
+    least one selected fingerprint hash, whatever surrounds the run."""
+    from dnsflow_clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    K, W = 3, 4
+    word = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+    span = data.draw(st.lists(word, min_size=K + W - 1, max_size=12))
+    pre1 = data.draw(st.lists(word, min_size=0, max_size=8))
+    suf1 = data.draw(st.lists(word, min_size=0, max_size=8))
+    pre2 = data.draw(st.lists(word, min_size=0, max_size=8))
+    suf2 = data.draw(st.lists(word, min_size=0, max_size=8))
+    texts = [
+        (1, " ".join(pre1 + span + suf1)),
+        (2, " ".join(pre2 + span + suf2)),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", K, W).collect()
+    h1 = {r.fp_hash for r in fps if r.id == 1}
+    h2 = {r.fp_hash for r in fps if r.id == 2}
+    assert h1 & h2, f"no shared fingerprint for shared span {span}"
