@@ -110,11 +110,13 @@ def _weight_lookup(weights: dict[int, int]) -> Column:
     externally-trained models."""
     pairs: list[Column] = []
     for b, w in sorted(weights.items()):
-        pairs += [F.lit(int(b)), F.lit(int(w))]
+        # keys as LONG so the lookup matches the features schema's
+        # bigint bucket column directly — a cast("int") on the lookup
+        # side would silently wrap a bucket id >= 2^31 under ANSI-off
+        # and could alias another key's weight (round-6 advice)
+        pairs += [F.lit(int(b)).cast("long"), F.lit(int(w))]
     m = F.create_map(*pairs)
-    return F.coalesce(F.element_at(m, F.col("b").cast("int")), F.lit(0)).cast(
-        "long"
-    )
+    return F.coalesce(F.element_at(m, F.col("b")), F.lit(0)).cast("long")
 
 
 def batch_perceptron_train(

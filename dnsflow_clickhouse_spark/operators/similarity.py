@@ -251,6 +251,19 @@ def cosine(a: Column, b: Column) -> Column:
     return int_dot(a, b).cast("double") / (int_norm(a) * int_norm(b))
 
 
+def _cos6(cos):
+    """Quantize a cosine ndarray to 6 decimals with the floor(x*1e6+0.5)
+    HALF-UP chain — the same pinned rounding every DuckDB oracle replays
+    as ``floor(x*1000000+0.5)/1000000``. np.round's half-to-even (plus
+    its binary approximation of decimal rounding) could diverge from the
+    oracle on an exact half at the 7th decimal and, in the MMR pool,
+    cascade through the greedy selection (round-6 advice); one rounding
+    chain on both sides removes the class."""
+    import numpy as np
+
+    return np.floor(cos * 1e6 + 0.5) / 1e6
+
+
 def _staged(df: DataFrame, id_col: str, vec_col: str, id_out: str) -> DataFrame:
     """(id, q, nrm): quantized vector + norm staged once per row."""
     return (
@@ -317,7 +330,7 @@ def cosine_topk(
             c_ids = pdf["id"].to_numpy(dtype=np.int64)
             c_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
             c_norms = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64))
-            cos = np.round((mat @ c_mat.T) / np.outer(norms, c_norms), 6)
+            cos = _cos6((mat @ c_mat.T) / np.outer(norms, c_norms))
             qi, cj = np.nonzero(np.ones_like(cos, dtype=bool))
             yield pd.DataFrame(
                 {"query_id": ids[qi], "neighbor_id": c_ids[cj], "cosine": cos[qi, cj]}
@@ -450,13 +463,13 @@ def ivf_topk(
     c_norms = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64))
 
     def _assign(mat: "np.ndarray", norms: "np.ndarray", cm, cn) -> "np.ndarray":
-        cos = np.round((mat @ cm.T) / np.outer(norms, cn), 6)
+        cos = _cos6((mat @ cm.T) / np.outer(norms, cn))
         # argmax with lowest-centroid tie-break (np.argmax takes the
         # first max — same order as the SQL row_number tie-break)
         return np.argmax(cos, axis=1).astype(np.int32)
 
     def _assign_top(mat, norms, cm, cn, p) -> "np.ndarray":
-        cos = np.round((mat @ cm.T) / np.outer(norms, cn), 6)
+        cos = _cos6((mat @ cm.T) / np.outer(norms, cn))
         # stable sort keeps ascending centroid id among cosine ties —
         # the same (cos DESC, cid ASC) order as the SQL row_number
         return np.argsort(-cos, axis=1, kind="stable")[:, :p].astype(np.int32)
@@ -489,7 +502,7 @@ def ivf_topk(
             b_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
             b_norms = np.sqrt(np.einsum("ij,ij->i", b_mat, b_mat).astype(np.float64))
             b_cells = _assign(b_mat, b_norms, cm, cn)
-            cos = np.round((mat @ b_mat.T) / np.outer(norms, b_norms), 6)
+            cos = _cos6((mat @ b_mat.T) / np.outer(norms, b_norms))
             # corpus vector kept for a query iff its (single) cell is
             # among the query's nprobe probed cells
             keep = (cells[:, :, None] == b_cells[None, None, :]).any(axis=1)

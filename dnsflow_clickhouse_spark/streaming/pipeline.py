@@ -21,6 +21,7 @@ Reference behavior being re-expressed:
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import Literal, overload
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,13 +38,34 @@ from dnsflow_clickhouse_spark.sources.events import derive_events, parse_raw_lin
 WINDOW_SECONDS = 300
 
 
+@overload
+def process_batch(
+    events: DataFrame,
+    dims: EnrichDims,
+    app_time_s: int | None = ...,
+    deterministic: bool = ...,
+    return_base: Literal[False] = ...,
+) -> dict[str, DataFrame]: ...
+
+
+@overload
+def process_batch(
+    events: DataFrame,
+    dims: EnrichDims,
+    app_time_s: int | None = ...,
+    deterministic: bool = ...,
+    *,
+    return_base: Literal[True],
+) -> tuple[dict[str, DataFrame], DataFrame]: ...
+
+
 def process_batch(
     events: DataFrame,
     dims: EnrichDims,
     app_time_s: int | None = None,
     deterministic: bool = False,
     return_base: bool = False,
-) -> dict[str, DataFrame]:
+) -> dict[str, DataFrame] | tuple[dict[str, DataFrame], DataFrame]:
     """Run the full report fan-out over one window's events.
 
     ``events`` is the *raw* typed event frame (RAW_EVENT_SCHEMA columns);

@@ -95,6 +95,8 @@ def main() -> None:
             "tools/scale_sweep.py single pass, warm session, sequential; "
             "load_1m includes the sweep's own 32 threads"
         ),
+        "base_dir": str(base),
+        "x16_dir": str(x16),
         "n_queries": len(rows),
         "median_ratio": med,
         "n_ratio_le_4": sum(1 for r in ratios if r <= 4),
@@ -107,6 +109,18 @@ def main() -> None:
     # load-inflated outliers) update rows without losing the rest
     if out.exists():
         prev = json.loads(out.read_text())
+        # provenance guard (round-6 advice): a targeted re-run against
+        # DIFFERENT corpus dirs must not silently merge into rows
+        # measured against the originals — the merged artifact would
+        # mislabel prior rows' provenance
+        for key, cur in (("base_dir", str(base)), ("x16_dir", str(x16))):
+            prev_dir = prev.get(key)
+            if prev_dir is not None and prev_dir != cur:
+                raise SystemExit(
+                    f"refusing to merge: existing {out} was measured with "
+                    f"{key}={prev_dir}, this run uses {cur}; write to a "
+                    "new artifact path instead"
+                )
         prev_q = prev.get("queries", {})
         prev_q.update(rows)
         artifact["queries"] = prev_q
