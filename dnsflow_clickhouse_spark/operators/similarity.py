@@ -283,6 +283,9 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+MAX_QUERY_ROWS = 65536
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -290,6 +293,7 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
     exclude_self: bool = True,
+    max_query_rows: int | None = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (brute force baseline).
 
@@ -306,9 +310,25 @@ def cosine_topk(
     from pyspark.sql import types as T
 
     spark = queries.sparkSession
-    q_rows = queries.select(
+    q_proj = queries.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q")
-    ).collect()
+    )
+    if max_query_rows is not None:
+        # production guard (r6 verdict ask #4): the query side is
+        # collected + broadcast and the kernel scores O(|Q|·|C|) pairs —
+        # an unbounded query set makes the exact baseline a scale-killer.
+        # limit(cap+1) bounds the collect itself (never materializes an
+        # oversized set on the driver) while still detecting overflow.
+        q_rows = q_proj.limit(max_query_rows + 1).collect()
+        if len(q_rows) > max_query_rows:
+            raise ValueError(
+                f"cosine_topk: query side exceeds max_query_rows="
+                f"{max_query_rows}; brute-force GEMM is the exact "
+                "baseline, not the scale path — use hyperplane_lsh_topk "
+                "(bucketed ANN) or pass max_query_rows explicitly"
+            )
+    else:
+        q_rows = q_proj.collect()
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q for r in q_rows], dtype=np.int64)
     q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64))
