@@ -69,13 +69,29 @@ def stopword_ratio(s: Column | str, stopwords: list[str] | None = None) -> Colum
     )
 
 
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
+
 def non_alnum_ratio(s: Column | str) -> Column:
-    """Fraction of characters that are not [a-zA-Z0-9 ] (0.0 for empty)."""
+    """Fraction of characters that are not [a-zA-Z0-9 ] (0.0 for empty).
+
+    Implemented as ``translate`` char deletion, not ``regexp_replace``:
+    translate's per-char map lookup computes the identical count (chars
+    outside the 63-char alnum+space set survive the deletion, so
+    ``length(translate(...))`` IS the non-alnum count) at a fraction of
+    the regex engine's cost — this expression is the marginal cost of
+    every quality-scoring scan, measured 4.5s -> ~0.3s over 80k docs at
+    the 16x sweep corpus (r7; the regex form put doc_quality_score /
+    quality_feature_matrix / quality_quantile_gate >4x in the sweep).
+    DuckDB oracles keep their regexp_replace form — same value, the
+    oracle is not on the hot path."""
     c = _col(s)
     total = F.length(c)
-    kept = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9 ]", ""))
+    non = F.length(F.translate(c, _ALNUM_SPACE, ""))
     return F.when(total == 0, F.lit(0.0)).otherwise(
-        (total - kept).cast("double") / total.cast("double")
+        non.cast("double") / total.cast("double")
     )
 
 
