@@ -311,3 +311,223 @@ def k_anonymity_report(
         (F.col("n") < k).cast("int").alias("under_k"),
         (F.col("l_distinct") < l_min).cast("int").alias("under_l"),
     )
+
+
+def _disc_median(
+    hist: DataFrame, part_cols: list[str], v: str = "v", cnt: str = "cnt"
+) -> DataFrame:
+    """Lo-median over a per-partition value histogram: the smallest
+    value whose cumulative count reaches ceil(n/2). Discrete (no
+    interpolation), so the result is exact integer arithmetic in any
+    engine — the same portability trick as event_value_percentiles'
+    ceil(q*n) element. Input: (*part_cols, v, cnt); output:
+    (*part_cols, med, n). The window walks the HISTOGRAM (distinct
+    values per partition), never the raw rows — the scale shape that
+    keeps per-key medians off the row-sort path."""
+    w_cum = (
+        Window.partitionBy(*part_cols)
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*part_cols)
+    c = hist.withColumn("__cum", F.sum(cnt).over(w_cum)).withColumn(
+        "__n", F.sum(cnt).over(w_all)
+    )
+    half = F.ceil(F.col("__n").cast("double") / F.lit(2.0)).cast("long")
+    return (
+        c.groupBy(*part_cols)
+        .agg(
+            F.min(F.when(F.col("__cum") >= half, F.col(v))).alias("med"),
+            F.max("__n").cast("long").alias("n"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame, group_col: str, value_col: str, k: int = 3
+) -> DataFrame:
+    """Robust per-group outlier gate: median + MAD (median absolute
+    deviation), flagging values with |x - med| > k * MAD. The
+    z-score's robust sibling — a handful of 10 MB spam documents moves
+    a mean/stddev gate but not this one (Leys 2013, the standard
+    curation length-filter recipe).
+
+    Scale shape: both medians run on (group, value) HISTOGRAMS (two
+    map-side-combinable aggregates + windows over distinct values), so
+    the cost scales with value cardinality per group, not row count.
+    Integer-exact: values cast to long, the lo-median is an element of
+    the input, and the deviation histogram is exact integer arithmetic
+    — engine-replayable with no float boundary.
+
+    Output: (group, n, med, mad, n_outliers), one row per group.
+    """
+    g, vv = group_col, F.col(value_col).cast("long")
+    hist = df.groupBy(g, vv.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    med = _disc_median(hist, [g])
+    dev_hist = (
+        hist.join(med.select(g, "med"), g)
+        .groupBy(g, F.abs(F.col("v") - F.col("med")).alias("v"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _disc_median(dev_hist, [g]).select(
+        g, F.col("med").alias("mad")
+    )
+    out = (
+        hist.join(med.select(g, "med"), g)
+        .join(mad, g)
+        .groupBy(g)
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) > F.lit(k) * F.col("mad"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, g)
+        .join(out, g)
+        .select(g, "n", "med", "mad", "n_outliers")
+    )
+
+
+def ks_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic, each group vs the
+    REST of the data: D = max over observed values of |CDF_g - CDF_rest|
+    — the distribution-shape drift test PSI's fixed bins can miss
+    (value_drift_psi is the binned sibling; KS reads the full empirical
+    CDF). Reported in ppm with both CDFs quantized to ppm FIRST
+    (floor(cum * 1e6 / n), nonneg integer div == DuckDB //), so the max
+    is over exact integers — no float-comparison boundary between
+    engines.
+
+    Scale shape: one (group, value) histogram, one value-marginal
+    histogram, then a groups x distinct-values grid (groups is tiny by
+    assumption — it's the drift-report dimension) with two cumulative
+    windows over distinct values. Row count never enters a window.
+
+    Output: (group, n, ks_ppm, at_v) — at_v the smallest value where
+    the max gap is attained (deterministic argmax tie-break).
+    """
+    g, vv = group_col, F.col(value_col).cast("long")
+    hist = df.groupBy(g, vv.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    groups = hist.groupBy(g).agg(F.sum("cnt").cast("long").alias("n_g"))
+    vals = hist.select("v").distinct()
+    vh = hist.groupBy("v").agg(F.sum("cnt").alias("call"))
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_all = vh.withColumn("cum_all", F.sum("call").over(w_all)).select(
+        "v", "cum_all"
+    )
+    total = hist.agg(F.sum("cnt").cast("long").alias("n_tot"))
+    grid = groups.crossJoin(vals)
+    w_g = (
+        Window.partitionBy(g)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = (
+        grid.join(hist, [g, "v"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .withColumn("cum_g", F.sum("cnt").over(w_g))
+        .join(cum_all, "v")
+        .crossJoin(total)
+    )
+    n_rest = F.col("n_tot") - F.col("n_g")
+    d = j.withColumn(
+        "d_ppm",
+        F.abs(
+            F.expr("cum_g * 1000000 div n_g")
+            - F.when(
+                n_rest > 0,
+                F.expr("(cum_all - cum_g) * 1000000 div (n_tot - n_g)"),
+            ).otherwise(F.lit(1_000_000)),
+        ),
+    ).withColumn("__mx", F.max("d_ppm").over(Window.partitionBy(g)))
+    return (
+        d.groupBy(g)
+        .agg(
+            F.max("n_g").cast("long").alias("n"),
+            F.max("d_ppm").cast("long").alias("ks_ppm"),
+            F.min(F.when(F.col("d_ppm") == F.col("__mx"), F.col("v"))).alias(
+                "at_v"
+            ),
+        )
+    )
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution over positive values >= 1
+    (Benford profiling — the data-forensics screen for fabricated or
+    unit-mangled numeric columns; Nigrini 2012). The digit is taken from
+    the integer part's decimal string — pure string-of-int arithmetic,
+    identical in any engine (no log10 float boundary).
+
+    One map-side filter + 9-way hash aggregate; the share window runs
+    over the 9-row digit table, never the data. Output:
+    (digit, n, ppm) ordered by digit.
+    """
+    d1 = F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    )
+    agg = (
+        df.filter(F.col(value_col) >= 1)
+        .groupBy(d1.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        agg.withColumn("__tot", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div __tot").cast("long").alias("ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def pareto_frontier(
+    df: DataFrame, id_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Skyline / Pareto-frontier (Borzsony 2001): the rows not dominated
+    by any other row, where row A dominates B iff x_A >= x_B and
+    y_A >= y_B with at least one strict (both maximized). The curation
+    use: among candidate documents, the quality-vs-length frontier is
+    the set no other doc beats on both axes.
+
+    Scale shape: never O(n^2) dominance tests — collapse to the
+    per-distinct-x maximum y (hash aggregate), then one window over the
+    DISTINCT-x table computes hi(x) = max y among strictly greater x
+    (running max shifted by one row); a row is on the frontier iff
+    y == ymax(x) and y > hi(x). The single-partition window runs over
+    distinct x values only (quality scores are ppm-quantized, so the
+    distinct count is bounded), not rows.
+
+    Output: (id, x, y) frontier members, ordered x desc then id.
+    """
+    byx = df.groupBy(F.col(x_col).alias("x")).agg(
+        F.max(F.col(y_col)).alias("ymax")
+    )
+    w = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hix = byx.withColumn("hi", F.max("ymax").over(w))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
+        .join(hix, "x")
+        .filter(
+            (F.col("y") == F.col("ymax"))
+            & (F.col("hi").isNull() | (F.col("y") > F.col("hi")))
+        )
+        .select("id", "x", "y")
+        .orderBy(F.desc("x"), "id")
+    )

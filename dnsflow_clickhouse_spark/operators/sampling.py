@@ -238,3 +238,86 @@ def weighted_sample_per_group(
     if priority_col is not None:
         out = out.withColumn(priority_col, F.col("__prio"))
     return out.drop("__prio", "__rn")
+
+
+def _cutpoint_row(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """ONE row of k-1 quantile cutpoints for ``value_col``: cut_j = the
+    smallest value whose cumulative count reaches ceil(j*n/k) (the
+    discrete ceil(q*n)-th element, integer-exact — the same portability
+    recipe as event_value_percentiles). Computed on the (value, count)
+    HISTOGRAM: the window walks distinct values, never rows."""
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    aggs = []
+    for j in range(1, k):
+        # ceil(j*n/k) in pure integers: (j*n + k - 1) div k
+        tgt = F.expr(f"({j} * n + {k - 1}) div {k}")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= tgt, F.col("v"))).alias(f"c{j}")
+        )
+    return c.agg(*aggs)
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    quality_col: str,
+    length_col: str,
+    weight_col: str,
+    n_q: int = 5,
+    n_len: int = 3,
+) -> DataFrame:
+    """Curriculum schedule report: quality quintile x length tercile
+    buckets with a deterministic training phase order (highest-quality,
+    shortest-first — the standard easy-to-hard curriculum; Bengio 2009).
+    Buckets cut by VALUE at discrete quantile cutpoints, so ties stay
+    together (reproducible across engines and runs, unlike ntile's
+    row-position splits) and the assignment is a pure map-side
+    expression once the k-1 cutpoints are known.
+
+    Scale shape: two histogram-sized cutpoint jobs (distinct values,
+    never rows), then one crossJoin of the data against TWO single-row
+    cutpoint frames (broadcast by construction) and one hash aggregate.
+
+    Output per bucket: (phase, q_bucket, len_bucket, n_docs,
+    total_weight, min_quality, max_quality), ordered by phase.
+    """
+    qcuts = _cutpoint_row(df, quality_col, n_q)
+    lcuts = _cutpoint_row(df, length_col, n_len)
+    lc = lcuts.select(*[F.col(c).alias(f"l{c}") for c in lcuts.columns])
+    both = df.crossJoin(F.broadcast(qcuts)).crossJoin(F.broadcast(lc))
+    qb = F.lit(1)
+    for j in range(1, n_q):
+        qb = qb + (F.col(quality_col) > F.col(f"c{j}")).cast("int")
+    lb = F.lit(1)
+    for j in range(1, n_len):
+        lb = lb + (F.col(length_col) > F.col(f"lc{j}")).cast("int")
+    tagged = both.withColumn("q_bucket", qb.cast("long")).withColumn(
+        "len_bucket", lb.cast("long")
+    )
+    phase = (
+        (F.lit(n_q) - F.col("q_bucket")) * F.lit(n_len)
+        + F.col("len_bucket")
+    ).cast("long")
+    return (
+        tagged.groupBy("q_bucket", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(weight_col).cast("long").alias("total_weight"),
+            F.min(quality_col).alias("min_quality"),
+            F.max(quality_col).alias("max_quality"),
+        )
+        .withColumn("phase", phase)
+        .select(
+            "phase", "q_bucket", "len_bucket", "n_docs",
+            "total_weight", "min_quality", "max_quality",
+        )
+        .orderBy("phase")
+    )

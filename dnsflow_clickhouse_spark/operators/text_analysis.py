@@ -12,7 +12,7 @@ composition and tests.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dnsflow_clickhouse_spark.functions.textfn import (
@@ -194,4 +194,218 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.concat_ws("-", poly_hash(t).cast("string"), n_toks.cast("string")),
         )
         .drop("__toks", *[f"__hit_{lg}" for lg in _LANG_ORDER])
+    )
+
+
+def _mask_mix(doc_id: Column, pos: Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-random value in [0, 1000003) from
+    (doc_id, pos): the same square-mix recipe as similarity's
+    hyperplane coefficients — pure int64-safe modular arithmetic (the
+    doc id is reduced mod 1000003 BEFORE the multiply so the mix never
+    overflows at 100 TB id ranges), replayable verbatim in any SQL
+    engine. Chosen over poly_hash(token) because masking needs only
+    positional determinism and poly_hash's per-char fold is an
+    interpreted lambda on the hot path."""
+    m = 1_000_003
+    y = (
+        F.pmod(doc_id.cast("long"), F.lit(m)) * F.lit(131071)
+        + pos.cast("long") * F.lit(8191)
+        + F.lit(seed)
+    ) % F.lit(m)
+    return (y * y + y) % F.lit(m)
+
+
+def mask_positions_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 15,
+    seed: int = 0,
+) -> DataFrame:
+    """Masked-LM sample plan (BERT-style 15% masking, Devlin 2018) with
+    DETERMINISTIC mask positions: token position p of document d is
+    masked iff mix(d, p) % 100 < rate_pct. Deterministic masking makes
+    the training set reproducible end-to-end (and the op
+    oracle-replayable) — the standard seeded-RNG recipe re-expressed as
+    modular arithmetic.
+
+    Scale shape: stage the token array behind a lineage barrier (the
+    explode-input rule — Generate re-evaluates a live expression per
+    emitted row), posexplode, one map-side mask expression, one hash
+    aggregate back to doc grain. No UDFs, no driver state.
+
+    Output per doc: (id, n_toks, n_masked, mask_ppm, first_mask) —
+    first_mask the smallest masked position, -1 when none/empty.
+    """
+    from dnsflow_clickhouse_spark.functions.textfn import tokens
+
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=False)
+    pos = staged.select(
+        "id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn(
+        "is_masked",
+        (F.pmod(_mask_mix(F.col("id"), F.col("pos"), seed), F.lit(100))
+         < F.lit(rate_pct)).cast("long"),
+    )
+    per = pos.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("is_masked").cast("long").alias("n_masked"),
+        F.coalesce(
+            F.min(F.when(F.col("is_masked") == 1, F.col("pos"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("first_mask"),
+    )
+    return (
+        staged.select("id")
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.when(
+                F.coalesce(F.col("n_toks"), F.lit(0)) > 0,
+                F.expr("n_masked * 1000000 div n_toks"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mask_ppm"),
+            F.coalesce("first_mask", F.lit(-1)).cast("long").alias("first_mask"),
+        )
+    )
+
+
+def bigram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document n-gram novelty: the fraction of a document's
+    distinct bigrams that appear in NO other document (document
+    frequency 1) — the content-originality score dual to
+    boilerplate_grams' shared-gram leaderboard. High novelty = unique
+    content; near-zero = assembled from corpus-common phrasing.
+
+    Scale shape: staged gram arrays (explode-input rule), one explode,
+    one gram-keyed hash aggregate for document frequency (map-side
+    combinable), one join back on the gram, one doc-grain aggregate.
+    The gram vocabulary is the only shuffled key — no pair join, no
+    quadratic term anywhere.
+
+    Output per doc: (id, n_grams, n_novel, novel_ppm) — zeros for
+    empty docs; ppm = floor(n_novel * 1e6 / n_grams).
+    """
+    from dnsflow_clickhouse_spark.operators.dedup import staged_grams
+
+    # Generate-input barrier (the explode-input rule): explode over a
+    # LIVE HOF-built gram array re-evaluates the builder per emitted row
+    g = staged_grams(df, id_col, text_col, ngram=2).localCheckpoint(
+        eager=True
+    )
+    e = g.select("id", F.explode("grams").alias("gram"))
+    dfreq = e.groupBy("gram").agg(F.count_distinct("id").alias("gdf"))
+    per = (
+        e.join(dfreq, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("gdf") == 1).cast("long")).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.expr("n_novel * 1000000 div n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("novel_ppm"),
+        )
+    )
+
+
+def chi2_token_assoc(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    top_k: int = 3,
+) -> DataFrame:
+    """Chi-squared token-vs-group association (one-vs-rest 2x2 on
+    document-level presence) — the classic feature-selection /
+    "what words characterize this slice" screen (Manning & Schütze ch.5)
+    a curation run uses to see what distinguishes a source before
+    up/down-weighting it.
+
+    chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) over presence counts
+    a,b,c,d; computed exactly in decimal(38,0) (the numerator passes
+    int64 at ~1e5 docs) and reported as chi2_micro = floor(num * 1e6 /
+    den) — integer-exact ranking, no float boundary. Tokens must appear
+    in >= min_df docs; all-docs tokens drop (degenerate margin).
+
+    Scale shape: distinct (group, token, doc) presence -> two hash
+    aggregates -> a groups x vocab grid joined from the marginals
+    (vocab-sized, not corpus-sized) -> per-group top-k window.
+    """
+    from dnsflow_clickhouse_spark.functions.textfn import tokens
+
+    staged = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        # distinct inside the barrier: explode must read a materialized
+        # array, not re-evaluate tokenize+distinct per emitted row
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    ).localCheckpoint(eager=False)
+    pres = staged.select("g", "id", F.explode("toks").alias("tok"))
+    tok_df = pres.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    grp_n = staged.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    total = staged.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    gt = pres.groupBy("g", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    cells = (
+        grp_n.crossJoin(tok_df.filter(F.col("n_tok") >= min_df))
+        .join(gt, ["g", "tok"], "left")
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0)))
+        .crossJoin(total)
+        .withColumn("b", F.col("n_g") - F.col("a"))
+        .withColumn("c", F.col("n_tok") - F.col("a"))
+        .withColumn(
+            "d", F.col("n_tot") - F.col("n_g") - F.col("n_tok") + F.col("a")
+        )
+    )
+    den = F.expr("CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d)")
+    # IntegralDivide on decimals returns long and truncates toward zero
+    # == floor for these nonnegative operands == DuckDB // (the repo's
+    # integer-div portability rule)
+    chi2 = F.expr(
+        "(CAST(n_tot AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c)"
+        " * 1000000)"
+        " div (CAST(a+b AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d))"
+    )
+    scored = cells.withColumn(
+        "chi2_micro",
+        F.when(den > 0, chi2).otherwise(F.lit(None)).cast("long"),
+    ).filter(F.col("chi2_micro").isNotNull())
+    w = Window.partitionBy("g").orderBy(F.desc("chi2_micro"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("g").alias(group_col),
+            "tok",
+            "a",
+            "n_tok",
+            "chi2_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
     )

@@ -2,34 +2,34 @@
 
 The registry is an ordered dict and the order is load-bearing: the
 correctness driver verifies the first 50 entries per round.
-``_PRIORITY`` pins the round-6 window, burning the attestation backlog
-to zero (the r5 verdict's #1 ask). After the smoke query: the 25
-queries whose latest driver green is round 2 (24 pure-SQL/map-only
-shapes named in the r5 verdict) plus event_cooccurrence (r5 decimal
-widening that missed the r5 window). Then the round-6 changed-code
-queries: perceptron_train_trace / perceptron_source_score (epoch
-actions fused to one, literal-map weights, acc_ppm decimal widening)
-and embedding_spectrum_power (per-batch Gram partials). Then the
-TWELVE portable-round-sweep consumers (commit 9e4595b, round 5) whose
-last driver row predates that sweep — the r5 verdict's "changed code
-without a same-round driver row" gap: event_type_ratio, window_suite,
-q19/q14/q15/q9/q3/q5/q6/q17/q7/q8. Round-6 code changes that did NOT
-fit (the kmeans/PQ family's cap-binding warning, HITS argument
-validation — both non-semantic) are instead attested in the committed
-SWEEP_VERIFY_r06.json artifact (tools/verify_oracle.py --json), the
-other r5 ask. Next the EIGHT queries brand-new this round — never-
-attested code outranks everything stale: spearman_quality_chars,
-lang_id_prf1, brier_quality_en (evaluation.py additions),
-event_rate_cusum, event_k_anonymity (profiling.py),
-winnowed_span_pairs (dedup.py winnowing), embedding_mmr_rerank
-(similarity.py), neardup_kcore (graph.py), pr_auc_by_source
-(average precision — evaluation.py), vocab_growth_report
-(Good-Turing/Chao1 — lm.py), roc_points_by_source (operating-point
-table — evaluation.py) and zipf_decay_report (lm.py). To fit the
-twelve new queries, q7/q8/q9 (three of the five portable-round
-consumers the r5 judge personally re-verified post-change) yield
-their slots — each has a same-round PASS recorded in
-SWEEP_VERIFY_r06.json instead; the r3-stale rows rotate in round 7.
+
+STANDING ROTATION POLICY (r6 verdict ask #1, adopted round 7): each
+round, ``_PRIORITY`` is rebuilt as
+  1. the smoke query,
+  2. queries whose CODE changed this round (semantic changes first),
+  3. queries brand-new this round (never attested),
+  4. everything else OLDEST-GREEN-FIRST (latest green round ascending,
+     computed from the union of CORRECTNESS_r0*.json; tools/
+     rotate_window.py prints the recommended list),
+truncated to 50. Changed-code queries that do not fit the window get a
+same-round ``tools/verify_oracle.py --json SWEEP_VERIFY_r{N}.json``
+artifact committed instead — the judge reads it in place of a driver
+row. With a 166-query registry this bounds attestation staleness at
+ceil(166/50) ~ 4 rounds worst-case and empties any older backlog first.
+
+ROUND-7 WINDOW: after the smoke query, the 38 queries whose latest
+green row is round 3 (the verdict's staleness list — qps_trend,
+flow_report_topk, range_join_tiers, wide_enrichment_report, the
+embedding-ANN family, nine TPC-H shapes, ...), then the EIGHT queries
+brand-new this round (catalog_traindata.py: mad_outlier_docs,
+ks_drift_by_source, masked_lm_samples, curriculum_schedule,
+bigram_novelty_report, benford_order_totals, pareto_quality_frontier,
+chi2_token_source), then three round-7 changed-code queries whose
+kernels moved to the pinned floor(x*1e6+0.5) cosine chain and are not
+already in the stale set (embedding_mmr_rerank, ann_recall_report,
+ann_rrf_fusion). The remaining round-7 changed-code queries (the
+quality-scan translate() rewrite's 13 consumers, the perceptron
+literal-map key widening) are attested in SWEEP_VERIFY_r07.json.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -55,10 +55,14 @@ from dnsflow_clickhouse_spark.queries.catalog_tokenizer import (
 from dnsflow_clickhouse_spark.queries.catalog_tpch2 import TPCH2_REGISTRY as _TPCH2
 from dnsflow_clickhouse_spark.queries.catalog_tpch3 import TPCH3_REGISTRY as _TPCH3
 from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TPCH4
+from dnsflow_clickhouse_spark.queries.catalog_traindata import (
+    TRAINDATA_REGISTRY as _TRAINDATA,
+)
 
 _PARTS = [
     _BASE, _DNS2, _DNS3, _DNS4, _DNS5, _TPCH2, _TPCH3, _TPCH4,
     _MLOPS, _CORPUS, _CURATION, _PROFILING, _SKETCHES, _TOKENIZER, _EVAL,
+    _TRAINDATA,
 ]
 _MERGED: dict = {}
 for _part in _PARTS:
@@ -74,67 +78,63 @@ for _part in _PARTS:
         )
     _MERGED.update(_part)
 
-# First 50 = driver correctness window for this round (round 6).
+# First 50 = driver correctness window for this round (round 7).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- the 24 round-2-stale queries deferred from the r5 window
-    # (r5 verdict ask #1: burn the attestation backlog to zero) ---
-    "q11_value_concentration",
-    "q12_priority_class_counts",
-    "range_frame_rolling",
-    "null_semantics_report",
-    "unpivot_daily_metrics",
-    "session_stats",
-    "doc_length_histogram",
-    "event_value_percentiles",
-    "grouping_sets_events",
-    "doc_token_stats",
-    "weighted_doc_sample",
-    "fuzzy_near_titles",
-    "doc_bpe_tokens",
-    "props_json_rollup",
-    "chunk_documents",
-    "pack_sequences",
-    "stratified_doc_sample",
-    "temperature_lang_resample",
-    "doc_fingerprints",
-    "repetition_report",
-    "topk_rollup_chain",
-    "ip_function_rollup",
-    "authority_slice_docs",
-    "simhash_docs",
-    # r5 decimal widening whose driver row predates the change
-    "event_cooccurrence",
-    # --- round-6 changed code: perceptron epoch fusion + literal-map
-    # weights + acc_ppm widening; spectral per-batch Gram partials ---
-    "perceptron_train_trace",
-    "perceptron_source_score",
-    "embedding_spectrum_power",
-    # --- portable-round sweep consumers (r5 commit 9e4595b) whose
-    # last driver green predates the sweep ---
-    "event_type_ratio",
-    "window_suite",
-    "q19_disjunctive_revenue",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q17_small_quantity",
-    # --- brand-new round-6 queries: never driver-attested ---
-    "spearman_quality_chars",
-    "lang_id_prf1",
-    "brier_quality_en",
-    "event_rate_cusum",
-    "event_k_anonymity",
-    "winnowed_span_pairs",
+    # --- the 38 round-3-stale queries (oldest-green-first policy) ---
+    "asof_last_click",
+    "authority_domain_rollup",
+    "clients_rollup_sets",
+    "cohort_retention",
+    "conversion_funnel",
+    "dedup_exact_docs",
+    "dedup_keep_first_events",
+    "deterministic_shuffle_shards",
+    "distinct_agg_users",
+    "embedding_ivf_probe2",
+    "embedding_knn",
+    "embedding_lsh_ann",
+    "embedding_lsh_multiprobe",
+    "embedding_neardup",
+    "embedding_neardup_exact",
+    "flow_report_topk",
+    "grouped_topk_users",
+    "hourly_gapfill",
+    "incremental_dedup_flags",
+    "incremental_report_merge",
+    "item_pagerank",
+    "multimodal_frame_index",
+    "normalized_dedup_docs",
+    "per_user_event_sample",
+    "q16_supplier_variety",
+    "q18_big_orders",
+    "q20_stockpile_suppliers",
+    "q21_sole_returner",
+    "q9_product_profit",
+    "qps_per_client",
+    "qps_trend",
+    "range_join_tiers",
+    "response_code_ratio",
+    "running_value_per_user",
+    "storm_span_overlap",
+    "trend_rollup_daily",
+    "user_tag_profiles",
+    "wide_enrichment_report",
+    # --- brand-new round-7 queries (never attested) ---
+    "mad_outlier_docs",
+    "ks_drift_by_source",
+    "masked_lm_samples",
+    "curriculum_schedule",
+    "bigram_novelty_report",
+    "benford_order_totals",
+    "pareto_quality_frontier",
+    "chi2_token_source",
+    # --- round-7 changed-code (pinned _cos6 rounding chain) not
+    # already covered by the stale set ---
     "embedding_mmr_rerank",
-    "neardup_kcore",
-    "pr_auc_by_source",
-    "vocab_growth_report",
-    "roc_points_by_source",
-    "zipf_decay_report",
+    "ann_recall_report",
+    "ann_rrf_fusion",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -1,0 +1,378 @@
+"""Training-data pipeline query batch, round 7: robust outlier gating
+(median/MAD), KS distribution drift, masked-LM sample planning,
+curriculum scheduling, cross-document n-gram novelty, Benford
+first-digit forensics, Pareto/skyline curation frontier, and
+chi-squared token-vs-source feature selection.
+
+Every oracle replays the engine's portable primitives: discrete
+ceil(q*n) order statistics on value HISTOGRAMS (no interpolation), ppm
+integers via nonnegative ``div`` == DuckDB ``//``, decimal(38,0)
+widening where int64 would wrap, the shared whitespace tokenizer SQL,
+and the square-mix positional hash (pure modular arithmetic — no
+engine RNG anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.queries.catalog import _SW_LIST
+from dnsflow_clickhouse_spark.queries.catalog_mlops import _SQL_TOKS
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+# the quality_score() expression as DuckDB SQL over (text, toks) —
+# identical arithmetic to operators.text_analysis.score_documents
+_SQL_QUALITY = f"""floor((
+  0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 200.0)
+  + 0.4 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) END))
+  + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(toks, t -> lower(t) IN ({_SW_LIST}))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) END)
+  ) * 1000000 + 0.5) / 1000000"""
+
+
+# ---------------------------------------------------------------------------
+# robust outlier gate (median + MAD)
+# ---------------------------------------------------------------------------
+
+
+def mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length gate: lo-median + MAD over n_chars,
+    counting docs beyond 3 MADs — the curation length filter that a few
+    giant spam docs cannot drag (unlike mean/stddev)."""
+    from dnsflow_clickhouse_spark.operators.profiling import mad_outliers
+
+    d = load_table(spark, sf_dir, "documents")
+    return mad_outliers(d, "source", "n_chars", k=3).orderBy("source")
+
+
+_MAD_SQL = """
+WITH hist AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+              FROM documents GROUP BY 1, 2),
+c1 AS (SELECT source, v, cnt,
+              sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+              sum(cnt) OVER (PARTITION BY source) AS n FROM hist),
+med AS (SELECT source,
+               min(CASE WHEN cum >= CAST(ceil(n / 2.0) AS BIGINT) THEN v END) AS med,
+               CAST(max(n) AS BIGINT) AS n
+        FROM c1 GROUP BY source),
+dev AS (SELECT h.source, abs(h.v - m.med) AS v, sum(h.cnt) AS cnt
+        FROM hist h JOIN med m USING (source) GROUP BY 1, 2),
+c2 AS (SELECT source, v, cnt,
+              sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+              sum(cnt) OVER (PARTITION BY source) AS n FROM dev),
+mad AS (SELECT source,
+               min(CASE WHEN cum >= CAST(ceil(n / 2.0) AS BIGINT) THEN v END) AS mad
+        FROM c2 GROUP BY source),
+outs AS (SELECT h.source,
+                CAST(sum(CASE WHEN abs(h.v - m.med) > 3 * d.mad
+                              THEN h.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM hist h JOIN med m USING (source) JOIN mad d USING (source)
+         GROUP BY 1)
+SELECT m.source, m.n, m.med, d.mad, o.n_outliers
+FROM med m JOIN mad d USING (source) JOIN outs o USING (source)
+ORDER BY m.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# KS drift, each source vs rest
+# ---------------------------------------------------------------------------
+
+
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic per source (vs the rest of the corpus)
+    over n_chars, with both empirical CDFs ppm-quantized before the max
+    gap — the full-CDF drift screen PSI's fixed bins can miss."""
+    from dnsflow_clickhouse_spark.operators.profiling import ks_by_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return ks_by_group(d, "source", "n_chars").orderBy("source")
+
+
+_KS_SQL = """
+WITH hist AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+              FROM documents GROUP BY 1, 2),
+grp AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_g FROM hist GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot FROM hist),
+va AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum_all
+       FROM (SELECT v, sum(cnt) AS cnt FROM hist GROUP BY v)),
+grid AS (SELECT g.source, g.n_g, va.v, va.cum_all FROM grp g CROSS JOIN va),
+j AS (SELECT grid.source, grid.n_g, grid.v, grid.cum_all,
+             sum(coalesce(h.cnt, 0))
+               OVER (PARTITION BY grid.source ORDER BY grid.v) AS cum_g
+      FROM grid LEFT JOIN hist h ON h.source = grid.source AND h.v = grid.v),
+d AS (SELECT source, n_g, v,
+             abs(cum_g * 1000000 // n_g
+                 - CASE WHEN n_tot - n_g > 0
+                        THEN (cum_all - cum_g) * 1000000 // (n_tot - n_g)
+                        ELSE 1000000 END) AS d_ppm
+      FROM j CROSS JOIN tot),
+mx AS (SELECT source, max(d_ppm) AS mx FROM d GROUP BY source)
+SELECT d.source, CAST(max(d.n_g) AS BIGINT) AS n,
+       CAST(max(d.d_ppm) AS BIGINT) AS ks_ppm,
+       min(CASE WHEN d.d_ppm = mx.mx THEN d.v END) AS at_v
+FROM d JOIN mx USING (source) GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# masked-LM sample plan
+# ---------------------------------------------------------------------------
+
+
+def masked_lm_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BERT-style 15% masking plan per document (mask
+    positions from a pure modular mix of (doc_id, pos) — reproducible
+    training data, no engine RNG)."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        mask_positions_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        mask_positions_report(d, "doc_id", "text", rate_pct=15, seed=0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_MASKED_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, i - 1 AS pos
+      FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN ((y * y + y) % 1000003) % 100 < 15 THEN 1 ELSE 0 END AS is_masked
+      FROM (SELECT doc_id, pos,
+                   ((doc_id % 1000003) * 131071 + pos * 8191 + 0) % 1000003 AS y
+            FROM e)),
+per AS (SELECT doc_id, count(*) AS n_toks, sum(is_masked) AS n_masked,
+               coalesce(min(CASE WHEN is_masked = 1 THEN pos END), -1) AS first_mask
+        FROM m GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(per.n_toks, 0) AS BIGINT) AS n_toks,
+       CAST(coalesce(per.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(CASE WHEN coalesce(per.n_toks, 0) > 0
+                 THEN per.n_masked * 1000000 // per.n_toks ELSE 0 END AS BIGINT) AS mask_ppm,
+       CAST(coalesce(per.first_mask, -1) AS BIGINT) AS first_mask
+FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# curriculum schedule
+# ---------------------------------------------------------------------------
+
+
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quintile x length-tercile curriculum buckets with a
+    deterministic easy-to-hard phase order; buckets cut by VALUE at
+    discrete quantile cutpoints so ties never split."""
+    from dnsflow_clickhouse_spark.operators.sampling import curriculum_buckets
+    from dnsflow_clickhouse_spark.operators.text_analysis import score_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = score_documents(d)
+    return curriculum_buckets(
+        scored, "quality", "n_chars", weight_col="toks", n_q=5, n_len=3
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH t AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars,
+                  {_SQL_TOKS} AS toks FROM documents),
+q AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS toks,
+             {_SQL_QUALITY} AS quality FROM t),
+qc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+       FROM (SELECT quality AS v, count(*) AS cnt FROM q GROUP BY 1)),
+qcuts AS (SELECT
+  min(CASE WHEN cum >= (1 * n + 4) // 5 THEN v END) AS c1,
+  min(CASE WHEN cum >= (2 * n + 4) // 5 THEN v END) AS c2,
+  min(CASE WHEN cum >= (3 * n + 4) // 5 THEN v END) AS c3,
+  min(CASE WHEN cum >= (4 * n + 4) // 5 THEN v END) AS c4 FROM qc),
+lc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+       FROM (SELECT n_chars AS v, count(*) AS cnt FROM q GROUP BY 1)),
+lcuts AS (SELECT
+  min(CASE WHEN cum >= (1 * n + 2) // 3 THEN v END) AS l1,
+  min(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS l2 FROM lc),
+tagged AS (SELECT q.*,
+  1 + CAST(q.quality > qcuts.c1 AS INT) + CAST(q.quality > qcuts.c2 AS INT)
+    + CAST(q.quality > qcuts.c3 AS INT) + CAST(q.quality > qcuts.c4 AS INT) AS q_bucket,
+  1 + CAST(q.n_chars > lcuts.l1 AS INT) + CAST(q.n_chars > lcuts.l2 AS INT) AS len_bucket
+  FROM q, qcuts, lcuts)
+SELECT CAST((5 - q_bucket) * 3 + len_bucket AS BIGINT) AS phase,
+       CAST(q_bucket AS BIGINT) AS q_bucket,
+       CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_weight,
+       min(quality) AS min_quality, max(quality) AS max_quality
+FROM tagged GROUP BY q_bucket, len_bucket ORDER BY phase
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document bigram novelty
+# ---------------------------------------------------------------------------
+
+
+def bigram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content originality: fraction of distinct bigrams
+    appearing in no other document (df = 1), exact ppm."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import bigram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bigram_novelty(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+  CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(
+         generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))
+       WHEN len(toks) = 1 THEN [array_to_string(toks, ' ')]
+       ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+dfq AS (SELECT gram, count(DISTINCT doc_id) AS gdf FROM e GROUP BY 1),
+per AS (SELECT e.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS n_novel
+        FROM e JOIN dfq USING (gram) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN coalesce(n_grams, 0) > 0
+                 THEN n_novel * 1000000 // n_grams ELSE 0 END AS BIGINT) AS novel_ppm
+FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensics
+# ---------------------------------------------------------------------------
+
+
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals — the
+    fabricated/unit-mangled-numbers screen; digit from the integer
+    part's decimal string (no log10 float boundary)."""
+    from dnsflow_clickhouse_spark.operators.profiling import benford_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_profile(o, "o_totalprice")
+
+
+_BENFORD_SQL = """
+WITH f AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+a AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM a)
+SELECT digit, n, CAST(n * 1000000 // tot AS BIGINT) AS ppm
+FROM a, t ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto / skyline curation frontier
+# ---------------------------------------------------------------------------
+
+
+def pareto_quality_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of (quality, n_chars): the documents no other document
+    beats on both axes — the keep-first shortlist of a quality-vs-length
+    curation trade-off, computed without any O(n^2) dominance test."""
+    from dnsflow_clickhouse_spark.operators.profiling import pareto_frontier
+    from dnsflow_clickhouse_spark.operators.text_analysis import score_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = score_documents(d)
+    return pareto_frontier(scored, "doc_id", "quality", "n_chars").select(
+        F.col("id").alias("doc_id"),
+        F.col("x").alias("quality"),
+        F.col("y").alias("n_chars"),
+    )
+
+
+_PARETO_SQL = f"""
+WITH t AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars,
+                  {_SQL_TOKS} AS toks FROM documents),
+q AS (SELECT doc_id, n_chars, {_SQL_QUALITY} AS quality FROM t),
+byx AS (SELECT quality AS x, max(n_chars) AS ymax FROM q GROUP BY 1),
+h AS (SELECT x, ymax,
+             max(ymax) OVER (ORDER BY x DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+      FROM byx)
+SELECT q.doc_id, q.quality, q.n_chars
+FROM q JOIN h ON q.quality = h.x
+WHERE q.n_chars = h.ymax AND (h.hi IS NULL OR q.n_chars > h.hi)
+ORDER BY q.quality DESC, q.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# chi-squared token-vs-source association
+# ---------------------------------------------------------------------------
+
+
+def chi2_token_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per source by exact chi-squared association
+    (one-vs-rest 2x2 on document presence, decimal(38,0) arithmetic) —
+    the feature-selection screen for 'what characterizes this slice'."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        chi2_token_assoc,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return chi2_token_assoc(
+        d, "source", "doc_id", "text", min_df=5, top_k=3
+    ).orderBy("source", "rnk")
+
+
+_CHI2_SQL = f"""
+WITH t AS (SELECT source, doc_id, list_distinct({_SQL_TOKS}) AS toks
+           FROM documents),
+pres AS (SELECT source AS g, doc_id, unnest(toks) AS tok FROM t),
+tokdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM pres GROUP BY 1),
+grp AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_g FROM t GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM t),
+gt AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS a FROM pres GROUP BY 1, 2),
+cells AS (SELECT grp.g, tk.tok, tk.n_tok, grp.n_g,
+                 coalesce(gt.a, 0) AS a, tot.n_tot
+          FROM grp
+          CROSS JOIN (SELECT * FROM tokdf WHERE n_tok >= 5) tk
+          LEFT JOIN gt ON gt.g = grp.g AND gt.tok = tk.tok
+          CROSS JOIN tot),
+abcd AS (SELECT g, tok, n_tok, a,
+                n_g - a AS b, n_tok - a AS c,
+                n_tot - n_g - n_tok + a AS d, n_tot
+         FROM cells),
+sc AS (SELECT g, tok, a, n_tok,
+              CAST((CAST(n_tot AS HUGEINT) * (a * d - b * c) * (a * d - b * c)
+                    * 1000000)
+                   // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+                   AS BIGINT) AS chi2_micro
+       FROM abcd
+       WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY g
+                                   ORDER BY chi2_micro DESC, tok) AS rnk
+      FROM sc)
+SELECT g AS source, tok, a, n_tok, chi2_micro, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY source, rnk
+"""
+
+
+TRAINDATA_REGISTRY = {
+    "mad_outlier_docs": (mad_outlier_docs, _MAD_SQL),
+    "ks_drift_by_source": (ks_drift_by_source, _KS_SQL),
+    "masked_lm_samples": (masked_lm_samples, _MASKED_SQL),
+    "curriculum_schedule": (curriculum_schedule, _CURRICULUM_SQL),
+    "bigram_novelty_report": (bigram_novelty_report, _NOVELTY_SQL),
+    "benford_order_totals": (benford_order_totals, _BENFORD_SQL),
+    "pareto_quality_frontier": (pareto_quality_frontier, _PARETO_SQL),
+    "chi2_token_source": (chi2_token_source, _CHI2_SQL),
+}
