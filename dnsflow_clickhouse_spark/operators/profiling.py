@@ -531,3 +531,56 @@ def pareto_frontier(
         .select("id", "x", "y")
         .orderBy(F.desc("x"), "id")
     )
+
+
+def winsorized_stats(
+    df: DataFrame, group_col: str, value_col: str, tail_pct: int = 5
+) -> DataFrame:
+    """Per-group winsorized mean: clamp values to the discrete
+    [p_tail, p_(100-tail)] cutpoints (ceil(q*n)-th ordered elements,
+    integer-exact) and average the clamped distribution — the
+    robust-mean sibling of mad_outliers (clip the tails instead of
+    flagging them; Tukey's winsorizing, the standard way to report a
+    mean length/score that a handful of spam monsters cannot drag).
+
+    Computed entirely on the (group, value) histogram: two cutpoint
+    picks from one cumulative window, then one clamp-and-sum over the
+    histogram rows. mean in exact integer micros.
+
+    Output: (group, n, p_lo, p_hi, wmean_micro).
+    """
+    g, vv = group_col, F.col(value_col).cast("long")
+    hist = df.groupBy(g, vv.alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy(g)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(g)
+    c = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    lo_t = F.expr(f"({tail_pct} * n + 99) div 100")
+    hi_t = F.expr(f"({100 - tail_pct} * n + 99) div 100")
+    cuts = c.groupBy(g).agg(
+        F.min(F.when(F.col("cum") >= lo_t, F.col("v"))).alias("p_lo"),
+        F.min(F.when(F.col("cum") >= hi_t, F.col("v"))).alias("p_hi"),
+        F.max("n").cast("long").alias("n"),
+    )
+    clamped = hist.join(cuts, g).withColumn(
+        "cv", F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
+    )
+    return (
+        clamped.groupBy(g)
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("p_lo").alias("p_lo"),
+            F.max("p_hi").alias("p_hi"),
+            F.expr(
+                "CAST(sum(cv * cnt) AS DECIMAL(38,0)) * 1000000 div max(n)"
+            )
+            .cast("long")
+            .alias("wmean_micro"),
+        )
+        .select(g, "n", "p_lo", "p_hi", "wmean_micro")
+    )

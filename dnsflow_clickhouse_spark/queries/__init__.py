@@ -29,7 +29,10 @@ kernels moved to the pinned floor(x*1e6+0.5) cosine chain and are not
 already in the stale set (embedding_mmr_rerank, ann_recall_report,
 ann_rrf_fusion). The remaining round-7 changed-code queries (the
 quality-scan translate() rewrite's 13 consumers, the perceptron
-literal-map key widening) are attested in SWEEP_VERIFY_r07.json.
+literal-map key widening) are attested in SWEEP_VERIFY_r07.json, as is
+the late second batch (bm25_retrieval_topk, truncated_knn_recall,
+winsorized_length_stats — added after the window was pinned; they head
+the r8 window as never-driver-attested).
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE

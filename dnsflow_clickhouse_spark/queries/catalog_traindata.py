@@ -1,8 +1,10 @@
 """Training-data pipeline query batch, round 7: robust outlier gating
 (median/MAD), KS distribution drift, masked-LM sample planning,
 curriculum scheduling, cross-document n-gram novelty, Benford
-first-digit forensics, Pareto/skyline curation frontier, and
-chi-squared token-vs-source feature selection.
+first-digit forensics, Pareto/skyline curation frontier, chi-squared
+token-vs-source feature selection; second batch: Okapi BM25 lexical
+retrieval (exact integer quantization), Matryoshka truncated-dim KNN
+recall, and winsorized robust means.
 
 Every oracle replays the engine's portable primitives: discrete
 ceil(q*n) order statistics on value HISTOGRAMS (no interpolation), ppm
@@ -18,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dnsflow_clickhouse_spark.queries.catalog import _SW_LIST
-from dnsflow_clickhouse_spark.queries.catalog_mlops import _SQL_TOKS
+from dnsflow_clickhouse_spark.queries.catalog_mlops import _SQL_TOKS, _sql_quant
 from dnsflow_clickhouse_spark.sources.tables import load_table
 
 # the quality_score() expression as DuckDB SQL over (text, toks) —
@@ -376,3 +378,196 @@ TRAINDATA_REGISTRY = {
     "pareto_quality_frontier": (pareto_quality_frontier, _PARETO_SQL),
     "chi2_token_source": (chi2_token_source, _CHI2_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, ["hash", "table", "join"]),
+    (2, ["spark", "sort", "window"]),
+    (3, ["scan", "value", "fast"]),
+]
+_BM25_K = 10
+
+
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query over the documents corpus (k1=1.2,
+    b=0.75) — exact integer-quantized scoring, no float accumulation
+    (operators/retrieval.py docstring for the denominator-clearing
+    identity)."""
+    from dnsflow_clickhouse_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_QUERIES, "doc_id", "text", k=_BM25_K).orderBy(
+        "query_id", "rnk"
+    )
+
+
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+_BM25_SQL = f"""
+WITH t AS (SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents),
+lens AS (SELECT id, CAST(len(toks) AS BIGINT) AS len FROM t),
+post AS (SELECT id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+         FROM (SELECT id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS d_cnt,
+                 CAST(sum(len) AS BIGINT) AS t_cnt FROM lens),
+qt(query_id, term) AS (VALUES {_BM25_QT_VALUES}),
+dfreq AS (SELECT term, CAST(count(DISTINCT id) AS BIGINT) AS df
+          FROM post WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+idf AS (SELECT term,
+               CAST(floor(log2(CAST(2 * d_cnt - 2 * df + 1 AS DOUBLE)
+                                / CAST(2 * df + 1 AS DOUBLE) + 1.0)
+                          * 1000000 + 0.5) AS BIGINT) AS idf_micro
+        FROM dfreq CROSS JOIN stats),
+scored AS (
+  SELECT qt.query_id, post.id,
+         CAST(sum((idf.idf_micro *
+                   (CAST(22 AS HUGEINT) * t_cnt * tf * 1000000
+                    // (CAST(10 AS HUGEINT) * t_cnt * tf
+                        + 3 * t_cnt + 9 * len * d_cnt)))
+                  // 1000000) AS BIGINT) AS score_micro
+  FROM post
+  JOIN qt USING (term) JOIN idf USING (term)
+  JOIN lens USING (id) CROSS JOIN stats
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC, id) AS rnk
+      FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id, score_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {_BM25_K} ORDER BY query_id, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIM = 8
+
+
+def truncated_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval (Kusupati 2022): exact cosine
+    top-3 neighbors using only the FIRST 8 of 64 embedding dims vs the
+    full-dimension top-3, recall per query — "how much ANN quality does
+    a cheap low-dim prefilter keep?". Both sides run the same exact
+    GEMM kernel; the slice happens before quantization."""
+    from dnsflow_clickhouse_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    full = cosine_topk(q, e, "vec_id", "embedding", 3).select(
+        "query_id", "neighbor_id"
+    )
+    sliced = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _TRUNC_DIM).alias("emb8")
+    )
+    trunc = cosine_topk(
+        sliced.filter(F.col("vec_id") < 20), sliced, "vec_id", "emb8", 3
+    ).select("query_id", F.col("neighbor_id").alias("t_neighbor"))
+    hits = (
+        full.join(
+            trunc,
+            (full.query_id == trunc.query_id)
+            & (full.neighbor_id == trunc.t_neighbor),
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+    )
+    qs = full.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+            F.expr("coalesce(n_match, 0) * 1000000 div 3")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_TRUNC_SQL = f"""
+WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv,
+                  {_sql_quant('embedding[1:8]')} AS tv FROM embeddings),
+fp AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         floor(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q a JOIN q b ON a.vec_id < 20 AND a.vec_id != b.vec_id),
+fr AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM fp),
+full3 AS (SELECT query_id, neighbor_id FROM fr WHERE rnk <= 3),
+tp AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         floor(list_dot_product(a.tv, b.tv)
+               / (sqrt(list_dot_product(a.tv, a.tv)) * sqrt(list_dot_product(b.tv, b.tv))) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q a JOIN q b ON a.vec_id < 20 AND a.vec_id != b.vec_id),
+tr AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM tp),
+trunc3 AS (SELECT query_id, neighbor_id FROM tr WHERE rnk <= 3),
+hits AS (SELECT f.query_id, count(*) AS n_match
+         FROM full3 f JOIN trunc3 t
+           ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+         GROUP BY 1)
+SELECT q2.query_id,
+       CAST(coalesce(h.n_match, 0) AS BIGINT) AS n_match,
+       CAST(coalesce(h.n_match, 0) * 1000000 // 3 AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM full3) q2
+LEFT JOIN hits h USING (query_id) ORDER BY query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust mean
+# ---------------------------------------------------------------------------
+
+
+def winsorized_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized mean document length: clamp to the discrete
+    [p5, p95] cutpoints and average — the robust mean that pairs with
+    mad_outlier_docs' flag counts."""
+    from dnsflow_clickhouse_spark.operators.profiling import winsorized_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return winsorized_stats(d, "source", "n_chars", tail_pct=5).orderBy(
+        "source"
+    )
+
+
+_WINSOR_SQL = """
+WITH hist AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+              FROM documents GROUP BY 1, 2),
+c AS (SELECT source, v, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n FROM hist),
+cuts AS (SELECT source,
+                min(CASE WHEN cum >= (5 * n + 99) // 100 THEN v END) AS p_lo,
+                min(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END) AS p_hi,
+                CAST(max(n) AS BIGINT) AS n
+         FROM c GROUP BY source),
+cl AS (SELECT h.source, least(greatest(h.v, cuts.p_lo), cuts.p_hi) AS cv,
+              h.cnt, cuts.n, cuts.p_lo, cuts.p_hi
+       FROM hist h JOIN cuts USING (source))
+SELECT source, CAST(max(n) AS BIGINT) AS n, max(p_lo) AS p_lo,
+       max(p_hi) AS p_hi,
+       CAST(CAST(sum(cv * cnt) AS HUGEINT) * 1000000 // max(n) AS BIGINT)
+         AS wmean_micro
+FROM cl GROUP BY source ORDER BY source
+"""
+
+
+TRAINDATA_REGISTRY.update(
+    {
+        "bm25_retrieval_topk": (bm25_retrieval_topk, _BM25_SQL),
+        "truncated_knn_recall": (truncated_knn_recall, _TRUNC_SQL),
+        "winsorized_length_stats": (winsorized_length_stats, _WINSOR_SQL),
+    }
+)

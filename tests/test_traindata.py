@@ -150,3 +150,69 @@ def test_cutpoint_row_discrete_quantiles(spark):
     [r] = _cutpoint_row(df, "v", 5).collect()
     # ceil(j*10/5): 2,4,6,8 -> cut values 2,4,6,8
     assert (r.c1, r.c2, r.c3, r.c4) == (2, 4, 6, 8)
+
+
+def _bm25_expected(docs, queries, k1n=6, k1d=5, bn=3, bd=4):
+    # python replica of the exact integer chain in operators/retrieval.py
+    import math
+
+    toks = {i: t.split() for i, t in docs}
+    lens = {i: len(v) for i, v in toks.items()}
+    D, T = len(docs), sum(lens.values())
+    out = {}
+    for qid, terms in queries:
+        scores = {}
+        for term in set(terms):
+            df = sum(1 for v in toks.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.floor(
+                math.log2((2 * D - 2 * df + 1) / (2 * df + 1) + 1.0) * 1e6
+                + 0.5
+            )
+            for i, v in toks.items():
+                tf = v.count(term)
+                if tf == 0:
+                    continue
+                tfn = (22 * T * tf * 1_000_000) // (
+                    10 * T * tf + 3 * T + 9 * lens[i] * D
+                )
+                scores[i] = scores.get(i, 0) + (idf * tfn) // 1_000_000
+        out[qid] = scores
+    return out
+
+
+def test_bm25_matches_python_replay(spark):
+    from dnsflow_clickhouse_spark.operators.retrieval import bm25_topk
+
+    docs = [(1, "a a b"), (2, "a c"), (3, "b b b c"), (4, "d d")]
+    queries = [(1, ["a", "b"]), (2, ["c"]), (3, ["zzz"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in bm25_topk(df, queries, "doc_id", "text", k=10).collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = r.score_micro
+    exp = _bm25_expected(docs, queries)
+    assert got[1] == exp[1]
+    assert got[2] == exp[2]
+    assert 3 not in got  # no doc contains the term -> no rows
+    # ranking: score desc then doc_id
+    rows = sorted(
+        bm25_topk(df, queries, "doc_id", "text", k=10)
+        .filter(F.col("query_id") == 1)
+        .collect(),
+        key=lambda r: r.rnk,
+    )
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_winsorized_stats_clamps_tails(spark):
+    from dnsflow_clickhouse_spark.operators.profiling import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 21)], "g string, v long"
+    )
+    [r] = winsorized_stats(df, "g", "v", tail_pct=5).collect()
+    # ceil(.05*20)=1 -> p_lo=1; ceil(.95*20)=19 -> p_hi=19; 20 clamps to 19
+    assert (r.n, r.p_lo, r.p_hi) == (20, 1, 19)
+    assert r.wmean_micro == (sum(range(1, 20)) + 19) * 1_000_000 // 20
