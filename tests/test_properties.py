@@ -397,3 +397,86 @@ def test_winnowing_guarantee_on_random_shared_spans(spark, data):
     h1 = {r.fp_hash for r in fps if r.id == 1}
     h2 = {r.fp_hash for r in fps if r.id == 2}
     assert h1 & h2, f"no shared fingerprint for shared span {span}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=1, allow_nan=False, width=32),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pareto_frontier_matches_bruteforce(spark, pts):
+    """The windowed skyline equals the O(n^2) dominance definition:
+    keep row i iff no row j has x_j >= x_i and y_j >= y_i with at
+    least one strict."""
+    from dnsflow_clickhouse_spark.operators.profiling import pareto_frontier
+
+    rows = [(i, round(float(x), 6), int(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y long")
+    got = sorted(r.id for r in pareto_frontier(df, "id", "x", "y").collect())
+    exp = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for j, x2, y2 in rows
+            if j != i
+        )
+    )
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-5000, max_value=5000), min_size=1, max_size=80)
+)
+def test_mad_outliers_matches_python_reference(spark, vals):
+    """Lo-median and MAD equal statistics.median_low on the same data;
+    the outlier count equals the brute filter."""
+    import statistics
+
+    from dnsflow_clickhouse_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    [r] = mad_outliers(df, "g", "v", k=3).collect()
+    med = statistics.median_low(vals)
+    mad = statistics.median_low([abs(v - med) for v in vals])
+    n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+    assert (r.n, r.med, r.mad, r.n_outliers) == (len(vals), med, mad, n_out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_ks_by_group_matches_bruteforce_cdf(spark, rows):
+    """ks_ppm equals the brute maximum over observed values of the
+    ppm-quantized CDF gap, group vs rest."""
+    from dnsflow_clickhouse_spark.operators.profiling import ks_by_group
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r.ks_ppm for r in ks_by_group(df, "g", "v").collect()}
+    vals = sorted({v for _, v in rows})
+    groups = {g for g, _ in rows}
+    for g in groups:
+        ing = sorted(v for gg, v in rows if gg == g)
+        rest = sorted(v for gg, v in rows if gg != g)
+        best = 0
+        for x in vals:
+            cg = sum(1 for v in ing if v <= x) * 1_000_000 // len(ing)
+            cr = (
+                sum(1 for v in rest if v <= x) * 1_000_000 // len(rest)
+                if rest
+                else 1_000_000
+            )
+            best = max(best, abs(cg - cr))
+        assert got[g] == best
