@@ -97,3 +97,39 @@ def test_priority_window_is_exactly_fifty():
     from dnsflow_clickhouse_spark.queries import _PRIORITY
 
     assert len(_PRIORITY) == 50
+
+
+def test_every_query_attested_or_in_window():
+    """The standing rotation policy (queries/__init__.py docstring),
+    test-enforced: every registry query must have (a) a green row in
+    some committed CORRECTNESS_r0*.json, or (b) a PASS record in some
+    committed SWEEP_VERIFY_r*.json, or (c) a slot in the current
+    50-entry driver window (i.e. it will be attested this round). A
+    query satisfying none of these would ship unverified forever —
+    exactly the gap the r6 verdict's attestation-backlog ask closes."""
+    import glob
+    import json
+
+    attested: set[str] = set()
+    for f in glob.glob(str(ROOT / "CORRECTNESS_r*.json")):
+        for q, v in json.loads(Path(f).read_text()).items():
+            green = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+                and not v.get("err")
+            )
+            if green:
+                attested.add(q)
+    for f in glob.glob(str(ROOT / "SWEEP_VERIFY_r*.json")):
+        # records key by "name@sfX" with the bare name in the record
+        for key, v in json.loads(Path(f).read_text()).items():
+            if v.get("pass"):
+                attested.add(v.get("query", key.split("@")[0]))
+    window = set(list(QUERY_REGISTRY)[:50])
+    naked = [q for q in QUERY_REGISTRY if q not in attested and q not in window]
+    assert not naked, (
+        f"queries with no attestation and no window slot: {naked} — add "
+        "them to _PRIORITY or run tools/verify_oracle.py --json "
+        "SWEEP_VERIFY_r{N}.json and commit the artifact"
+    )
