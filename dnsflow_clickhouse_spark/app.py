@@ -122,11 +122,20 @@ def main(argv: list[str] | None = None) -> None:
         }.items():
             sink(name, df, batch)
     else:  # batch: one window, same code path as a stream micro-batch
+        from dnsflow_clickhouse_spark.io import write_reports_concurrent
+
         lines = spark.read.text(args.input)
-        for name, df in run_batch_from_lines(
+        reports = run_batch_from_lines(
             lines, dims, args.app_time, deterministic=args.deterministic
-        ).items():
-            sink(name, df, args.app_time)
+        )
+        # concurrent submission: sixteen small independent jobs over one
+        # cached base — a thread pool overlaps the per-job driver gaps
+        # (bench.py's fanout_overhead), which on a large cluster is the
+        # difference between the cluster working and idling between tiny
+        # stages. Writes are independent; results identical to the loop.
+        write_reports_concurrent(
+            reports, lambda name, df: sink(name, df, args.app_time)
+        )
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from tests.fixtures_dns import APP_TIME, WINDOW, raw_lines
 
+import pytest
 from pyspark.sql import functions as F
 
 from dnsflow_clickhouse_spark.io import (
@@ -413,3 +414,52 @@ def test_sharded_export_validates_and_catches_loss(spark, tmp_path):
     shutil.rmtree(victim)
     bad = validate_sharded_export(spark, out, "doc_id").collect()
     assert len(bad) == 1 and bad[0].shard == 3 and bad[0].actual_rows is None
+
+
+def test_write_reports_concurrent_matches_sequential(spark, tmp_path):
+    from dnsflow_clickhouse_spark.io import (
+        write_report_idempotent,
+        write_reports_concurrent,
+    )
+
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).persist()
+    reports = {
+        f"rep_{i}": base.groupBy("k").agg(F.sum(F.col("id") + i).alias("s"))
+        for i in range(6)
+    }
+    seq_dir, con_dir = str(tmp_path / "seq"), str(tmp_path / "con")
+    for name, df in reports.items():
+        write_report_idempotent(df, seq_dir, name, batch_id=1)
+    done = write_reports_concurrent(
+        reports,
+        lambda name, df: write_report_idempotent(df, con_dir, name, batch_id=1),
+        max_threads=4,
+    )
+    assert sorted(done) == sorted(reports)
+    for name in reports:
+        import os
+
+        a = sorted(
+            map(tuple, spark.read.parquet(os.path.join(seq_dir, name)).drop("batch_id").collect())
+        )
+        b = sorted(
+            map(tuple, spark.read.parquet(os.path.join(con_dir, name)).drop("batch_id").collect())
+        )
+        assert a == b, name
+    base.unpersist()
+
+
+def test_write_reports_concurrent_collects_all_errors(spark, tmp_path):
+    from dnsflow_clickhouse_spark.io import write_reports_concurrent
+
+    reports = {"ok": spark.range(3), "boom": spark.range(3)}
+
+    def write_one(name, df):
+        if name == "boom":
+            raise ValueError("sink exploded")
+        df.write.format("noop").mode("overwrite").save()
+
+    with pytest.raises(RuntimeError, match="boom"):
+        write_reports_concurrent(reports, write_one, max_threads=2)

@@ -614,3 +614,57 @@ def test_streaming_cusum_matches_batch(spark):
     )
     assert stream == batch
     assert any(r.alarm == 1 for r in batch)  # the burst is detected
+
+
+def test_stream_restart_from_checkpoint_no_redelivery(spark, tmp_path):
+    """Restart-safety the reference never had (SURVEY §3.2: its DStream
+    clock hack restarts from scratch): stop the stream, add new input,
+    restart with the SAME checkpoint dir — the already-processed file
+    must NOT be re-delivered to the sink, and the new file must be.
+    foreachBatch + file-source checkpointing is the mechanism; this
+    pins it end to end."""
+    dims = build_dims(spark)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    lines = raw_lines(corrupt=False)
+    closer = next(
+        l for l in lines if f'"Timestamp": {APP_TIME + WINDOW}' in l
+    )
+    (inp / "a.txt").write_text(
+        "\n".join(lines[:100] + [closer]), encoding="utf-8"
+    )
+
+    deliveries: list[tuple[str, int]] = []
+
+    def sink(name, df, t):
+        if name == "dns_flow_qps":
+            deliveries.append(("batch", df.count()))
+
+    ckpt = str(tmp_path / "ckpt")
+    q = start_stream(
+        spark, str(inp), dims, sink, checkpoint_dir=ckpt,
+        trigger_seconds=1, deterministic=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_before = len(deliveries)
+    assert n_before >= 1
+
+    # restart with the same checkpoint and no new data: nothing fires
+    q2 = start_stream(
+        spark, str(inp), dims, sink, checkpoint_dir=ckpt,
+        trigger_seconds=1, deterministic=True,
+    )
+    try:
+        q2.processAllAvailable()
+        assert len(deliveries) == n_before, "restart re-delivered old data"
+        # now new data arrives: exactly the new file triggers
+        (inp / "b.txt").write_text(
+            "\n".join(lines[100:200] + [closer]), encoding="utf-8"
+        )
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert len(deliveries) > n_before, "new file after restart not processed"
