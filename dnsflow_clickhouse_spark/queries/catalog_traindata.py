@@ -571,3 +571,141 @@ TRAINDATA_REGISTRY.update(
         "winsorized_length_stats": (winsorized_length_stats, _WINSOR_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (labels)
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training support set: for each query vector, the 3
+    highest-cosine corpus vectors with a DIFFERENT label — the
+    hard-negative shortlist a contrastive fine-tune mines before
+    building triplets (the labels column's first first-class use).
+    Scores come from the same exact GEMM kernel as embedding_knn; the
+    label filter applies before the final rank."""
+    from pyspark.sql import Window
+
+    from dnsflow_clickhouse_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    # k large enough to keep every scored pair: rank AFTER label filter
+    pairs = cosine_topk(q, e, "vec_id", "embedding", k=10**9)
+    lab = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    qlab = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.join(F.broadcast(qlab), "query_id")
+        .join(lab, "neighbor_id")
+        .filter(F.col("n_label") != F.col("q_label"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("n_label").cast("long").alias("n_label"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+_HARDNEG_SQL = f"""
+WITH q AS (SELECT vec_id, label, {_sql_quant('embedding')} AS qv FROM embeddings),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(b.label AS BIGINT) AS n_label,
+         floor(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM q a JOIN q b ON a.vec_id < 20 AND a.vec_id != b.vec_id
+  WHERE a.label != b.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM p)
+SELECT query_id, neighbor_id, cosine, n_label, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY query_id, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# label centroid margins
+# ---------------------------------------------------------------------------
+
+
+def label_centroid_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class-separability audit: per-label centroid
+    (per-dim floor-mean of the quantized vectors — exact at these
+    magnitudes, the quotient sits >= 1/cnt from any integer so the
+    IEEE floor is engine-identical) and the pairwise cosine between
+    centroids. Close centroid pairs = confusable classes = where a
+    contrastive pass should spend its hard negatives
+    (hard_negative_mining's macro view)."""
+    from dnsflow_clickhouse_spark.operators.similarity import int_dot, quantize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(quantize(F.col("embedding"))).alias("i", "v")
+    )
+    cent = (
+        dims.groupBy("label", "i")
+        .agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("i"), F.col("cv")))
+                ),
+                lambda s: s.getField("cv"),
+            ).alias("c")
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dot = int_dot(F.col("a.c"), F.col("b.c")).cast("double")
+    na = F.sqrt(int_dot(F.col("a.c"), F.col("a.c")).cast("double"))
+    nb = F.sqrt(int_dot(F.col("b.c"), F.col("b.c")).cast("double"))
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").cast("long").alias("label_a"),
+            F.col("b.label").cast("long").alias("label_b"),
+            (F.floor(dot / (na * nb) * 1_000_000 + F.lit(0.5)) / 1_000_000)
+            .alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+_CENTROID_SQL = f"""
+WITH q AS (SELECT vec_id, label, {_sql_quant('embedding')} AS qv FROM embeddings),
+d AS (SELECT label, i, qv[i] AS v
+      FROM q, UNNEST(generate_series(1, len(qv))) AS g(i)),
+cd AS (SELECT label, i,
+              CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       FROM d GROUP BY 1, 2),
+cent AS (SELECT label, list(cv ORDER BY i) AS c FROM cd GROUP BY label)
+SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+       floor(list_dot_product(a.c, b.c)
+             / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c)))
+             * 1000000 + 0.5) / 1000000 AS cosine
+FROM cent a JOIN cent b ON a.label < b.label
+ORDER BY label_a, label_b
+"""
+
+
+TRAINDATA_REGISTRY.update(
+    {
+        "hard_negative_mining": (hard_negative_mining, _HARDNEG_SQL),
+        "label_centroid_margins": (label_centroid_margins, _CENTROID_SQL),
+    }
+)
