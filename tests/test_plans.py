@@ -129,3 +129,44 @@ def test_mmr_pool_broadcasts_and_greedy_is_arrow(spark):
     plan = physical_plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_masked_lm_is_map_then_one_agg(spark):
+    # posexplode + mask expression + doc-grain agg: no join shuffle
+    # beyond the agg + final sort; never a row-level window
+    plan = physical_plan(_q("masked_lm_samples", spark))
+    assert "Window" not in plan
+
+
+def test_mad_and_winsorized_windows_walk_histograms(spark):
+    # both medians/cutpoints aggregate to (group, value) FIRST: the
+    # window input is the histogram aggregate, never the raw scan
+    for name in ("mad_outlier_docs", "winsorized_length_stats"):
+        plan = physical_plan(_q(name, spark))
+        agg_pos = plan.find("HashAggregate")
+        win_pos = plan.find("Window")
+        assert agg_pos != -1 and win_pos != -1, name
+        # physical plans print top-down: the Window must sit ABOVE some
+        # HashAggregate (appear before it in the dump)
+        assert win_pos < plan.rfind("HashAggregate"), name
+
+
+def test_bm25_broadcasts_stats_and_terms_and_never_sorts_corpus(spark):
+    plan = physical_plan(_q("bm25_retrieval_topk", spark))
+    # query terms + idf + one-row stats ride broadcasts
+    assert plan.count("BroadcastExchange") >= 2
+    # the only Sort nodes serve the top-k window / final order, which
+    # run on the scored (query x matched docs) set, not the corpus scan:
+    # no global Exchange SinglePartition carrying the corpus
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negative_mining_broadcasts_labels(spark):
+    assert_broadcast_join(_q("hard_negative_mining", spark))
+
+
+def test_pareto_window_runs_on_distinct_values(spark):
+    # the running-max window input is the per-distinct-x aggregate
+    plan = physical_plan(_q("pareto_quality_frontier", spark))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.find("Window") < plan.rfind("HashAggregate")
