@@ -1118,3 +1118,97 @@ def winnowed_span_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 64,
+) -> DataFrame:
+    """The curation TRANSFORM the winnowing family detects for:
+    keep-first duplicate-span removal. Every winnowing fingerprint
+    selected in a document is checked against the corpus; if an
+    EARLIER document (lower id) selected the same fingerprint hash,
+    the k-token gram anchored at that position is excised from the
+    later document. The winnowing guarantee means any shared run of
+    >= w + k - 1 tokens loses at least its fingerprinted cores in
+    every doc but the first — the deterministic, distributed-friendly
+    stand-in for exact suffix-array substring dedup (Lee et al. 2021),
+    built from the same fingerprint table winnowed_span_pairs mines.
+
+    Stop-gram discipline: hashes with document frequency > ``max_df``
+    are exempt (corpus-wide boilerplate would otherwise mark most of
+    every doc; the boilerplate_grams report is the right tool for
+    those), and df >= 2 is required (unshared fingerprints mark
+    nothing).
+
+    Plan: the fingerprint table (id, hash, pos) -> per-hash (owner =
+    min id, df) aggregate -> marks (id > owner) -> one ANTI join of
+    the exploded token table against its own doc's mark ranges (equi
+    on id + BETWEEN condition; mark count per doc is fingerprint-
+    density-bounded, ~2/(w+1) of grams) -> doc-grain rebuild. No
+    quadratic term; everything keys on id or hash.
+
+    Output: (id, n_toks, n_removed, clean_text), one row per doc —
+    untouched docs pass through with n_removed = 0.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    per_hash = fps.select("id", "fp_hash").distinct().groupBy("fp_hash").agg(
+        F.min("id").alias("__owner"), F.count(F.lit(1)).alias("__df")
+    )
+    marks = (
+        fps.join(
+            per_hash.filter(
+                (F.col("__df") >= 2) & (F.col("__df") <= max_df)
+            ),
+            "fp_hash",
+        )
+        .filter(F.col("id") > F.col("__owner"))
+        .select(
+            "id",
+            F.col("fp_pos").alias("__s"),
+            (F.col("fp_pos") + k - 1).alias("__e"),
+        )
+        .distinct()
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).localCheckpoint(eager=False)
+    ex = staged.select(
+        "id",
+        F.size("__toks").cast("long").alias("__nt"),
+        F.posexplode("__toks").alias("__p0", "__tok"),
+    ).withColumn("__pos", F.col("__p0") + 1)
+    kept = ex.join(
+        marks,
+        on=[
+            ex.id == marks.id,
+            F.col("__pos") >= F.col("__s"),
+            F.col("__pos") <= F.col("__e"),
+        ],
+        how="left_anti",
+    )
+    agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("__kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+                ),
+                lambda s: s.getField("__tok"),
+            ),
+        ).alias("clean_text"),
+    )
+    base = staged.select("id", F.size("__toks").cast("long").alias("n_toks"))
+    return base.join(agg, "id", "left").select(
+        "id",
+        "n_toks",
+        (F.col("n_toks") - F.coalesce(F.col("__kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -709,3 +709,78 @@ TRAINDATA_REGISTRY.update(
         "label_centroid_margins": (label_centroid_margins, _CENTROID_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# keep-first duplicate-span removal (the winnowing family's transform)
+# ---------------------------------------------------------------------------
+
+_SCRUB_K, _SCRUB_W, _SCRUB_MAX_DF = 3, 4, 64
+
+
+def span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first duplicate-span removal: the k-token grams anchored at
+    winnowing fingerprints already selected by an earlier document are
+    excised from later documents (stop-gram cap exempts corpus-wide
+    boilerplate). The curation TRANSFORM built from the same
+    fingerprint table winnowed_span_pairs mines — the distributed
+    stand-in for exact suffix-array substring dedup."""
+    from dnsflow_clickhouse_spark.operators.dedup import scrub_duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        scrub_duplicate_spans(
+            d, "doc_id", "text", _SCRUB_K, _SCRUB_W, _SCRUB_MAX_DF
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _scrub_sql() -> str:
+    from dnsflow_clickhouse_spark.queries.catalog_mlops import _sql_poly
+
+    k, w, max_df = _SCRUB_K, _SCRUB_W, _SCRUB_MAX_DF
+    return f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, len(toks) - {k} + 1 AS ng, u.i AS pos,
+         {_sql_poly(f"array_to_string(toks[u.i:u.i+{k - 1}], ' ')")} AS h
+  FROM t, LATERAL unnest(
+    generate_series(1, greatest(len(toks) - {k} + 1, 0))) AS u(i)),
+m AS (
+  SELECT doc_id, ng, pos,
+         min(struct_pack(h := h, p := -pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mm
+  FROM g),
+sel AS (
+  SELECT DISTINCT doc_id, (mm).h AS fp_hash, -((mm).p) AS fpos
+  FROM m WHERE pos <= ng - {w} + 1),
+ph AS (SELECT fp_hash, min(doc_id) AS owner, count(DISTINCT doc_id) AS dfq
+       FROM sel GROUP BY 1),
+marks AS (
+  SELECT DISTINCT s.doc_id, s.fpos AS st, s.fpos + {k - 1} AS en
+  FROM sel s JOIN ph USING (fp_hash)
+  WHERE ph.dfq >= 2 AND ph.dfq <= {max_df} AND s.doc_id > ph.owner),
+e AS (SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+      FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)),
+kept AS (
+  SELECT e.* FROM e
+  WHERE NOT EXISTS (SELECT 1 FROM marks m2
+                    WHERE m2.doc_id = e.doc_id
+                      AND e.pos BETWEEN m2.st AND m2.en)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY 1),
+n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t)
+SELECT n.doc_id, n.n_toks,
+       CAST(n.n_toks - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM n LEFT JOIN agg USING (doc_id) ORDER BY n.doc_id
+"""
+
+
+TRAINDATA_REGISTRY.update(
+    {"span_scrubbed_docs": (span_scrubbed_docs, _scrub_sql())}
+)

@@ -216,3 +216,32 @@ def test_winsorized_stats_clamps_tails(spark):
     # ceil(.05*20)=1 -> p_lo=1; ceil(.95*20)=19 -> p_hi=19; 20 clamps to 19
     assert (r.n, r.p_lo, r.p_hi) == (20, 1, 19)
     assert r.wmean_micro == (sum(range(1, 20)) + 19) * 1_000_000 // 20
+
+
+def test_scrub_duplicate_spans_keep_first(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import scrub_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (1, shared + " one two"),
+        (2, "prefix words here " + shared),  # later doc: span scrubbed
+        (3, "totally different content entirely"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: r
+        for r in scrub_duplicate_spans(df, "doc_id", "text", 3, 4, 64).collect()
+    }
+    # doc 1 owns every shared fingerprint: untouched
+    assert got[1].n_removed == 0
+    assert got[1].clean_text == docs[0][1]
+    # doc 2 loses the fingerprinted cores of the shared 8-token run
+    # (guarantee: the run >= w+k-1=6 tokens shares >= 1 fingerprint)
+    assert got[2].n_removed > 0
+    removed_tokens = set(docs[1][1].split()) - set(got[2].clean_text.split())
+    assert removed_tokens <= set(shared.split())  # only shared-span tokens go
+    assert "prefix" in got[2].clean_text  # unique lead-in survives
+    # untouched / empty docs pass through
+    assert got[3].n_removed == 0 and got[3].clean_text == docs[2][1]
+    assert (got[4].n_toks, got[4].n_removed, got[4].clean_text) == (0, 0, "")
