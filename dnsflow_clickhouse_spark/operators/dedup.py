@@ -1127,6 +1127,7 @@ def scrub_duplicate_spans(
     k: int = 3,
     w: int = 4,
     max_df: int = 64,
+    prior_state: DataFrame | None = None,
 ) -> DataFrame:
     """The curation TRANSFORM the winnowing family detects for:
     keep-first duplicate-span removal. Every winnowing fingerprint
@@ -1154,11 +1155,16 @@ def scrub_duplicate_spans(
 
     Output: (id, n_toks, n_removed, clean_text), one row per doc —
     untouched docs pass through with n_removed = 0.
+
+    ``prior_state``: an optional (fp_hash, owner, df) frame from
+    :func:`fingerprint_ownership` over EARLIER batches — the
+    incremental form: this batch's docs are scrubbed against both
+    prior owners and each other (exactly the full-corpus result when
+    ids arrive in order; parity-tested). Fold the state forward with
+    ``fingerprint_ownership(fps, prior_state)`` per batch.
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w)
-    per_hash = fps.select("id", "fp_hash").distinct().groupBy("fp_hash").agg(
-        F.min("id").alias("__owner"), F.count(F.lit(1)).alias("__df")
-    )
+    per_hash = fingerprint_ownership(fps, prior_state)
     marks = (
         fps.join(
             per_hash.filter(
@@ -1211,4 +1217,40 @@ def scrub_duplicate_spans(
         .cast("long")
         .alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def fingerprint_ownership(
+    fps: DataFrame, prior_state: DataFrame | None = None
+) -> DataFrame:
+    """Cross-batch fingerprint-ownership state for the incremental
+    scrub: per fp_hash, the minimal document id ever seen (the
+    keep-first owner) and the document-frequency count. The fold is a
+    union + (min, sum) aggregate — associative and commutative, the
+    same mergeable-state contract as the sketch folds in
+    streaming/pipeline.py. State size is bounded by the distinct
+    fingerprint vocabulary (density ~2/(w+1) of grams), never by
+    corpus row count. NOT replay-idempotent in the df counter (a
+    re-delivered batch re-adds its counts — pair with the idempotent
+    batch-id sink); the owner min IS idempotent.
+
+    ``fps``: (id, fp_hash[, fp_pos]) rows for the current batch.
+    Output/state schema: (fp_hash, __owner, __df).
+    """
+    batch = (
+        fps.select("id", "fp_hash")
+        .distinct()
+        .groupBy("fp_hash")
+        .agg(F.min("id").alias("__owner"), F.count(F.lit(1)).alias("__df"))
+    )
+    if prior_state is None:
+        return batch
+    return (
+        prior_state.select("fp_hash", "__owner", "__df")
+        .unionByName(batch)
+        .groupBy("fp_hash")
+        .agg(
+            F.min("__owner").alias("__owner"),
+            F.sum("__df").cast("long").alias("__df"),
+        )
     )

@@ -480,3 +480,33 @@ def test_ks_by_group_matches_bruteforce_cdf(spark, rows):
             )
             best = max(best, abs(cg - cr))
         assert got[g] == best
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=6, max_value=12),  # planted span length >= w+k-1
+    st.integers(min_value=0, max_value=5),   # owner prefix length
+    st.integers(min_value=0, max_value=5),   # later-doc prefix length
+)
+def test_scrub_guarantee_later_doc_always_loses_core(spark, span_len, p1, p2):
+    """Winnowing guarantee, transform form: a shared run of
+    >= w + k - 1 tokens (k=3, w=4 -> 6) ALWAYS loses at least one
+    fingerprinted core in the later document, and the owner never
+    loses anything."""
+    from dnsflow_clickhouse_spark.operators.dedup import scrub_duplicate_spans
+
+    span = " ".join(f"s{i}" for i in range(span_len))
+    d1 = (" ".join(f"a{i}" for i in range(p1)) + " " + span).strip()
+    d2 = (" ".join(f"b{i}" for i in range(p2)) + " " + span).strip()
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    got = {
+        r.id: r
+        for r in scrub_duplicate_spans(df, "doc_id", "text", 3, 4, 64).collect()
+    }
+    assert got[1].n_removed == 0 and got[1].clean_text == d1
+    assert got[2].n_removed >= 1
+    # removal only ever touches shared-span tokens
+    gone = set(d2.split()) - set(got[2].clean_text.split())
+    assert gone <= set(span.split())

@@ -262,3 +262,44 @@ def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
         assert ("u1", 300, 300, 1) in closed
     finally:
         q.stop()
+
+
+def test_incremental_scrub_matches_full_corpus(spark):
+    """Incremental span scrubbing parity: fold fingerprint-ownership
+    state batch by batch (ids arriving in order) and scrub each batch
+    against the prior state — the per-doc result equals the one-shot
+    full-corpus scrub. The same batch==streaming contract as the
+    sketch folds."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        fingerprint_ownership,
+        scrub_duplicate_spans,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, shared + " one"),
+        (2, "x y " + shared),
+        (3, "totally different content here now"),
+        (4, shared + " tail piece"),
+        (5, "x y " + shared),  # also shares the batch-1 span AND doc 2's lead
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = {
+        r.id: (r.n_removed, r.clean_text)
+        for r in scrub_duplicate_spans(df, "doc_id", "text").collect()
+    }
+
+    b1 = df.filter(F.col("doc_id") <= 2)
+    b2 = df.filter(F.col("doc_id") >= 3)
+    state = fingerprint_ownership(
+        winnow_fingerprints(b1, "doc_id", "text")
+    ).localCheckpoint(eager=True)
+    inc = {}
+    for r in scrub_duplicate_spans(b1, "doc_id", "text").collect():
+        inc[r.id] = (r.n_removed, r.clean_text)
+    for r in scrub_duplicate_spans(
+        b2, "doc_id", "text", prior_state=state
+    ).collect():
+        inc[r.id] = (r.n_removed, r.clean_text)
+    assert inc == full
