@@ -126,10 +126,12 @@ def _dns_batch(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
     # per-line clocks = inter-job driver overhead (plan/AQE replan,
     # persist bookkeeping, python<->jvm turnarounds between the noop
     # writes). A named number so cross-round wall drift is diagnosable
-    # instead of a 13-vs-17s mystery.
-    per_report["fanout_overhead"] = round(wall - sum(per_report.values()), 3)
+    # instead of a 13-vs-17s mystery. Returned as a SIBLING of the
+    # per-report dict (r7 ADVICE): consumers iterating report names
+    # must not see a phantom 17th report whose timing is a residual.
+    fanout_overhead = round(wall - sum(per_report.values()), 3)
     spark.catalog.clearCache()  # process_batch persists base/flow
-    return wall, per_report
+    return wall, per_report, fanout_overhead
 
 
 def _dns_batch_concurrent(spark, sf_dir: str) -> float:
@@ -217,12 +219,12 @@ def main() -> None:
     # min-of-2 like the catalog queries: the batch runs LAST, on a box
     # heated by two full passes — a single measurement swung 12.3-17.9s
     # across otherwise-identical round-5 runs
-    dns_wall_1, per_report_1 = _dns_batch(spark, sf_dir)
-    dns_wall_2, per_report_2 = _dns_batch(spark, sf_dir)
+    dns_wall_1, per_report_1, overhead_1 = _dns_batch(spark, sf_dir)
+    dns_wall_2, per_report_2, overhead_2 = _dns_batch(spark, sf_dir)
     if dns_wall_2 <= dns_wall_1:
-        dns_wall, per_report = dns_wall_2, per_report_2
+        dns_wall, per_report, fanout_overhead = dns_wall_2, per_report_2, overhead_2
     else:
-        dns_wall, per_report = dns_wall_1, per_report_1
+        dns_wall, per_report, fanout_overhead = dns_wall_1, per_report_1, overhead_1
     dns_wall_con = min(
         _dns_batch_concurrent(spark, sf_dir),
         _dns_batch_concurrent(spark, sf_dir),
@@ -246,6 +248,10 @@ def main() -> None:
         "dns_batch_wall": round(dns_wall, 3),
         "dns_batch_wall_concurrent": round(dns_wall_con, 3),
         "dns_batch_reports": per_report,
+        # sibling of dns_batch_reports, NOT a report line (r7 ADVICE):
+        # wall minus the summed per-report clocks = inter-job driver
+        # overhead of the sequential fan-out
+        "dns_batch_fanout_overhead": fanout_overhead,
         "sf": sf,
         "notes": {
             "prefix_jaccard_pairs": (

@@ -112,19 +112,23 @@ def write_report_idempotent(
     Safe to call from foreachBatch with the streaming batch id: Spark
     replays a failed batch with the same id, so the sink converges to
     one copy per batch at any retry count.
+
+    The overwrite mode is a PER-WRITER option, not a session conf:
+    ``write_reports_concurrent`` calls this from a thread pool sharing
+    one SparkSession, and a session-conf set/restore pair races — one
+    thread's restore to ``static`` can land between another thread's
+    ``set('dynamic')`` and the moment its write command snapshots the
+    conf, silently turning that write into a STATIC overwrite that
+    deletes every other batch's partitions. The writer-level option is
+    read only by this write and cannot be clobbered by a sibling thread.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(os.path.join(base_dir, table))
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(base_dir, table))
+    )
 
 
 def merge_upsert(

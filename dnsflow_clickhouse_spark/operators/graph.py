@@ -502,3 +502,59 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("a").alias("id"), F.col("degree").cast("long").alias("degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al., 2007) made fully deterministic: every node starts labeled with
+    its own id; each round every node adopts its neighbors' MOST
+    FREQUENT label, ties broken by the SMALLEST label; isolated
+    updates happen simultaneously (synchronous schedule) for a fixed
+    ``rounds`` count so the recurrence is engine-replayable (an
+    oracle can unroll it) — the same fixed-round determinism contract
+    as kcore_peel and hits_scores.
+
+    Distinct from connected_components: CC merges everything reachable
+    (one bridge edge fuses two dense near-dup families); LPA keeps
+    densely-connected cores separate when the bridge is outvoted — the
+    community structure a curation pass wants when deciding what
+    "one duplicate cluster" means.
+
+    Plan per round: one edge⋈label join (labels keyed by node id), one
+    (node, label) count aggregate, one arg-max-by-(count desc, label
+    asc) — all shuffle-partitioned on node id; at 100 TB the label
+    frame is the only iterated state (nodes, not edges) and the edge
+    frame is reused as scanned. Rounds are O(diameter-ish) small
+    constants in practice (communities stabilize in 3-5 sweeps).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    fwd = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = und.select(F.col("a").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(rounds):
+        msgs = und.join(
+            labels.select(F.col("id").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("id"), "label")
+        votes = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("n"))
+        # arg-max by (count desc, label asc) as a single max over a
+        # sortable struct: max (n, -label) then recover label
+        labels = (
+            votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("id", (-F.col("m.neg")).alias("label"))
+        )
+    return labels.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    )

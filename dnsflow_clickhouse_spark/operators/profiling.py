@@ -584,3 +584,169 @@ def winsorized_stats(
         )
         .select(g, "n", "p_lo", "p_hi", "wmean_micro")
     )
+
+
+def weighted_median_by_group(
+    df: DataFrame, group_col: str, value_col: str, weight_col: Column | str
+) -> DataFrame:
+    """Exact weighted lo-median per group: the smallest value whose
+    cumulative weight reaches half the group's total (2*cum >= total —
+    pure integer test, no interpolation, engine-portable like
+    _disc_median). The window walks the per-group value HISTOGRAM
+    (weights pre-summed per distinct value), so cost scales with
+    distinct values per group, not rows — the same scale shape as the
+    other order statistics here. The pipeline use: a token-weighted
+    median document length is the robust center a few giant documents
+    cannot drag, where the unweighted median underweights the corpus
+    mass that long docs actually contribute to training."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    hist = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+            w.cast("long").alias("__w"),
+        )
+        .groupBy("g", "v")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+    w_cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("g"))
+    )
+    return (
+        c.groupBy("g")
+        .agg(
+            F.max("total").cast("long").alias("total_weight"),
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("total"), F.col("v"))
+            ).alias("w_median"),
+        )
+        .select(F.col("g").alias(group_col), "total_weight", "w_median")
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    half_life_buckets: int = 1,
+    window_buckets: int = 8,
+) -> DataFrame:
+    """Gap-aware exponentially-weighted moving average of event counts
+    per (key, time bucket) with EXACT dyadic arithmetic: weight for a
+    count ``age`` buckets old is ``2^(window-1-age)`` (half-life = one
+    bucket), so the smoothed value is a pure integer sum — no float
+    recurrence, replayable on any engine. Missing buckets contribute
+    zero exactly as an EWMA over a gapped series should (the sequential
+    fold formulation silently skips gaps; this one doesn't).
+
+    Plan shape: the O(n) contribution expansion — each bucket count
+    emits ``window_buckets`` weighted contributions to its future
+    buckets (one in-row sequence explode), then ONE groupBy on (key,
+    target bucket) sums them. No self-join, no window sort over raw
+    events, linear in distinct buckets: the standard trick for turning
+    a sliding weighted window into a map-side-combinable aggregation,
+    which is what survives at 100 TB where a per-key ordered window
+    would sort the fact table. ``ewma_milli`` = scaled * 1000 //
+    (2^window - 1), the zero-padded-history normalization.
+    """
+    if half_life_buckets != 1:
+        raise ValueError("dyadic kernel implemented for half_life=1 bucket")
+    wlen = int(window_buckets)
+    denom = (1 << wlen) - 1
+    counts = (
+        df.select(
+            F.col(key_col).alias("k"),
+            (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
+            .cast("long")
+            .alias("b"),
+        )
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    contrib = counts.select(
+        "k",
+        "cnt",
+        F.col("b").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(wlen - 1))).alias("age"),
+    ).select(
+        "k",
+        (F.col("src") + F.col("age")).alias("b"),
+        # dyadic weight 2^(window-1-age); shiftleft with a column shift
+        # count is SQL-only, hence the expr
+        (F.col("cnt") * F.expr(f"shiftleft(1L, cast({wlen - 1} - age AS INT))")).alias("w"),
+    )
+    scaled = contrib.groupBy("k", "b").agg(F.sum("w").alias("ewma_scaled"))
+    return (
+        counts.join(scaled, ["k", "b"])
+        .select(
+            F.col("k").alias(key_col),
+            F.col("b").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("ewma_scaled").cast("long").alias("ewma_scaled"),
+            F.expr(f"(ewma_scaled * 1000) div {denom}").cast("long").alias("ewma_milli"),
+        )
+    )
+
+
+def quantile_match_calibrate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    ref_group: str,
+) -> DataFrame:
+    """Cross-source score calibration by quantile matching: each row's
+    value is mapped to the REFERENCE group's value at the same
+    within-group percentile (the inverse-CDF lookup that makes quality
+    scores comparable across heterogeneous sources before a global
+    threshold gate — a per-source threshold in disguise, but expressed
+    as one portable transform).
+
+    Percentiles are mid-rank-free integer ppm (rank * 1e6 // n, ranks
+    total-ordered by (value, id)); the calibrated value is the smallest
+    reference value whose cumulative ppm reaches the row's percentile —
+    exact integer arithmetic end to end.
+
+    Scale: the reference CDF compresses to its distinct values (bounded
+    by the value domain, not corpus size; quantize the value first if
+    it's continuous), so the lookup is a broadcast join of the fact
+    rows against a small sorted CDF — no shuffle of the big side.
+    """
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+    ).withColumn(
+        "pct_ppm",
+        F.expr(
+            "(row_number() OVER (PARTITION BY g ORDER BY v, id) * 1000000)"
+            " div (count(*) OVER (PARTITION BY g))"
+        ).cast("long"),
+    )
+    ref_cdf = (
+        ranked.filter(F.col("g") == ref_group)
+        .groupBy("v")
+        .agg(F.max("pct_ppm").alias("cum_ppm"))
+        .select(F.col("v").alias("ref_v"), "cum_ppm")
+    )
+    # smallest reference value at-or-above the row's percentile; the
+    # reference's own max cum_ppm is exactly 1e6, so a match always
+    # exists. Broadcast CDF -> the fact side never shuffles.
+    return (
+        ranked.join(
+            F.broadcast(ref_cdf), F.col("cum_ppm") >= F.col("pct_ppm")
+        )
+        .groupBy("g", "id", "v", "pct_ppm")
+        .agg(F.min("ref_v").alias("calibrated"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("g").alias(group_col),
+            F.col("v").alias(value_col),
+            "pct_ppm",
+            "calibrated",
+        )
+    )

@@ -120,3 +120,78 @@ def bm25_topk(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def lexical_cosine_rerank(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact term-frequency cosine² for a bounded candidate pair set —
+    the verify/rerank stage after LSH blocking (candidates from
+    lsh_candidate_pairs; this scores them lexically, the way a dedup
+    pipeline confirms candidates before acting). cos² is reported as
+    exact integer parts-per-billion: ``dot² * 1e9 // (|a|²·|b|²)`` in
+    DECIMAL(38,0) — monotone in |cosine| with zero float ops, so the
+    threshold gate is engine-portable (dot is nonnegative here: raw
+    term counts).
+
+    Plan shape (100 TB): TF rows (id, term, tf) are built once (one
+    explode + one groupBy); the dot product is two equi-joins keyed by
+    (pair id, term) over ONLY the candidate pairs' postings — never a
+    corpus self-join; norms ride a broadcast-friendly per-id aggregate.
+    Work is Σ_pairs(|terms_a| + |terms_b|), linear in candidate mass.
+    """
+    from dnsflow_clickhouse_spark.functions.textfn import tokens
+    from dnsflow_clickhouse_spark.operators.util import cpu_repartition
+
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .transform(lambda d: cpu_repartition(d, "id"))
+        .select("id", tokens(F.col("__text")).alias("__toks"))
+        # Generate-input barrier (the dedup.py rule): explode over the
+        # LIVE tokenizer expression re-evaluates it per emitted token,
+        # and tf is read four times below (norms + both dot sides) —
+        # without the checkpoint each reuse re-runs the whole pipeline
+        .localCheckpoint(eager=True)
+        .select("id", F.explode("__toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    norms = tf.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    # the candidate generator upstream (LSH signatures) is the
+    # expensive lineage; it is read once for dot and once for the
+    # final pair frame — pin it
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    dot = (
+        p.join(tf.select(F.col("id").alias("id_a"), "term", F.col("tf").alias("tf_a")), "id_a")
+        .join(
+            tf.select(F.col("id").alias("id_b"), "term", F.col("tf").alias("tf_b")),
+            ["id_b", "term"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm_sq").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm_sq").alias("nb"))
+    return (
+        p.join(dot, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("dot", F.lit(0)).cast("long").alias("dot"),
+            F.col("na").alias("norm_sq_a"),
+            F.col("nb").alias("norm_sq_b"),
+            F.expr(
+                "CAST(CAST(coalesce(dot, 0) AS DECIMAL(38,0))"
+                " * coalesce(dot, 0) * 1000000000"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("cos_sq_ppb"),
+        )
+    )

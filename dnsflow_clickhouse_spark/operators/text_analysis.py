@@ -409,3 +409,50 @@ def chi2_token_assoc(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def oov_rate_report(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Vocabulary-coverage / out-of-vocabulary audit: fix the vocabulary
+    as the corpus's ``vocab_size`` most frequent tokens (ties broken by
+    token string, so the vocabulary is a pure function of the corpus),
+    then report per group how much token mass falls OUTSIDE it — the
+    coverage check run before committing to a tokenizer/vocab: a source
+    whose oov_ppm spikes is a source the vocabulary underserves.
+
+    Plan: one (group, token) count aggregate feeds BOTH the global
+    vocabulary top-K (re-aggregate to token grain -> one
+    TakeOrderedAndProject, driver never sees raw rows) and the per-group
+    coverage sums (broadcast the tiny vocab back as a membership flag).
+    The fact-side token counts are computed exactly once.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    tok_counts = (
+        df.select(*gcols, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(*group_cols, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        tok_counts.groupBy("tok")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok")
+    )
+    flagged = tok_counts.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy(*group_cols)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_ppm", F.expr("(n_oov * 1000000) div n_tokens").cast("long"))
+    )

@@ -14,25 +14,24 @@ round, ``_PRIORITY`` is rebuilt as
 truncated to 50. Changed-code queries that do not fit the window get a
 same-round ``tools/verify_oracle.py --json SWEEP_VERIFY_r{N}.json``
 artifact committed instead — the judge reads it in place of a driver
-row. With a 166-query registry this bounds attestation staleness at
-ceil(166/50) ~ 4 rounds worst-case and empties any older backlog first.
+row. With a 190-query registry this bounds attestation staleness at
+ceil(190/50) = 4 rounds worst-case and empties any older backlog first.
 
-ROUND-7 WINDOW: after the smoke query, the 38 queries whose latest
-green row is round 3 (the verdict's staleness list — qps_trend,
-flow_report_topk, range_join_tiers, wide_enrichment_report, the
-embedding-ANN family, nine TPC-H shapes, ...), then the EIGHT queries
-brand-new this round (catalog_traindata.py: mad_outlier_docs,
-ks_drift_by_source, masked_lm_samples, curriculum_schedule,
-bigram_novelty_report, benford_order_totals, pareto_quality_frontier,
-chi2_token_source), then three round-7 changed-code queries whose
-kernels moved to the pinned floor(x*1e6+0.5) cosine chain and are not
-already in the stale set (embedding_mmr_rerank, ann_recall_report,
-ann_rrf_fusion). The remaining round-7 changed-code queries (the
-quality-scan translate() rewrite's 13 consumers, the perceptron
-literal-map key widening) are attested in SWEEP_VERIFY_r07.json, as is
-the late second batch (bm25_retrieval_topk, truncated_knn_recall,
-winsorized_length_stats — added after the window was pinned; they head
-the r8 window as never-driver-attested).
+ROUND-8 WINDOW: after the smoke query, the TEN queries brand-new this
+round (catalog_traindata2.py: segment_dedup_docs, symspell_token_pairs,
+lpa_communities, lexical_rerank_pairs, split_contamination_report,
+dedup_recall_report, quantile_calibrated_lengths,
+weighted_median_lengths, ewma_event_rates, oov_rate_by_source), then
+ALL SIX round-7 queries that have never received a driver row —
+bm25_retrieval_topk, truncated_knn_recall, winsorized_length_stats
+(the late second batch, added after the r7 window was pinned) AND
+hard_negative_mining, label_centroid_margins, span_scrubbed_docs
+(shipped round 7 but attested only in SWEEP_VERIFY_r07.json; the r7
+docstring omitted these three — r7 ADVICE low #4, fixed here) — then
+the oldest-green-first fill: the round-4-latest cohort (bloom/bpe/
+sketch/tpch shapes through cms_heavy_hitters), which the builder
+pre-verified green at sf0.01 in round 7 (SWEEP_VERIFY_r07.json) so no
+latent breakage rides into this window.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -61,11 +60,14 @@ from dnsflow_clickhouse_spark.queries.catalog_tpch4 import TPCH4_REGISTRY as _TP
 from dnsflow_clickhouse_spark.queries.catalog_traindata import (
     TRAINDATA_REGISTRY as _TRAINDATA,
 )
+from dnsflow_clickhouse_spark.queries.catalog_traindata2 import (
+    TRAINDATA2_REGISTRY as _TRAINDATA2,
+)
 
 _PARTS = [
     _BASE, _DNS2, _DNS3, _DNS4, _DNS5, _TPCH2, _TPCH3, _TPCH4,
     _MLOPS, _CORPUS, _CURATION, _PROFILING, _SKETCHES, _TOKENIZER, _EVAL,
-    _TRAINDATA,
+    _TRAINDATA, _TRAINDATA2,
 ]
 _MERGED: dict = {}
 for _part in _PARTS:
@@ -81,63 +83,63 @@ for _part in _PARTS:
         )
     _MERGED.update(_part)
 
-# First 50 = driver correctness window for this round (round 7).
+# First 50 = driver correctness window for this round (round 8).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- the 38 round-3-stale queries (oldest-green-first policy) ---
-    "asof_last_click",
-    "authority_domain_rollup",
-    "clients_rollup_sets",
-    "cohort_retention",
-    "conversion_funnel",
-    "dedup_exact_docs",
-    "dedup_keep_first_events",
-    "deterministic_shuffle_shards",
-    "distinct_agg_users",
-    "embedding_ivf_probe2",
-    "embedding_knn",
-    "embedding_lsh_ann",
-    "embedding_lsh_multiprobe",
-    "embedding_neardup",
-    "embedding_neardup_exact",
-    "flow_report_topk",
-    "grouped_topk_users",
-    "hourly_gapfill",
-    "incremental_dedup_flags",
-    "incremental_report_merge",
-    "item_pagerank",
-    "multimodal_frame_index",
-    "normalized_dedup_docs",
-    "per_user_event_sample",
-    "q16_supplier_variety",
-    "q18_big_orders",
-    "q20_stockpile_suppliers",
-    "q21_sole_returner",
-    "q9_product_profit",
-    "qps_per_client",
-    "qps_trend",
-    "range_join_tiers",
-    "response_code_ratio",
-    "running_value_per_user",
-    "storm_span_overlap",
-    "trend_rollup_daily",
-    "user_tag_profiles",
-    "wide_enrichment_report",
-    # --- brand-new round-7 queries (never attested) ---
-    "mad_outlier_docs",
-    "ks_drift_by_source",
-    "masked_lm_samples",
-    "curriculum_schedule",
-    "bigram_novelty_report",
-    "benford_order_totals",
-    "pareto_quality_frontier",
-    "chi2_token_source",
-    # --- round-7 changed-code (pinned _cos6 rounding chain) not
-    # already covered by the stale set ---
-    "embedding_mmr_rerank",
-    "ann_recall_report",
-    "ann_rrf_fusion",
+    # --- brand-new round-8 queries (never attested; catalog_traindata2) ---
+    "segment_dedup_docs",
+    "symspell_token_pairs",
+    "lpa_communities",
+    "lexical_rerank_pairs",
+    "split_contamination_report",
+    "dedup_recall_report",
+    "quantile_calibrated_lengths",
+    "weighted_median_lengths",
+    "ewma_event_rates",
+    "oov_rate_by_source",
+    # --- ALL round-7 queries without a driver row (SWEEP_VERIFY_r07
+    # was their only attestation) ---
+    "bm25_retrieval_topk",
+    "hard_negative_mining",
+    "label_centroid_margins",
+    "span_scrubbed_docs",
+    "truncated_knn_recall",
+    "winsorized_length_stats",
+    # --- oldest-green-first fill: the round-4-latest cohort ---
+    "bloom_membership_flags",
+    "boilerplate_grams",
+    "bpe_merge_training",
+    "bpe_vocab_report",
+    "cube_day_type",
+    "data_quality_expectations",
+    "day_pivot_counts",
+    "doc_lm_score",
+    "duplicate_span_report",
+    "embedding_dim_stats",
+    "embedding_l2_knn",
+    "es_weighted_source_sample",
+    "image_dhash_neardups",
+    "kmv_corpus_overlap",
+    "mixture_budget_report",
+    "multiset_ops_events",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_priority_semi",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quantile_sketch_values",
+    "rare_token_report",
+    "set_ops_users",
+    "snapshot_diff_report",
+    "source_token_entropy",
+    "user_report_pipeline",
+    "user_state_history",
+    "cidr_membership_rollup",
+    "cluster_balanced_sample",
+    "cms_heavy_hitters",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -92,7 +92,7 @@ def _sql_minhash_sig() -> str:
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM t),
 b AS (SELECT doc_id, {base} AS base FROM g),
-s AS (SELECT doc_id, [{mins}] AS sig FROM b)
+s AS MATERIALIZED (SELECT doc_id, [{mins}] AS sig FROM b)
 """
 
 

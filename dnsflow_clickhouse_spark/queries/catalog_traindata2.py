@@ -1,0 +1,504 @@
+"""Training-data pipeline query batch, round 8: CCNet-style exact
+segment dedup (keep-first paragraph removal), SymSpell deletion-
+neighborhood term pairs (edit-distance blocking without an all-pairs
+scan), label-propagation communities over the LSH graph, lexical
+cosine² rerank of LSH candidates, train/val/test split-contamination
+audit, LSH candidate precision/recall vs the exact-Jaccard truth set,
+cross-source quantile-matching calibration, token-weighted medians,
+gap-aware dyadic EWMA smoothing, and an OOV/vocabulary-coverage audit.
+
+Portability contract (same as catalog_traindata): every numeric
+output is either exact integer arithmetic (ppm/ppb via nonnegative
+``div`` == DuckDB ``//``, dyadic EWMA weights, deletion variants +
+``levenshtein`` — identical in both engines) or the pinned
+floor(x*1e6+0.5) rounding chain; no engine RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD, tokens
+from dnsflow_clickhouse_spark.queries.catalog_mlops import (
+    N_BANDS,
+    N_HASHES,
+    _sql_band_hash,
+    _sql_minhash_sig,
+    _sql_poly,
+    _SQL_TOKS,
+)
+from dnsflow_clickhouse_spark.sources.tables import load_table
+
+_SEG_TOKENS = 10
+
+# the LSH candidate-pair CTE chain shared by four queries here:
+# minhash signatures -> band hashes -> distinct bucket-sharing pairs
+_SQL_LSH_PAIRS_CTE = _sql_minhash_sig() + f"""
+, bands AS MATERIALIZED (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, {_sql_band_hash(b)} AS band_hash FROM s" for b in range(N_BANDS))}
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style segment-level keep-first dedup
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-corpus segment dedup: 10-token positional segments,
+    keep the globally-first occurrence of every duplicated segment,
+    reassemble the survivors (the CCNet paragraph-hash pass)."""
+    from dnsflow_clickhouse_spark.operators.dedup import segment_dedup_keep_first
+
+    d = load_table(spark, sf_dir, "documents")
+    return segment_dedup_keep_first(d, "doc_id", "text", _SEG_TOKENS).orderBy(
+        "doc_id"
+    )
+
+
+_SEGMENT_DEDUP_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             CAST(ceil(len(toks) / {_SEG_TOKENS}.0) AS BIGINT) AS n_segs FROM t),
+seg AS (
+  SELECT doc_id, u.i AS seg_no,
+         array_to_string(toks[(u.i - 1) * {_SEG_TOKENS} + 1 : u.i * {_SEG_TOKENS}], ' ') AS seg
+  FROM n, LATERAL unnest(generate_series(1, greatest(n_segs, 1))) AS u(i)),
+nz AS (SELECT * FROM seg WHERE seg <> ''),
+own AS (SELECT seg, min(struct_pack(i := doc_id, s := seg_no)) AS own
+        FROM nz GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(s.seg, ' ' ORDER BY s.seg_no) AS clean_text
+  FROM nz s JOIN own o USING (seg)
+  WHERE s.doc_id = (o.own).i AND s.seg_no = (o.own).s
+  GROUP BY 1)
+SELECT n.doc_id, n.n_segs AS n_segments,
+       CAST(n.n_segs - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM n LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood term pairs
+# ---------------------------------------------------------------------------
+
+
+def symspell_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤2 term pairs over the corpus vocabulary via
+    SymSpell deletion-neighborhood blocking (equi-join on deletion
+    variants, exact levenshtein verify — no all-pairs scan)."""
+    from dnsflow_clickhouse_spark.operators.dedup import symspell_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return symspell_candidate_pairs(vocab, "term", "freq", max_edit=2).orderBy(
+        "term_a", "term_b"
+    )
+
+
+_SQL_DEL1 = (
+    "list_distinct(list_append(list_transform(generate_series(1, length({c})), "
+    "i -> substr({c}, 1, i - 1) || substr({c}, i + 1, length({c}))), {c}))"
+)
+
+_SYMSPELL_SQL = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+v AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+e1 AS (SELECT term, unnest({_SQL_DEL1.format(c='term')}) AS v1 FROM v),
+e2 AS (SELECT term, unnest({_SQL_DEL1.format(c='v1')}) AS var FROM e1),
+posts AS (SELECT DISTINCT term, var FROM e2),
+cand AS (SELECT DISTINCT a.term AS term_a, b.term AS term_b
+         FROM posts a JOIN posts b ON a.var = b.var AND a.term < b.term),
+ver AS (SELECT term_a, term_b,
+               CAST(levenshtein(term_a, term_b) AS INT) AS edit_dist
+        FROM cand WHERE levenshtein(term_a, term_b) <= 2)
+SELECT ver.term_a, ver.term_b, ver.edit_dist,
+       fa.freq AS freq_a, fb.freq AS freq_b
+FROM ver JOIN v fa ON ver.term_a = fa.term JOIN v fb ON ver.term_b = fb.term
+ORDER BY term_a, term_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities on the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (3 fixed rounds,
+    most-frequent-neighbor-label, min-label ties) over the MinHash-LSH
+    candidate graph — community structure where connected components
+    would over-merge via bridge edges."""
+    from dnsflow_clickhouse_spark.operators.dedup import lsh_candidate_pairs
+    from dnsflow_clickhouse_spark.operators.graph import label_propagation
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = lsh_candidate_pairs(d, "doc_id", "text", N_HASHES, N_BANDS, 3)
+    return label_propagation(edges, rounds=_LPA_ROUNDS).orderBy("id")
+
+
+def _lpa_round(prev: str, idx: int) -> str:
+    return f"""
+m{idx} AS (SELECT u.a AS id, l.label FROM und u JOIN {prev} l ON u.b = l.id),
+v{idx} AS (SELECT id, label, count(*) AS n FROM m{idx} GROUP BY 1, 2),
+l{idx} AS (SELECT id,
+                  -((max(struct_pack(n := n, neg := -label))).neg) AS label
+           FROM v{idx} GROUP BY id)"""
+
+
+_LPA_SQL = (
+    _SQL_LSH_PAIRS_CTE
+    + """,
+und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT DISTINCT a AS id, a AS label FROM und),"""
+    + ",".join(_lpa_round(f"l{i}", i + 1) for i in range(_LPA_ROUNDS))
+    + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+FROM l{_LPA_ROUNDS} ORDER BY id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# lexical cosine² rerank of LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def lexical_rerank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-cosine² (integer ppb) for every LSH candidate pair —
+    the verify/rerank stage between blocking and action."""
+    from dnsflow_clickhouse_spark.operators.dedup import lsh_candidate_pairs
+    from dnsflow_clickhouse_spark.operators.retrieval import lexical_cosine_rerank
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", N_HASHES, N_BANDS, 3)
+    return lexical_cosine_rerank(d, pairs, "doc_id", "text").orderBy(
+        "id_a", "id_b"
+    )
+
+
+_LEX_RERANK_SQL = _SQL_LSH_PAIRS_CTE + """,
+tf AS (SELECT doc_id AS id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+norms AS (SELECT id, CAST(sum(tf * tf) AS BIGINT) AS norm_sq FROM tf GROUP BY 1),
+dot AS (SELECT p.id_a, p.id_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN tf a ON a.id = p.id_a
+        JOIN tf b ON b.id = p.id_b AND b.term = a.term
+        GROUP BY 1, 2)
+SELECT p.id_a AS id_a, p.id_b AS id_b, coalesce(d.dot, 0) AS dot,
+       na.norm_sq AS norm_sq_a, nb.norm_sq AS norm_sq_b,
+       CAST((CAST(coalesce(d.dot, 0) AS HUGEINT) * coalesce(d.dot, 0)
+             * 1000000000)
+            // (CAST(na.norm_sq AS HUGEINT) * nb.norm_sq) AS BIGINT)
+         AS cos_sq_ppb
+FROM pairs p
+LEFT JOIN dot d ON d.id_a = p.id_a AND d.id_b = p.id_b
+JOIN norms na ON na.id = p.id_a
+JOIN norms nb ON nb.id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# split contamination audit
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEED = 11
+
+
+def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs straddling a deterministic 80/10/10 doc
+    split: the leakage a random split leaves behind even after
+    group_split guards (near-dups have DIFFERENT ids, so only a
+    dedup-aware split assignment removes them — this is the audit
+    that says whether you need one)."""
+    from dnsflow_clickhouse_spark.operators.dedup import lsh_candidate_pairs
+    from dnsflow_clickhouse_spark.operators.sampling import group_split
+
+    d = load_table(spark, sf_dir, "documents")
+    splits = group_split(
+        d.select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=_SPLIT_SEED,
+    )
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", N_HASHES, N_BANDS, 3)
+    joined = (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    return (
+        joined.groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "is_cross", (F.col("split_lo") != F.col("split_hi")).cast("int")
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+_SQL_DOC_BUCKET = (
+    f"(({_sql_poly('CAST(doc_id AS VARCHAR)', seed=_SPLIT_SEED)})"
+    f" * 2654435761) % {POLY_MOD} % 1000000"
+)
+
+_SPLIT_CONTAM_SQL = _SQL_LSH_PAIRS_CTE + f""",
+sp AS (SELECT doc_id,
+              CASE WHEN {_SQL_DOC_BUCKET} < 800000 THEN 'train'
+                   WHEN {_SQL_DOC_BUCKET} < 900000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents),
+j AS (SELECT least(a.split, b.split) AS split_lo,
+             greatest(a.split, b.split) AS split_hi
+      FROM pairs p JOIN sp a ON a.doc_id = p.id_a
+                   JOIN sp b ON b.doc_id = p.id_b)
+SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(split_lo <> split_hi AS INT) AS is_cross
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate quality vs exact-Jaccard truth
+# ---------------------------------------------------------------------------
+
+
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator against
+    the exact trigram-Jaccard≥0.5 truth set — the measurement that
+    picks (bands × rows) before a 100 TB dedup run."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        dedup_candidate_quality,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(d, "doc_id", "text", N_HASHES, N_BANDS, 3)
+    truth = ngram_jaccard_pairs(d, "doc_id", "text", ngram=3, threshold=0.5)
+    return dedup_candidate_quality(cand, truth)
+
+
+_DEDUP_RECALL_SQL = _SQL_LSH_PAIRS_CTE + """,
+e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+truth AS (SELECT id_a, id_b FROM jp
+          WHERE floor(inter / (na + nb - inter) * 1000000 + 0.5) / 1000000 >= 0.5),
+u AS (SELECT id_a, id_b, 1 AS c, 0 AS t FROM pairs
+      UNION ALL SELECT id_a, id_b, 0, 1 FROM truth),
+pp AS (SELECT id_a, id_b, max(c) AS c, max(t) AS t FROM u GROUP BY 1, 2),
+agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_candidates,
+               CAST(sum(t) AS BIGINT) AS n_truth,
+               CAST(sum(c * t) AS BIGINT) AS n_common
+        FROM pp)
+SELECT n_candidates, n_truth, n_common,
+       CAST(CASE WHEN n_candidates > 0
+                 THEN (n_common * 1000000) // n_candidates ELSE 0 END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN n_truth > 0
+                 THEN (n_common * 1000000) // n_truth ELSE 0 END AS BIGINT)
+         AS recall_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-source quantile-matching calibration
+# ---------------------------------------------------------------------------
+
+_REF_SOURCE = "src0"
+
+
+def quantile_calibrated_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's length mapped onto the reference source's
+    (src0) length distribution at the same within-source percentile —
+    cross-source score calibration by quantile matching."""
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        quantile_match_calibrate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return quantile_match_calibrate(
+        d, "source", "n_chars", "doc_id", _REF_SOURCE
+    ).orderBy("doc_id")
+
+
+_QMATCH_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v,
+         CAST((row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               * 1000000)
+              // (count(*) OVER (PARTITION BY source)) AS BIGINT) AS pct_ppm
+  FROM documents),
+ref AS (SELECT v AS ref_v, max(pct_ppm) AS cum_ppm
+        FROM r WHERE source = '{_REF_SOURCE}' GROUP BY 1)
+SELECT r.doc_id, r.source, r.v AS n_chars, r.pct_ppm,
+       min(ref.ref_v) AS calibrated
+FROM r JOIN ref ON ref.cum_ppm >= r.pct_ppm
+GROUP BY 1, 2, 3, 4
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-weighted median lengths
+# ---------------------------------------------------------------------------
+
+
+def weighted_median_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted lo-median of document length per source: the
+    robust center weighted by the token mass each document actually
+    contributes to training."""
+    from dnsflow_clickhouse_spark.functions.textfn import token_count
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        weighted_median_by_group,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", token_count(F.col("text")).alias("toks")
+    )
+    return weighted_median_by_group(d, "source", "n_chars", "toks").orderBy(
+        "source"
+    )
+
+
+_WMEDIAN_SQL = f"""
+WITH t AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                  CAST(len({_SQL_TOKS}) AS BIGINT) AS w FROM documents),
+hist AS (SELECT source, v, sum(w) AS cnt FROM t GROUP BY 1, 2),
+c AS (SELECT source, v, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS total
+      FROM hist)
+SELECT source, CAST(max(total) AS BIGINT) AS total_weight,
+       min(CASE WHEN cum * 2 >= total THEN v END) AS w_median
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# dyadic EWMA smoothing of hourly event rates
+# ---------------------------------------------------------------------------
+
+_EWMA_WINDOW = 8
+
+
+def ewma_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware hourly EWMA of event counts per type (half-life one
+    hour, exact dyadic weights — integer arithmetic end to end)."""
+    from dnsflow_clickhouse_spark.operators.profiling import ewma_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_smooth(
+        ev, "event_type", "ts", 3600, window_buckets=_EWMA_WINDOW
+    ).orderBy("event_type", "bucket")
+
+
+_EWMA_DENOM = (1 << _EWMA_WINDOW) - 1
+
+_EWMA_SQL = f"""
+WITH counts AS (
+  SELECT event_type AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+contrib AS (
+  SELECT k, b + u.age AS b,
+         cnt * (1 << ({_EWMA_WINDOW} - 1 - u.age)) AS w
+  FROM counts, LATERAL unnest(generate_series(0, {_EWMA_WINDOW} - 1)) AS u(age)),
+scaled AS (SELECT k, b, CAST(sum(w) AS BIGINT) AS ewma_scaled
+           FROM contrib GROUP BY 1, 2)
+SELECT c.k AS event_type, c.b AS bucket, c.cnt,
+       s.ewma_scaled,
+       CAST((s.ewma_scaled * 1000) // {_EWMA_DENOM} AS BIGINT) AS ewma_milli
+FROM counts c JOIN scaled s ON s.k = c.k AND s.b = c.b
+ORDER BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# OOV / vocabulary coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 20
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token mass per (lang, source) against the
+    corpus's top-20 token vocabulary — the coverage audit before
+    committing to a vocab."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import oov_rate_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_rate_report(d, ["lang", "source"], "text", _VOCAB_K).orderBy(
+        "lang", "source"
+    )
+
+
+_OOV_SQL = f"""
+WITH t AS (SELECT lang, source, {_SQL_TOKS} AS toks FROM documents),
+tc AS (SELECT lang, source, tok, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT lang, source, unnest(toks) AS tok FROM t) GROUP BY 1, 2, 3),
+vocab AS (SELECT tok FROM (SELECT tok, sum(cnt) AS freq FROM tc GROUP BY 1)
+          ORDER BY freq DESC, tok ASC LIMIT {_VOCAB_K}),
+fl AS (SELECT tc.*, (vocab.tok IS NOT NULL) AS inv
+       FROM tc LEFT JOIN vocab ON tc.tok = vocab.tok)
+SELECT lang, source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN inv THEN 0 ELSE cnt END) AS BIGINT) AS n_oov,
+       CAST((sum(CASE WHEN inv THEN 0 ELSE cnt END) * 1000000)
+            // sum(cnt) AS BIGINT) AS oov_ppm
+FROM fl GROUP BY 1, 2 ORDER BY lang, source
+"""
+
+
+TRAINDATA2_REGISTRY = {
+    "segment_dedup_docs": (segment_dedup_docs, _SEGMENT_DEDUP_SQL),
+    "symspell_token_pairs": (symspell_token_pairs, _SYMSPELL_SQL),
+    "lpa_communities": (lpa_communities, _LPA_SQL),
+    "lexical_rerank_pairs": (lexical_rerank_pairs, _LEX_RERANK_SQL),
+    "split_contamination_report": (
+        split_contamination_report,
+        _SPLIT_CONTAM_SQL,
+    ),
+    "dedup_recall_report": (dedup_recall_report, _DEDUP_RECALL_SQL),
+    "quantile_calibrated_lengths": (
+        quantile_calibrated_lengths,
+        _QMATCH_SQL,
+    ),
+    "weighted_median_lengths": (weighted_median_lengths, _WMEDIAN_SQL),
+    "ewma_event_rates": (ewma_event_rates, _EWMA_SQL),
+    "oov_rate_by_source": (oov_rate_by_source, _OOV_SQL),
+}

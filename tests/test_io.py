@@ -4,6 +4,8 @@ pruning (S2), report parquet sink (K1 default), middle-data text sink
 
 from __future__ import annotations
 
+import os
+
 from tests.fixtures_dns import APP_TIME, WINDOW, raw_lines
 
 import pytest
@@ -449,6 +451,40 @@ def test_write_reports_concurrent_matches_sequential(spark, tmp_path):
         )
         assert a == b, name
     base.unpersist()
+
+
+def test_write_reports_concurrent_preserves_prior_batches(spark, tmp_path):
+    """Regression (r7 ADVICE, high): the idempotent sink used to toggle
+    the SESSION conf partitionOverwriteMode around each write; under the
+    concurrent fan-out one thread's finally-restore to 'static' could
+    land inside another thread's write, turning it into a static
+    overwrite that deletes every other batch's partitions. The sink now
+    sets the mode as a per-writer option, so a concurrent batch-2
+    fan-out over tables that already hold batch-1 data must leave every
+    batch-1 partition intact."""
+    from dnsflow_clickhouse_spark.io import (
+        write_report_idempotent,
+        write_reports_concurrent,
+    )
+
+    base = str(tmp_path / "reports")
+    names = [f"rep_{i}" for i in range(6)]
+    b1 = {n: spark.range(0, 50).withColumn("v", F.lit(n)) for n in names}
+    for n, df in b1.items():
+        write_report_idempotent(df, base, n, batch_id=1)
+    b2 = {n: spark.range(100, 130).withColumn("v", F.lit(n)) for n in names}
+    write_reports_concurrent(
+        b2,
+        lambda name, df: write_report_idempotent(df, base, name, batch_id=2),
+        max_threads=6,
+    )
+    for n in names:
+        got = spark.read.parquet(os.path.join(base, n))
+        per_batch = {
+            r.batch_id: r.cnt
+            for r in got.groupBy("batch_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert per_batch == {1: 50, 2: 30}, (n, per_batch)
 
 
 def test_write_reports_concurrent_collects_all_errors(spark, tmp_path):

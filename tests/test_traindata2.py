@@ -1,0 +1,219 @@
+"""Unit tests for the round-8 training-data operators on handcrafted
+inputs with known answers; sf-scale hash parity is covered by the
+DuckDB oracles in catalog_traindata2."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_segment_dedup_keep_first(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import segment_dedup_keep_first
+
+    # segment length 2; doc 1 owns "a b" and "c d"; doc 2 repeats "a b"
+    # (removed) then has fresh "e f"; doc 3 repeats "c d" and repeats
+    # its own first segment "x y" (intra-doc duplicate, keep-first)
+    rows = [
+        (1, "a b c d"),
+        (2, "a b e f"),
+        (3, "x y c d x y"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in segment_dedup_keep_first(df, "doc_id", "text", 2).collect()
+    }
+    assert (got[1].n_segments, got[1].n_removed, got[1].clean_text) == (2, 0, "a b c d")
+    assert (got[2].n_segments, got[2].n_removed, got[2].clean_text) == (2, 1, "e f")
+    assert (got[3].n_segments, got[3].n_removed, got[3].clean_text) == (3, 2, "x y")
+    assert (got[4].n_segments, got[4].n_removed, got[4].clean_text) == (0, 0, "")
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import segment_dedup_keep_first
+
+    # 3 tokens at seg=2 -> segments "a b" and the partial "c"; a
+    # later doc consisting only of "c" duplicates the partial segment
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in segment_dedup_keep_first(df, "doc_id", "text", 2).collect()
+    }
+    assert (got[1].n_segments, got[1].n_removed) == (2, 0)
+    assert (got[2].n_segments, got[2].n_removed, got[2].clean_text) == (1, 1, "")
+
+
+def test_symspell_pairs_exact_distances(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import symspell_candidate_pairs
+
+    vocab = spark.createDataFrame(
+        [("cat", 10), ("cut", 5), ("cart", 3), ("dog", 7), ("banana", 1)],
+        "term string, freq long",
+    )
+    got = {
+        (r.term_a, r.term_b): (r.edit_dist, r.freq_a, r.freq_b)
+        for r in symspell_candidate_pairs(vocab, "term", "freq", 2).collect()
+    }
+    # cat-cut (sub, 1), cat-cart (ins, 1), cart-cut (2); dog/banana
+    # pair with nothing
+    assert got[("cat", "cut")] == (1, 10, 5)
+    assert got[("cart", "cat")] == (1, 3, 10)
+    assert got[("cart", "cut")] == (2, 3, 5)
+    assert len(got) == 3
+
+
+def test_symspell_guarantee_vs_bruteforce(spark):
+    """SymSpell depth-2 neighborhoods must catch EVERY pair at
+    Levenshtein distance <= 2 (the deletion-neighborhood theorem)."""
+    import itertools
+
+    from dnsflow_clickhouse_spark.operators.dedup import symspell_candidate_pairs
+
+    words = ["join", "hash", "fast", "part", "sort", "spark", "row", "slow", "a", "agg", "big"]
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    truth = {
+        tuple(sorted(p)) for p in itertools.combinations(words, 2) if ed(*p) <= 2
+    }
+    vocab = spark.createDataFrame([(w, 1) for w in words], "term string, freq long")
+    got = {
+        tuple(sorted((r.term_a, r.term_b)))
+        for r in symspell_candidate_pairs(vocab, "term", "freq", 2).collect()
+    }
+    assert got == truth
+
+
+def test_dedup_candidate_quality_counts(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import dedup_candidate_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    [r] = dedup_candidate_quality(cand, truth).collect()
+    assert (r.n_candidates, r.n_truth, r.n_common) == (3, 3, 2)
+    assert r.precision_ppm == 666_666 and r.recall_ppm == 666_666
+
+
+def test_label_propagation_two_communities(spark):
+    from dnsflow_clickhouse_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10:
+    # CC would merge them; LPA keeps two communities because the
+    # bridge label is outvoted
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_label_propagation_rejects_zero_rounds(spark):
+    import pytest
+
+    from dnsflow_clickhouse_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(df, rounds=0)
+
+
+def test_lexical_cosine_rerank_exact(spark):
+    from dnsflow_clickhouse_spark.operators.retrieval import lexical_cosine_rerank
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "c c")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {(r.id_a, r.id_b): r for r in lexical_cosine_rerank(docs, pairs).collect()}
+    # doc1 tf {a:2,b:1} (norm² 5), doc2 {a:1,b:1} (norm² 2): dot 3,
+    # cos² = 9/10 -> 900000000 ppb; doc3 {c:2} shares nothing
+    r12 = got[(1, 2)]
+    assert (r12.dot, r12.norm_sq_a, r12.norm_sq_b, r12.cos_sq_ppb) == (3, 5, 2, 900_000_000)
+    r13 = got[(1, 3)]
+    assert (r13.dot, r13.cos_sq_ppb) == (0, 0)
+
+
+def test_weighted_median_by_group(spark):
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        weighted_median_by_group,
+    )
+
+    # values 1,2,3 with weights 1,1,10 -> weighted median 3 (the heavy
+    # value), unweighted median would be 2
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 10), ("b", 5, 2), ("b", 7, 2)],
+        "g string, v long, w long",
+    )
+    got = {r.g: r for r in weighted_median_by_group(df, "g", "v", "w").collect()}
+    assert (got["a"].w_median, got["a"].total_weight) == (3, 12)
+    # even split: lo-median convention takes the smaller value
+    assert (got["b"].w_median, got["b"].total_weight) == (5, 4)
+
+
+def test_ewma_smooth_dyadic_weights(spark):
+    from datetime import datetime
+
+    from dnsflow_clickhouse_spark.operators.profiling import ewma_smooth
+
+    # hourly buckets: 3 events at h0, 1 at h1, gap at h2, 2 at h3
+    rows = (
+        [("x", datetime(2024, 1, 1, 0, 10))] * 3
+        + [("x", datetime(2024, 1, 1, 1, 20))]
+        + [("x", datetime(2024, 1, 1, 3, 30))] * 2
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        r.bucket - 473352: (r.cnt, r.ewma_scaled, r.ewma_milli)
+        for r in ewma_smooth(df, "k", "ts", 3600, window_buckets=8).collect()
+    }
+    # weights 128,64,32,16,... for ages 0,1,2,3
+    assert got[0] == (3, 3 * 128, 3 * 128 * 1000 // 255)
+    assert got[1] == (1, 3 * 64 + 1 * 128, (3 * 64 + 128) * 1000 // 255)
+    # h2 has no events -> no output row, but h3 still sees the gap:
+    # 3*16 (age 3) + 1*32 (age 2) + 0 (gap) + 2*128 (age 0)
+    assert 2 not in got
+    assert got[3] == (2, 3 * 16 + 1 * 32 + 2 * 128, (3 * 16 + 32 + 256) * 1000 // 255)
+
+
+def test_quantile_match_calibrate_maps_to_reference(spark):
+    from dnsflow_clickhouse_spark.operators.profiling import (
+        quantile_match_calibrate,
+    )
+
+    # ref group: values 10,20,30,40 -> cum ppm 250k/500k/750k/1e6;
+    # group b: values 1,2 -> pct 500k/1e6 -> calibrated 20/40
+    rows = [("r", 1, 10), ("r", 2, 20), ("r", 3, 30), ("r", 4, 40),
+            ("b", 5, 1), ("b", 6, 2)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r.id: r.calibrated for r in
+           quantile_match_calibrate(df, "g", "v", "id", "r").collect()}
+    assert got[5] == 20 and got[6] == 40
+    # the reference maps to itself exactly
+    assert [got[i] for i in (1, 2, 3, 4)] == [10, 20, 30, 40]
+
+
+def test_oov_rate_report_top_vocab(spark):
+    from dnsflow_clickhouse_spark.operators.text_analysis import oov_rate_report
+
+    # vocab_size=2 -> vocabulary {a, b} (freq 3, 2); c and d are OOV
+    rows = [("s1", "a a b c"), ("s2", "a b d d")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in oov_rate_report(df, ["source"], "text", 2).collect()}
+    assert (got["s1"].n_tokens, got["s1"].n_oov, got["s1"].oov_ppm) == (4, 1, 250_000)
+    assert (got["s2"].n_tokens, got["s2"].n_oov, got["s2"].oov_ppm) == (4, 2, 500_000)
