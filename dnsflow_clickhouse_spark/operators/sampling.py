@@ -321,3 +321,46 @@ def curriculum_buckets(
         )
         .orderBy("phase")
     )
+
+
+def shard_balance(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    weight: Column | str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Balance audit for a deterministic hash sharding: per shard, the
+    row count and (optional) weight mass, plus each shard's skew vs the
+    ideal even split in exact ppm — the pre-flight check before a
+    sharded export (a 100 TB job whose largest shard is 2× the mean
+    finishes when that straggler does). One map-side-combinable
+    aggregate on the shard key."""
+    w = (
+        F.lit(1)
+        if weight is None
+        else (F.col(weight) if isinstance(weight, str) else weight)
+    )
+    shards = df.select(
+        (sample_key(id_col, seed) % F.lit(n_shards)).alias("shard"),
+        w.cast("long").alias("__w"),
+    )
+    agg = shards.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__w").alias("mass"),
+    )
+    tot = Window.partitionBy()
+    return (
+        agg.withColumn("total_mass", F.sum("mass").over(tot))
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("mass").cast("long").alias("mass"),
+            # shard's share of mass vs the even split, in ppm of ideal:
+            # 1e6 = perfectly even, 2e6 = double-loaded straggler
+            F.expr(f"(mass * 1000000 * {n_shards}) div total_mass")
+            .cast("long")
+            .alias("load_ppm"),
+        )
+        .orderBy("shard")
+    )

@@ -124,3 +124,158 @@ def session_boundary_flag(
         (F.unix_micros(ts) - F.unix_micros(prev_ts))
         > F.lit(int(gap_seconds) * 1_000_000)
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event
+    sequences: order each key's events by (ts, tiebreak), pair each
+    event with its predecessor (lag window), count (prev_state ->
+    next_state) and report the row-conditional probability in exact
+    ppm — the behavioral-model / sequence-mining primitive (next-event
+    prediction features, anomalous-flow detection).
+
+    Plan: ONE window shuffle on the key (the sequence sort), then one
+    map-side-combinable count on the compact (prev, next) pair — the
+    transition grain is |states|², never row-scale, so everything after
+    the lag is broadcast-sized. The tiebreak column makes the ordering
+    total and therefore engine-replayable."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(state_col).alias("next_state"),
+            F.col(ts_col).alias("__ts"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        .withColumn(
+            "prev_state",
+            F.lag("next_state").over(
+                Window.partitionBy("k").orderBy("__ts", "__tb")
+            ),
+        )
+        .filter(F.col("prev_state").isNotNull())
+    )
+    counts = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_prev = Window.partitionBy("prev_state")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(w_prev))
+        .select(
+            "prev_state",
+            "next_state",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000000) div row_total").cast("long").alias("prob_ppm"),
+        )
+    )
+
+
+def u_shaped_attribution(
+    df: DataFrame,
+    key_col: str,
+    channel_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Position-based (U-shaped) credit attribution over each key's
+    touch sequence, in EXACT integer ppm: first touch 40%, last touch
+    40%, the middle 20% split across interior touches by nonnegative
+    integer division with the remainder granted to the EARLIEST
+    interiors one ppm each (largest-remainder discipline — credits sum
+    to exactly 1e6 per key on any engine). Degenerate journeys: a
+    single touch takes 1e6; a two-touch journey splits 500000/500000.
+
+    Plan: one window shuffle on the key (row_number + count), pure
+    integer credit arithmetic per row, then one aggregate to the
+    channel grain."""
+    w = Window.partitionBy("k").orderBy("__ts", "__tb")
+    w_all = Window.partitionBy("k")
+    base = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(channel_col).alias("channel"),
+            F.col(ts_col).alias("__ts"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    mid_n = F.col("n") - 2
+    mid_share = F.expr("200000 div (n - 2)")
+    mid_rem = F.expr("200000 % (n - 2)")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when(F.col("pos") == 1, F.lit(400_000))
+        .when(F.col("pos") == F.col("n"), F.lit(400_000))
+        .otherwise(
+            mid_share
+            + F.when(F.col("pos") - 1 <= mid_rem, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    return (
+        base.withColumn("credit_ppm", credit.cast("long"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit_ppm").cast("long").alias("credit_ppm"),
+        )
+    )
+
+
+def conversion_lag_stats(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    from_state: str,
+    to_state: str,
+) -> DataFrame:
+    """Per-key conversion lag (first ``to_state`` event at-or-after the
+    first ``from_state`` event) summarized as discrete lo-median and
+    ceil-p90 of the lag seconds — funnel timing (signup -> first
+    purchase) with the same integer order-statistic discipline as
+    event_value_percentiles (no interpolation, engine-exact).
+
+    Plan: two map-side-combinable min aggregates on the key, a filter,
+    then the order statistics walk the (lag, count) HISTOGRAM."""
+    firsts = (
+        df.filter(F.col(state_col).isin(from_state, to_state))
+        .groupBy(key_col)
+        .agg(
+            F.min(
+                F.when(F.col(state_col) == from_state, F.col(ts_col))
+            ).alias("__from"),
+            F.min(
+                F.when(F.col(state_col) == to_state, F.col(ts_col))
+            ).alias("__to"),
+        )
+        .filter(
+            F.col("__from").isNotNull()
+            & F.col("__to").isNotNull()
+            & (F.col("__to") >= F.col("__from"))
+        )
+        .select(
+            (
+                F.unix_timestamp("__to") - F.unix_timestamp("__from")
+            ).alias("lag_s")
+        )
+    )
+    hist = firsts.groupBy("lag_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("lag_s").rowsBetween(Window.unboundedPreceding, 0)
+    c = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    half = F.expr("(n + 1) div 2")
+    p90 = F.expr("(9 * n + 9) div 10")
+    return c.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min(F.when(F.col("cum") >= half, F.col("lag_s"))).alias("median_lag_s"),
+        F.min(F.when(F.col("cum") >= p90, F.col("lag_s"))).alias("p90_lag_s"),
+    )

@@ -456,3 +456,48 @@ def oov_rate_report(
         )
         .withColumn("oov_ppm", F.expr("(n_oov * 1000000) div n_tokens").cast("long"))
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame, text_col: str = "text", ks: list[int] | None = None
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size K,
+    the exact ppm of corpus token mass covered by the top-K most
+    frequent tokens (ties broken by token string) — the sizing curve
+    read before fixing a vocab (oov_rate_report audits one point of it
+    per group; this sweeps K).
+
+    Plan: ONE corpus-scale (token, freq) aggregate; the rank window and
+    the coverage joins run on the VOCAB-grain frame (distinct tokens),
+    which is orders of magnitude smaller than the corpus — at web scale
+    still millions of rows, but that is an executor-trivial sort, and
+    the output is len(ks) rows."""
+    ks = sorted(ks or [1, 2, 5, 10, 20])
+    freqs = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = (
+        freqs.withColumn("cum", F.sum("freq").over(w))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+        )
+        .withColumn("total", F.sum("freq").over(Window.partitionBy()))
+    )
+    spark = df.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in ks], "k int")
+    return (
+        ranked.join(F.broadcast(kdf), F.col("rank") == F.col("k"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("cum").cast("long").alias("covered_tokens"),
+            F.col("total").cast("long").alias("total_tokens"),
+            F.expr("(cum * 1000000) div total").cast("long").alias("coverage_ppm"),
+        )
+        .orderBy("k")
+    )

@@ -502,3 +502,174 @@ TRAINDATA2_REGISTRY = {
     "ewma_event_rates": (ewma_event_rates, _EWMA_SQL),
     "oov_rate_by_source": (oov_rate_by_source, _OOV_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# batch 2: sequence mining / attribution / funnel timing / vocab sizing /
+# shard balance
+# ---------------------------------------------------------------------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + exact-ppm conditional
+    probabilities over per-user event sequences."""
+    from dnsflow_clickhouse_spark.operators.sessions import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "event_type", "ts", "event_id"
+    ).orderBy("prev_state", "next_state")
+
+
+_TRANSITION_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM events),
+c AS (SELECT prev_state, event_type AS next_state,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE prev_state IS NOT NULL GROUP BY 1, 2)
+SELECT prev_state, next_state, n,
+       CAST((n * 1000000) // (sum(n) OVER (PARTITION BY prev_state))
+            AS BIGINT) AS prob_ppm
+FROM c ORDER BY prev_state, next_state
+"""
+
+
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40) credit attribution per event type over
+    each user's full touch sequence — exact integer ppm, credits sum to
+    1e6 per user (largest-remainder to earliest interiors)."""
+    from dnsflow_clickhouse_spark.operators.sessions import u_shaped_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return u_shaped_attribution(
+        ev, "user_id", "event_type", "ts", "event_id"
+    ).orderBy("channel")
+
+
+_USHAPE_SQL = """
+WITH b AS (
+  SELECT event_type AS channel,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+c AS (SELECT channel,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 THEN 400000
+                  WHEN pos = n THEN 400000
+                  ELSE 200000 // (n - 2)
+                       + CASE WHEN pos - 1 <= 200000 % (n - 2)
+                              THEN 1 ELSE 0 END
+             END AS credit
+      FROM b)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit) AS BIGINT) AS credit_ppm
+FROM c GROUP BY 1 ORDER BY channel
+"""
+
+
+def conversion_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel timing: discrete lo-median and ceil-p90 of the lag from a
+    user's first signup to their first purchase (integer order
+    statistics over the lag histogram)."""
+    from dnsflow_clickhouse_spark.operators.sessions import conversion_lag_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_lag_stats(
+        ev, "user_id", "event_type", "ts", "signup", "purchase"
+    )
+
+
+_CONVLAG_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS f_from,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS f_to
+  FROM events GROUP BY 1),
+l AS (SELECT CAST(floor(epoch(f_to)) AS BIGINT)
+             - CAST(floor(epoch(f_from)) AS BIGINT) AS lag_s
+      FROM f
+      WHERE f_from IS NOT NULL AND f_to IS NOT NULL AND f_to >= f_from),
+hist AS (SELECT lag_s, count(*) AS cnt FROM l GROUP BY 1),
+c AS (SELECT lag_s, cnt,
+             sum(cnt) OVER (ORDER BY lag_s) AS cum,
+             sum(cnt) OVER () AS n
+      FROM hist)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       min(CASE WHEN cum >= (n + 1) // 2 THEN lag_s END) AS median_lag_s,
+       min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lag_s END) AS p90_lag_s
+FROM c
+"""
+
+
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing curve: exact ppm of corpus token mass covered
+    by the top-K tokens for K in {1, 2, 5, 10, 20}."""
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        vocab_coverage_curve,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_coverage_curve(d, "text")
+
+
+_VOCAB_CURVE_SQL = f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+r AS (SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rank,
+             sum(freq) OVER (ORDER BY freq DESC, tok) AS cum,
+             sum(freq) OVER () AS total
+      FROM f)
+SELECT CAST(k.k AS INT) AS k, CAST(cum AS BIGINT) AS covered_tokens,
+       CAST(total AS BIGINT) AS total_tokens,
+       CAST((cum * 1000000) // total AS BIGINT) AS coverage_ppm
+FROM r JOIN (VALUES (1), (2), (5), (10), (20)) k(k) ON r.rank = k.k
+ORDER BY k
+"""
+
+_SHARD_SEED = 3
+_N_SHARDS = 8
+
+
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight balance audit for a deterministic 8-way hash sharding
+    of the documents table, weighted by n_chars: per-shard mass and
+    skew vs the even split in ppm (1e6 = perfectly even)."""
+    from dnsflow_clickhouse_spark.operators.sampling import shard_balance
+
+    d = load_table(spark, sf_dir, "documents")
+    return shard_balance(d, "doc_id", _N_SHARDS, "n_chars", seed=_SHARD_SEED)
+
+
+_SQL_SHARD = (
+    f"(({_sql_poly('CAST(doc_id AS VARCHAR)', seed=_SHARD_SEED)})"
+    f" * 2654435761) % {POLY_MOD} % 1000000 % {_N_SHARDS}"
+)
+
+_SHARD_BALANCE_SQL = f"""
+WITH s AS (SELECT {_SQL_SHARD} AS shard, CAST(n_chars AS BIGINT) AS w
+           FROM documents),
+a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(w) AS BIGINT) AS mass
+      FROM s GROUP BY 1)
+SELECT CAST(shard AS INT) AS shard, n_rows, mass,
+       CAST((mass * 1000000 * {_N_SHARDS}) // (sum(mass) OVER ())
+            AS BIGINT) AS load_ppm
+FROM a ORDER BY shard
+"""
+
+
+TRAINDATA2_REGISTRY.update(
+    {
+        "event_transition_matrix": (event_transition_matrix, _TRANSITION_SQL),
+        "attribution_u_shaped": (attribution_u_shaped, _USHAPE_SQL),
+        "conversion_lag_report": (conversion_lag_report, _CONVLAG_SQL),
+        "vocab_coverage_report": (vocab_coverage_report, _VOCAB_CURVE_SQL),
+        "shard_balance_report": (shard_balance_report, _SHARD_BALANCE_SQL),
+    }
+)

@@ -217,3 +217,132 @@ def test_oov_rate_report_top_vocab(spark):
     got = {r.source: r for r in oov_rate_report(df, ["source"], "text", 2).collect()}
     assert (got["s1"].n_tokens, got["s1"].n_oov, got["s1"].oov_ppm) == (4, 1, 250_000)
     assert (got["s2"].n_tokens, got["s2"].n_oov, got["s2"].oov_ppm) == (4, 2, 500_000)
+
+
+def test_transition_matrix_known(spark):
+    from datetime import datetime
+
+    from dnsflow_clickhouse_spark.operators.sessions import transition_matrix
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 0), 1),
+        (1, "b", datetime(2024, 1, 1, 1), 2),
+        (1, "a", datetime(2024, 1, 1, 2), 3),
+        (2, "a", datetime(2024, 1, 1, 0), 4),
+        (2, "b", datetime(2024, 1, 1, 1), 5),
+    ]
+    df = spark.createDataFrame(rows, "u long, s string, ts timestamp, i long")
+    got = {
+        (r.prev_state, r.next_state): (r.n, r.prob_ppm)
+        for r in transition_matrix(df, "u", "s", "ts", "i").collect()
+    }
+    # a->b twice, b->a once; P(b|a)=1.0, P(a|b)=1.0 within rows of a/b
+    assert got[("a", "b")] == (2, 1_000_000)
+    assert got[("b", "a")] == (1, 1_000_000)
+    assert len(got) == 2
+
+
+def test_transition_matrix_tiebreak_total_order(spark):
+    from datetime import datetime
+
+    from dnsflow_clickhouse_spark.operators.sessions import transition_matrix
+
+    # identical timestamps: the tiebreak column decides the sequence
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "x", t, 2), (1, "y", t, 1)], "u long, s string, ts timestamp, i long"
+    )
+    got = {(r.prev_state, r.next_state) for r in
+           transition_matrix(df, "u", "s", "ts", "i").collect()}
+    assert got == {("y", "x")}
+
+
+def test_u_shaped_attribution_sums_to_unit(spark):
+    from datetime import datetime
+
+    from dnsflow_clickhouse_spark.operators.sessions import u_shaped_attribution
+
+    # user 1: 5 touches a,b,c,d,e -> 400k a, 400k e, interiors share
+    # 200k: 66666 each + remainder 2 to the EARLIEST two (b,c)
+    rows = [
+        (1, ch, datetime(2024, 1, 1, h), h)
+        for h, ch in enumerate(["a", "b", "c", "d", "e"])
+    ] + [(2, "a", datetime(2024, 1, 2), 1)]  # single-touch journey
+    df = spark.createDataFrame(rows, "u long, ch string, ts timestamp, i long")
+    got = {r.channel: r.credit_ppm for r in
+           u_shaped_attribution(df, "u", "ch", "ts", "i").collect()}
+    assert got["a"] == 400_000 + 1_000_000
+    assert got["b"] == 66_667 and got["c"] == 66_667 and got["d"] == 66_666
+    assert got["e"] == 400_000
+    # per-key credits are exactly 1e6 each
+    assert sum(got.values()) == 2_000_000
+
+
+def test_u_shaped_two_touch_journey(spark):
+    from datetime import datetime
+
+    from dnsflow_clickhouse_spark.operators.sessions import u_shaped_attribution
+
+    df = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 1), 1), (1, "b", datetime(2024, 1, 2), 2)],
+        "u long, ch string, ts timestamp, i long",
+    )
+    got = {r.channel: r.credit_ppm for r in
+           u_shaped_attribution(df, "u", "ch", "ts", "i").collect()}
+    assert got == {"a": 500_000, "b": 500_000}
+
+
+def test_conversion_lag_stats_known(spark):
+    from datetime import datetime
+
+    from dnsflow_clickhouse_spark.operators.sessions import conversion_lag_stats
+
+    rows = [
+        # user 1: signup then purchase 10s later
+        (1, "signup", datetime(2024, 1, 1, 0, 0, 0)),
+        (1, "purchase", datetime(2024, 1, 1, 0, 0, 10)),
+        # user 2: 100s lag (also a later purchase that must not count)
+        (2, "signup", datetime(2024, 1, 1, 0, 0, 0)),
+        (2, "purchase", datetime(2024, 1, 1, 0, 1, 40)),
+        (2, "purchase", datetime(2024, 1, 1, 1, 0, 0)),
+        # user 3: purchase BEFORE signup -> excluded
+        (3, "purchase", datetime(2024, 1, 1, 0, 0, 0)),
+        (3, "signup", datetime(2024, 1, 1, 0, 1, 0)),
+        # user 4: signup only -> excluded
+        (4, "signup", datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "u long, s string, ts timestamp")
+    [r] = conversion_lag_stats(df, "u", "s", "ts", "signup", "purchase").collect()
+    assert (r.n_converted, r.median_lag_s, r.p90_lag_s) == (2, 10, 100)
+
+
+def test_vocab_coverage_curve_known(spark):
+    from dnsflow_clickhouse_spark.operators.text_analysis import (
+        vocab_coverage_curve,
+    )
+
+    # freqs: a=4, b=3, c=2, d=1 (total 10)
+    df = spark.createDataFrame(
+        [("a a a a b b",), ("b c c d",)], "text string"
+    )
+    got = {r.k: (r.covered_tokens, r.coverage_ppm) for r in
+           vocab_coverage_curve(df, "text", ks=[1, 2, 3, 4]).collect()}
+    assert got[1] == (4, 400_000)
+    assert got[2] == (7, 700_000)
+    assert got[3] == (9, 900_000)
+    assert got[4] == (10, 1_000_000)
+
+
+def test_shard_balance_mass_conserved(spark):
+    from dnsflow_clickhouse_spark.operators.sampling import shard_balance
+
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(200)], "id long, w long"
+    )
+    rows = shard_balance(df, "id", 4, "w").collect()
+    assert [r.shard for r in rows] == sorted({r.shard for r in rows})
+    assert sum(r.n_rows for r in rows) == 200
+    assert sum(r.mass for r in rows) == sum(10 + i for i in range(200))
+    # load_ppm averages ~1e6 by construction
+    assert all(500_000 < r.load_ppm < 2_000_000 for r in rows)
