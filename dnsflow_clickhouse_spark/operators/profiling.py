@@ -655,8 +655,6 @@ def ewma_smooth(
     """
     if half_life_buckets != 1:
         raise ValueError("dyadic kernel implemented for half_life=1 bucket")
-    wlen = int(window_buckets)
-    denom = (1 << wlen) - 1
     counts = (
         df.select(
             F.col(key_col).alias("k"),
@@ -667,6 +665,21 @@ def ewma_smooth(
         .groupBy("k", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return ewma_from_counts(counts, window_buckets).select(
+        F.col("k").alias(key_col), "bucket", "cnt", "ewma_scaled", "ewma_milli"
+    )
+
+
+def ewma_from_counts(counts: DataFrame, window_buckets: int = 8) -> DataFrame:
+    """The EWMA scorer over a (k, b, cnt) bucket-count frame — split out
+    of :func:`ewma_smooth` so the STREAMING path can fold bucket counts
+    additively across micro-batches (streaming/pipeline.py:
+    merge_bucket_counts) and score the folded state with the identical
+    arithmetic: counts are additive, the contribution expansion is
+    linear in the counts, so batch ≡ streaming once the same events
+    have arrived (parity test in tests/test_streaming.py)."""
+    wlen = int(window_buckets)
+    denom = (1 << wlen) - 1
     contrib = counts.select(
         "k",
         "cnt",
@@ -683,7 +696,7 @@ def ewma_smooth(
     return (
         counts.join(scaled, ["k", "b"])
         .select(
-            F.col("k").alias(key_col),
+            "k",
             F.col("b").alias("bucket"),
             F.col("cnt").cast("long").alias("cnt"),
             F.col("ewma_scaled").cast("long").alias("ewma_scaled"),
@@ -722,9 +735,12 @@ def quantile_match_calibrate(
         F.col(value_col).cast("long").alias("v"),
     ).withColumn(
         "pct_ppm",
+        # rank must be widened BEFORE the ppm multiply: row_number() is
+        # int32 and rank*1e6 overflows past ~2147 rows per group — found
+        # by the 16x scale sweep (sf0.1's 250-row groups never trip it)
         F.expr(
-            "(row_number() OVER (PARTITION BY g ORDER BY v, id) * 1000000)"
-            " div (count(*) OVER (PARTITION BY g))"
+            "(CAST(row_number() OVER (PARTITION BY g ORDER BY v, id) AS BIGINT)"
+            " * 1000000) div (count(*) OVER (PARTITION BY g))"
         ).cast("long"),
     )
     ref_cdf = (

@@ -357,8 +357,13 @@ def shard_balance(
             F.col("n_rows").cast("long").alias("n_rows"),
             F.col("mass").cast("long").alias("mass"),
             # shard's share of mass vs the even split, in ppm of ideal:
-            # 1e6 = perfectly even, 2e6 = double-loaded straggler
-            F.expr(f"(mass * 1000000 * {n_shards}) div total_mass")
+            # 1e6 = perfectly even, 2e6 = double-loaded straggler.
+            # decimal(38,0) widening: mass*1e6*shards overflows int64
+            # once per-corpus mass passes ~1e12 (true 100 TB token mass)
+            F.expr(
+                f"(CAST(mass AS DECIMAL(38,0)) * 1000000 * {n_shards})"
+                " div total_mass"
+            )
             .cast("long")
             .alias("load_ppm"),
         )

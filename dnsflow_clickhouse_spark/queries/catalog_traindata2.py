@@ -658,8 +658,8 @@ a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(w) AS BIGINT) AS mass
       FROM s GROUP BY 1)
 SELECT CAST(shard AS INT) AS shard, n_rows, mass,
-       CAST((mass * 1000000 * {_N_SHARDS}) // (sum(mass) OVER ())
-            AS BIGINT) AS load_ppm
+       CAST((CAST(mass AS HUGEINT) * 1000000 * {_N_SHARDS})
+            // (sum(mass) OVER ()) AS BIGINT) AS load_ppm
 FROM a ORDER BY shard
 """
 

@@ -564,3 +564,34 @@ def streaming_cusum(
         F.expr(f"mean_micro * {k_num} div {k_den}"),
         F.expr(f"mean_micro * {h_mult}"),
     )
+
+
+def merge_bucket_counts(
+    state: DataFrame | None, batch_counts: DataFrame
+) -> DataFrame:
+    """Cross-batch (k, b, cnt) time-bucket count state for streaming
+    EWMA smoothing: additive fold (union + sum), state bounded by
+    keys × live buckets (prune buckets older than the EWMA window if
+    the state must stay small). Like merge_hour_counts this is NOT
+    replay-idempotent (counts re-add) — pair with the idempotent
+    batch-id sink when retries are possible."""
+    if state is None:
+        return batch_counts
+    return (
+        state.unionByName(batch_counts)
+        .groupBy("k", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def streaming_ewma(counts: DataFrame, window_buckets: int = 8) -> DataFrame:
+    """Gap-aware dyadic EWMA over the folded bucket-count state — the
+    streaming face of queries/catalog_traindata2.ewma_event_rates.
+    Counts are additive and the EWMA contribution expansion is linear
+    in the counts, so scoring the fold is value-identical to the batch
+    operator once the same events have arrived (parity test in
+    tests/test_streaming.py) — the same incremental-view-maintenance
+    contract as streaming_psi and streaming_qps_anomaly."""
+    from dnsflow_clickhouse_spark.operators.profiling import ewma_from_counts
+
+    return ewma_from_counts(counts, window_buckets)

@@ -668,3 +668,49 @@ def test_stream_restart_from_checkpoint_no_redelivery(spark, tmp_path):
     finally:
         q2.stop()
     assert len(deliveries) > n_before, "new file after restart not processed"
+
+
+def test_streaming_ewma_fold_matches_batch(spark):
+    """Fold three micro-batches of bucket counts, score the state: the
+    result must equal ewma_smooth over the equivalent one-shot events
+    frame (batch ≡ streaming parity, the repo's §2.10 rule — the EWMA
+    contribution expansion is linear in additive counts)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.operators.profiling import ewma_smooth
+    from dnsflow_clickhouse_spark.streaming.pipeline import (
+        merge_bucket_counts,
+        streaming_ewma,
+    )
+
+    events = (
+        [("x", datetime(2024, 1, 1, 0, 5))] * 3
+        + [("x", datetime(2024, 1, 1, 1, 5))] * 2
+        + [("x", datetime(2024, 1, 1, 3, 5))]
+        + [("y", datetime(2024, 1, 1, 0, 30))] * 4
+    )
+    df = spark.createDataFrame(events, "k string, ts timestamp")
+
+    def batch_counts(rows):
+        b = spark.createDataFrame(rows, "k string, ts timestamp")
+        return (
+            b.select("k", (F.unix_timestamp("ts") / 3600).cast("long").alias("b"))
+            .groupBy("k", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    # the same events split across three micro-batches (one bucket
+    # split ACROSS batches to exercise the additive fold)
+    state = merge_bucket_counts(None, batch_counts(events[:2]))
+    state = merge_bucket_counts(state, batch_counts(events[2:6]))
+    state = merge_bucket_counts(state, batch_counts(events[6:]))
+
+    got = sorted(
+        map(tuple, streaming_ewma(state, 8).collect())
+    )
+    want = sorted(
+        map(tuple, ewma_smooth(df, "k", "ts", 3600, window_buckets=8).collect())
+    )
+    assert got == want and len(got) == 4
