@@ -170,3 +170,59 @@ def test_pareto_window_runs_on_distinct_values(spark):
     plan = physical_plan(_q("pareto_quality_frontier", spark))
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.find("Window") < plan.rfind("HashAggregate")
+
+
+def test_segment_dedup_ownership_is_one_seg_hashagg(spark):
+    # ownership = min(struct(id, seg_no)) per segment: a hash aggregate
+    # keyed by the segment text, never a window sort over all segments
+    plan = physical_plan(_q("segment_dedup_docs", spark))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_symspell_verify_never_cartesian(spark):
+    # candidate generation is the variant equi-join; the levenshtein
+    # verify runs on the join's survivors — no all-pairs product
+    plan = physical_plan(_q("symspell_token_pairs", spark))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_lexical_rerank_reads_checkpoints_not_lsh_lineage(spark):
+    # the TF frame and candidate pairs are pinned behind localCheckpoint
+    # barriers: the scored plan must read the scanned RDDs, not re-run
+    # the minhash signature pipeline per reuse (first cut did: 252s ->
+    # 3.6s at sf0.1)
+    plan = physical_plan(_q("lexical_rerank_pairs", spark))
+    assert "Scan ExistingRDD" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # pure joins + aggs
+
+
+def test_ewma_is_explode_plus_one_agg_no_window(spark):
+    # the sliding weighted window is the contribution expansion + ONE
+    # map-side-combinable groupBy: no per-key ordered Window over events
+    plan = physical_plan(_q("ewma_event_rates", spark))
+    assert "Window" not in plan
+    assert "Generate" in plan  # the in-row age explode
+
+
+def test_quantile_calibration_broadcasts_reference_cdf(spark):
+    # the reference CDF is broadcast: the fact side never shuffles for
+    # the inverse-CDF lookup
+    assert_broadcast_join(_q("quantile_calibrated_lengths", spark))
+
+
+def test_transition_matrix_single_sequence_window(spark):
+    # exactly one Window (the per-user lag); the probability join is a
+    # window over the |states|^2 aggregate, partitioned by prev_state
+    plan = physical_plan(_q("event_transition_matrix", spark))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_oov_vocab_rides_a_broadcast(spark):
+    # the top-K vocabulary joins back as a broadcast membership flag
+    df = _q("oov_rate_by_source", spark)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
