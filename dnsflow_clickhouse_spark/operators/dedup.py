@@ -1453,3 +1453,53 @@ def dedup_candidate_quality(
             F.expr("(n_common * 1000000) div n_truth"),
         ).otherwise(F.lit(0)).cast("long").alias("recall_ppm"),
     )
+
+
+def group_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard between GROUP-level shingle sets (e.g.
+    which crawl sources substantially overlap — the source-grain twin
+    of the per-document pair miners, and the exact counterpart of the
+    KMV corpus-overlap estimate). Distinct grams are aggregated per
+    group FIRST, so the self-join runs on (gram, group) postings whose
+    per-gram width is bounded by the number of groups, never by corpus
+    rows — at 100 TB this is gram-vocabulary-linear with a ~n_groups
+    fanout, the cheap direction of the pair-mining family."""
+    grams = (
+        staged_grams(
+            df.select(F.col(group_col).alias("id"), F.col(text_col)),
+            "id",
+            text_col,
+            ngram,
+        )
+        .localCheckpoint(eager=True)
+        .select(F.col("id").alias("g"), F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("g").alias("group_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("g").alias("group_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.expr("(inter * 1000000) div (na + nb - inter)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -766,3 +766,70 @@ def quantile_match_calibrate(
             "calibrated",
         )
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: Column | str,
+    a_ppm: int = 800_000,
+    b_ppm: int = 950_000,
+) -> DataFrame:
+    """Pareto / ABC inventory classification: aggregate value to the
+    key grain, rank keys by value (desc, key-asc ties), and class each
+    by its CUMULATIVE share — A up to ``a_ppm`` (default 80%), B to
+    ``b_ppm`` (95%), C the tail. The classic curation/ops cut: class A
+    is the handful of sources/customers carrying most of the mass.
+
+    A key is classed by the cumulative share INCLUDING itself, so the
+    boundary key that crosses 80% is the first B — exact integer test
+    (cum * 1e6 vs ppm * total), no float shares anywhere. The rank
+    window runs at key grain (post-aggregate), never on raw rows.
+    Output: one row per class with member count, value sum, and exact
+    share ppm."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(v).cast("long").alias("val")
+    )
+    w_cum = Window.orderBy(F.desc("val"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = per_key.withColumn("cum", F.sum("val").over(w_cum)).withColumn(
+        "total", F.sum("val").over(Window.partitionBy())
+    )
+    # decimal(38,0) widening on the class test and the share: cum * 1e6
+    # wraps int64 once total value mass passes ~9e12 (DuckDB's windowed
+    # sum is already HUGEINT; Spark's stays long without the cast)
+    classed = c.withColumn(
+        "abc_class",
+        F.when(
+            F.expr(
+                f"CAST(cum AS DECIMAL(38,0)) * 1000000"
+                f" <= {a_ppm} * CAST(total AS DECIMAL(38,0))"
+            ),
+            "A",
+        )
+        .when(
+            F.expr(
+                f"CAST(cum AS DECIMAL(38,0)) * 1000000"
+                f" <= {b_ppm} * CAST(total AS DECIMAL(38,0))"
+            ),
+            "B",
+        )
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("val").cast("long").alias("value_sum"),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "(CAST(value_sum AS DECIMAL(38,0)) * 1000000)"
+                " div (sum(value_sum) OVER ())"
+            ).cast("long"),
+        )
+        .orderBy("abc_class")
+    )

@@ -279,3 +279,93 @@ def conversion_lag_stats(
         F.min(F.when(F.col("cum") >= half, F.col("lag_s"))).alias("median_lag_s"),
         F.min(F.when(F.col("cum") >= p90, F.col("lag_s"))).alias("p90_lag_s"),
     )
+
+
+def sequence_fingerprints(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    min_group: int = 2,
+) -> DataFrame:
+    """Behavioral-twin detection: fingerprint each key's FULL ordered
+    event-type sequence and group keys whose sequences are identical —
+    the sequence-grain member of the exact-dedup family (bot/fraud
+    rings replay identical flows; synthetic-data leaks show up as
+    users with byte-identical histories).
+
+    Plan: one aggregation to the key grain (sort_array(collect_list)
+    builds the ordered sequence IN the aggregate — no window sort over
+    raw events), then one groupBy on the md5 of the sequence string.
+    Per-key sequence size is bounded by that key's activity, the
+    classic collect_list contract. Output only groups with >=
+    ``min_group`` members (twins), keep-first canonical key."""
+    seq = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(state_col).alias("s"),
+            F.col(ts_col).alias("t"),
+            F.col(tiebreak_col).alias("tb"),
+        )
+        .groupBy("k")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("t", "tb", "s"))),
+                    lambda x: x.getField("s"),
+                ),
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("seq_len"),
+        )
+    )
+    return (
+        seq.groupBy(F.md5("seq").alias("seq_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("k").alias("keep_key"),
+            F.max("seq_len").cast("long").alias("seq_len"),
+        )
+        .filter(F.col("n_keys") >= min_group)
+        .select("seq_hash", F.col("n_keys").cast("long").alias("n_keys"), "keep_key", "seq_len")
+    )
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    holdout_days: int = 7,
+    embargo_days: int = 1,
+) -> DataFrame:
+    """Time-based train/test split with an EMBARGO gap (the purged-
+    split discipline: rows inside ``embargo_days`` before the test
+    cutoff are DROPPED so serially-correlated features cannot leak
+    across the boundary — a hash split can't provide this, time must).
+    Cutoffs derive from the data's own max timestamp (day-truncated),
+    so the split is a pure function of the table. Reports per-group
+    counts per split.
+
+    Plan: one scalar max aggregate broadcast back over the scan (the
+    documented one-row carve-out), then a map-side classification and
+    one count aggregate."""
+    bounds = df.agg(
+        F.date_trunc("day", F.max(ts_col)).alias("__max_day")
+    ).select(
+        (F.unix_timestamp("__max_day") - holdout_days * 86400).alias("__cut"),
+        (
+            F.unix_timestamp("__max_day") - (holdout_days + embargo_days) * 86400
+        ).alias("__embargo_start"),
+    )
+    tagged = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "split",
+        F.when(F.unix_timestamp(F.col(ts_col)) < F.col("__embargo_start"), "train")
+        .when(F.unix_timestamp(F.col(ts_col)) < F.col("__cut"), "embargo")
+        .otherwise("test"),
+    )
+    return (
+        tagged.groupBy(F.col(group_col).alias(group_col), "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(group_col, "split")
+    )

@@ -21,7 +21,7 @@ speculative tasks can't double-count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # (partial aggregate, final merge) per supported algebraic aggregate
@@ -136,3 +136,48 @@ def salted_join(
         F.explode(F.array(*[F.lit(b) for b in range(buckets)])),
     )
     return salted_fact.join(rep, [*on, "__salt"], how).drop("__salt")
+
+
+def join_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join-key skew profiler: the measurement that decides whether a
+    planned join/aggregation on ``key_col`` needs salting (salted_agg /
+    salted_join above) or can lean on AQE's skew split. Reports the
+    ``top_n`` hottest keys with their share of rows and load-vs-even
+    ratio, plus the integer salt factor that would level each
+    (ceil(freq / avg) — the ``buckets`` argument salt_column wants).
+
+    Plan: one map-side-combinable (key, freq) aggregate; stats and the
+    top-N window run at KEY grain. Exact integers throughout."""
+    freqs = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    tot = Window.partitionBy()
+    ranked = (
+        freqs.withColumn("n_keys", F.count(F.lit(1)).over(tot))
+        .withColumn("total", F.sum("freq").over(tot))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("key"))),
+        )
+        .filter(F.col("rank") <= top_n)
+    )
+    return ranked.select(
+        "rank",
+        F.col("key").cast("string").alias("key"),
+        F.col("freq").cast("long").alias("freq"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total").cast("long").alias("total_rows"),
+        F.expr("(freq * 1000000) div total").cast("long").alias("share_ppm"),
+        # freq relative to the even split (1e6 = average key); decimal
+        # widening — freq * n_keys * 1e6 wraps int64 on web-scale key
+        # spaces (DuckDB side pairs with HUGEINT)
+        F.expr("(CAST(freq AS DECIMAL(38,0)) * n_keys * 1000000) div total")
+        .cast("long")
+        .alias("load_vs_avg_ppm"),
+        # salt factor that levels this key: ceil(freq / (total/n_keys))
+        F.expr("(CAST(freq AS DECIMAL(38,0)) * n_keys + total - 1) div total")
+        .cast("int")
+        .alias("suggested_salt"),
+    ).orderBy("rank")

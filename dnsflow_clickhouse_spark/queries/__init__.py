@@ -14,16 +14,18 @@ round, ``_PRIORITY`` is rebuilt as
 truncated to 50. Changed-code queries that do not fit the window get a
 same-round ``tools/verify_oracle.py --json SWEEP_VERIFY_r{N}.json``
 artifact committed instead — the judge reads it in place of a driver
-row. With a 195-query registry this bounds attestation staleness at
-ceil(195/50) = 4 rounds worst-case and empties any older backlog first.
+row. With a 200-query registry this bounds attestation staleness at
+ceil(200/50) = 4 rounds worst-case and empties any older backlog first.
 
-ROUND-8 WINDOW: after the smoke query, the FIFTEEN queries brand-new this
+ROUND-8 WINDOW: after the smoke query, the TWENTY queries brand-new this
 round (catalog_traindata2.py: segment_dedup_docs, symspell_token_pairs,
 lpa_communities, lexical_rerank_pairs, split_contamination_report,
 dedup_recall_report, quantile_calibrated_lengths,
 weighted_median_lengths, ewma_event_rates, oov_rate_by_source,
 event_transition_matrix, attribution_u_shaped, conversion_lag_report,
-vocab_coverage_report, shard_balance_report), then
+vocab_coverage_report, shard_balance_report, user_sequence_fingerprints,
+abc_customer_classes, temporal_split_report, join_skew_profile,
+source_overlap_matrix), then
 ALL SIX round-7 queries that have never received a driver row —
 bm25_retrieval_topk, truncated_knn_recall, winsorized_length_stats
 (the late second batch, added after the r7 window was pinned) AND
@@ -31,8 +33,10 @@ hard_negative_mining, label_centroid_margins, span_scrubbed_docs
 (shipped round 7 but attested only in SWEEP_VERIFY_r07.json; the r7
 docstring omitted these three — r7 ADVICE low #4, fixed here) — then
 the oldest-green-first fill: the round-4-latest cohort (bloom/bpe/
-sketch/tpch shapes through source_token_entropy; the five r4-stale
-rows displaced by batch 2 — user_report_pipeline, user_state_history,
+sketch/tpch shapes through source_token_entropy; the ten r4-stale
+rows displaced by batches 2-3 — quantile_sketch_values,
+rare_token_report, set_ops_users, snapshot_diff_report,
+source_token_entropy, user_report_pipeline, user_state_history,
 cidr_membership_rollup, cluster_balanced_sample, cms_heavy_hitters —
 head the r9 fill), which the builder
 pre-verified green at sf0.01 in round 7 (SWEEP_VERIFY_r07.json) so no
@@ -108,6 +112,11 @@ _PRIORITY = [
     "conversion_lag_report",
     "vocab_coverage_report",
     "shard_balance_report",
+    "user_sequence_fingerprints",
+    "abc_customer_classes",
+    "temporal_split_report",
+    "join_skew_profile",
+    "source_overlap_matrix",
     # --- ALL round-7 queries without a driver row (SWEEP_VERIFY_r07
     # was their only attestation) ---
     "bm25_retrieval_topk",
@@ -140,11 +149,6 @@ _PRIORITY = [
     "q4_priority_semi",
     "q7_volume_shipping",
     "q8_market_share",
-    "quantile_sketch_values",
-    "rare_token_report",
-    "set_ops_users",
-    "snapshot_diff_report",
-    "source_token_entropy",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -26,6 +26,7 @@ from dnsflow_clickhouse_spark.queries.catalog_mlops import (
     _sql_band_hash,
     _sql_minhash_sig,
     _sql_poly,
+    _SQL_GRAMS,
     _SQL_TOKS,
 )
 from dnsflow_clickhouse_spark.sources.tables import load_table
@@ -671,5 +672,164 @@ TRAINDATA2_REGISTRY.update(
         "conversion_lag_report": (conversion_lag_report, _CONVLAG_SQL),
         "vocab_coverage_report": (vocab_coverage_report, _VOCAB_CURVE_SQL),
         "shard_balance_report": (shard_balance_report, _SHARD_BALANCE_SQL),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# batch 3: sequence fingerprints / ABC cut / purged time split /
+# join-skew profiler / source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def user_sequence_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint of every user's full ordered event-type sequence
+    (min_group=1 so the oracle hash-verifies every fingerprint; the
+    twin-GROUPING behavior — bot rings replaying identical flows — is
+    pinned by the min_group=2 unit test)."""
+    from dnsflow_clickhouse_spark.operators.sessions import sequence_fingerprints
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_fingerprints(
+        ev, "user_id", "event_type", "ts", "event_id", min_group=1
+    ).orderBy("seq_hash")
+
+
+_SEQ_FP_SQL = """
+WITH s AS (SELECT user_id AS k,
+                  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+                  CAST(count(*) AS BIGINT) AS seq_len
+           FROM events GROUP BY 1)
+SELECT md5(seq) AS seq_hash, CAST(count(*) AS BIGINT) AS n_keys,
+       min(k) AS keep_key, CAST(max(seq_len) AS BIGINT) AS seq_len
+FROM s GROUP BY 1 ORDER BY seq_hash
+"""
+
+
+def abc_customer_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of customers by order revenue (exact
+    cents): class A carries the first 80% of cumulative revenue, B to
+    95%, C the tail."""
+    from dnsflow_clickhouse_spark.operators.profiling import abc_classification
+    from dnsflow_clickhouse_spark.queries.catalog import _cents
+
+    o = load_table(spark, sf_dir, "orders")
+    return abc_classification(o, "o_custkey", _cents("o_totalprice"))
+
+
+_ABC_SQL = """
+WITH pk AS (SELECT o_custkey AS key,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS val
+            FROM orders GROUP BY 1),
+c AS (SELECT key, val,
+             sum(val) OVER (ORDER BY val DESC, key) AS cum,
+             sum(val) OVER () AS total
+      FROM pk),
+cl AS (SELECT CASE WHEN cum * 1000000 <= 800000 * total THEN 'A'
+                   WHEN cum * 1000000 <= 950000 * total THEN 'B'
+                   ELSE 'C' END AS abc_class, val
+       FROM c)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST((sum(val) * 1000000) // (sum(sum(val)) OVER ()) AS BIGINT)
+         AS share_ppm
+FROM cl GROUP BY 1 ORDER BY 1
+"""
+
+
+def temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-based split audit: train / 1-day embargo / 7-day
+    test holdout, cutoffs a pure function of the data's max day; counts
+    per (event_type, split)."""
+    from dnsflow_clickhouse_spark.operators.sessions import temporal_split_embargo
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal_split_embargo(ev, "ts", "event_type", 7, 1)
+
+
+_TSPLIT_SQL = """
+WITH b AS (SELECT CAST(floor(epoch(date_trunc('day', max(ts)))) AS BIGINT)
+             AS maxd FROM events),
+t AS (SELECT event_type,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < maxd - 8 * 86400
+                  THEN 'train'
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT) < maxd - 7 * 86400
+                  THEN 'embargo'
+                  ELSE 'test' END AS split
+      FROM events CROSS JOIN b)
+SELECT event_type, split, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of events.user_id: top-10 hottest keys
+    with share, load-vs-even ratio, and the salt factor that would
+    level each — the pre-join measurement for salted_agg/salted_join."""
+    from dnsflow_clickhouse_spark.operators.skew import (
+        join_skew_profile as _profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return _profile(ev, "user_id", top_n=10)
+
+
+_SKEW_SQL = """
+WITH f AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS freq
+           FROM events GROUP BY 1),
+r AS (SELECT key, freq,
+             count(*) OVER () AS n_keys,
+             sum(freq) OVER () AS total,
+             row_number() OVER (ORDER BY freq DESC, key) AS rank
+      FROM f)
+SELECT CAST(rank AS INT) AS rank, CAST(key AS VARCHAR) AS key, freq,
+       CAST(n_keys AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total_rows,
+       CAST((freq * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((CAST(freq AS HUGEINT) * n_keys * 1000000) // total AS BIGINT)
+         AS load_vs_avg_ppm,
+       CAST((CAST(freq AS HUGEINT) * n_keys + total - 1) // total AS INT)
+         AS suggested_salt
+FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise trigram-Jaccard between SOURCES (group-level
+    shingle sets) — which crawl feeds substantially duplicate each
+    other; the exact counterpart of kmv_corpus_overlap's estimate."""
+    from dnsflow_clickhouse_spark.operators.dedup import group_overlap_matrix
+
+    d = load_table(spark, sf_dir, "documents")
+    return group_overlap_matrix(d, "source", "text", 3).orderBy(
+        "group_a", "group_b"
+    )
+
+
+_OVERLAP_SQL = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT source, {_SQL_GRAMS} AS grams FROM t),
+e AS (SELECT DISTINCT source AS g, unnest(grams) AS gram FROM g),
+sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+i AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS inter
+      FROM e a JOIN e b ON a.gram = b.gram AND a.g < b.g GROUP BY 1, 2)
+SELECT ga AS group_a, gb AS group_b, i.inter, sa.n AS na, sb.n AS nb,
+       CAST((i.inter * 1000000) // (sa.n + sb.n - i.inter) AS BIGINT)
+         AS jaccard_ppm
+FROM i JOIN sz sa ON sa.g = i.ga JOIN sz sb ON sb.g = i.gb
+ORDER BY group_a, group_b
+"""
+
+
+TRAINDATA2_REGISTRY.update(
+    {
+        "user_sequence_fingerprints": (
+            user_sequence_fingerprints,
+            _SEQ_FP_SQL,
+        ),
+        "abc_customer_classes": (abc_customer_classes, _ABC_SQL),
+        "temporal_split_report": (temporal_split_report, _TSPLIT_SQL),
+        "join_skew_profile": (join_skew_profile, _SKEW_SQL),
+        "source_overlap_matrix": (source_overlap_matrix, _OVERLAP_SQL),
     }
 )

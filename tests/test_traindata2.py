@@ -346,3 +346,93 @@ def test_shard_balance_mass_conserved(spark):
     assert sum(r.mass for r in rows) == sum(10 + i for i in range(200))
     # load_ppm averages ~1e6 by construction
     assert all(500_000 < r.load_ppm < 2_000_000 for r in rows)
+
+
+def test_sequence_fingerprints_groups_twins(spark):
+    from datetime import datetime
+
+    from dnsflow_clickhouse_spark.operators.sessions import sequence_fingerprints
+
+    t = datetime
+    rows = [
+        # users 1 and 2 replay the identical flow a>b>a; user 3 differs
+        (1, "a", t(2024, 1, 1, 0), 1), (1, "b", t(2024, 1, 1, 1), 2), (1, "a", t(2024, 1, 1, 2), 3),
+        (2, "a", t(2024, 1, 2, 0), 4), (2, "b", t(2024, 1, 2, 1), 5), (2, "a", t(2024, 1, 2, 2), 6),
+        (3, "b", t(2024, 1, 1, 0), 7), (3, "a", t(2024, 1, 1, 1), 8),
+    ]
+    df = spark.createDataFrame(rows, "u long, s string, ts timestamp, i long")
+    got = sequence_fingerprints(df, "u", "s", "ts", "i", min_group=2).collect()
+    assert len(got) == 1
+    [r] = got
+    assert (r.n_keys, r.keep_key, r.seq_len) == (2, 1, 3)
+    # min_group=1 surfaces every fingerprint
+    assert sequence_fingerprints(df, "u", "s", "ts", "i", min_group=1).count() == 2
+
+
+def test_abc_classification_known_cut(spark):
+    from dnsflow_clickhouse_spark.operators.profiling import abc_classification
+
+    # values 50, 30, 15, 5 (total 100): cum shares 50%, 80%, 95%, 100%
+    # -> A = {50, 30} (cum <= 80%), B = {15} (cum <= 95%), C = {5}
+    df = spark.createDataFrame(
+        [(1, 50), (2, 30), (3, 15), (4, 5)], "k long, v long"
+    )
+    got = {r.abc_class: r for r in abc_classification(df, "k", "v").collect()}
+    assert (got["A"].n_keys, got["A"].value_sum, got["A"].share_ppm) == (2, 80, 800_000)
+    assert (got["B"].n_keys, got["B"].value_sum) == (1, 15)
+    assert (got["C"].n_keys, got["C"].value_sum) == (1, 5)
+
+
+def test_temporal_split_embargo_boundaries(spark):
+    from datetime import datetime
+
+    from dnsflow_clickhouse_spark.operators.sessions import temporal_split_embargo
+
+    # max day = 2024-01-31 -> test cut 2024-01-24, embargo starts 01-23
+    rows = [
+        ("a", datetime(2024, 1, 10)),          # train
+        ("a", datetime(2024, 1, 22, 23, 59)),  # train (just before embargo)
+        ("a", datetime(2024, 1, 23, 0, 0)),    # embargo (first second)
+        ("a", datetime(2024, 1, 23, 23, 59)),  # embargo
+        ("a", datetime(2024, 1, 24, 0, 0)),    # test (first second)
+        ("a", datetime(2024, 1, 31, 5)),       # test (sets the max day)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {(r.g, r.split): r.n for r in
+           temporal_split_embargo(df, "ts", "g", 7, 1).collect()}
+    assert got == {("a", "train"): 2, ("a", "embargo"): 2, ("a", "test"): 2}
+
+
+def test_join_skew_profile_values(spark):
+    from dnsflow_clickhouse_spark.operators.skew import join_skew_profile
+
+    # key 1 x 8 rows, keys 2..5 x 1 row: n_keys=5, total=12, avg=2.4
+    rows = [(1,)] * 8 + [(2,), (3,), (4,), (5,)]
+    df = spark.createDataFrame(rows, "k long")
+    got = join_skew_profile(df, "k", top_n=3).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    top = got[0]
+    assert (top.key, top.freq, top.n_keys, top.total_rows) == ("1", 8, 5, 12)
+    assert top.share_ppm == 666_666
+    # load vs avg: 8 / 2.4 = 3.33x -> 3333333 ppm; salt ceil(3.33) = 4
+    assert top.load_vs_avg_ppm == 3_333_333
+    assert top.suggested_salt == 4
+
+
+def test_group_overlap_matrix_exact(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import group_overlap_matrix
+
+    # group x: grams {a b c, b c d}; group y shares one of them
+    df = spark.createDataFrame(
+        [
+            ("x", "a b c d"),        # grams: "a b c", "b c d"
+            ("y", "a b c"),          # gram:  "a b c"
+            ("z", "p q r"),          # gram:  "p q r" (disjoint)
+        ],
+        "g string, text string",
+    )
+    got = {(r.group_a, r.group_b): r for r in
+           group_overlap_matrix(df, "g", "text", 3).collect()}
+    assert set(got) == {("x", "y")}
+    r = got[("x", "y")]
+    assert (r.inter, r.na, r.nb, r.jaccard_ppm) == (1, 2, 1, 500_000)
