@@ -383,3 +383,119 @@ def rare_token_stats(
             .alias("rare_ppm"),
         )
     )
+
+
+def borda_rank(
+    df: DataFrame,
+    id_col: str,
+    signal_cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Rank-aggregation quality ensemble (Borda count, histogram form):
+    each signal awards a document as many points as there are documents
+    with a STRICTLY smaller signal value (value-level mid-rank — ties
+    award equally, so the score is a pure function of the value
+    histogram and engine-portable), and the ensemble score is the sum
+    across signals. The curation pattern for combining heterogeneous
+    quality signals without calibrating their scales first.
+
+    Scale shape: per signal, one (value, cnt) histogram aggregate and a
+    cumulative window that walks DISTINCT VALUES (never rows), then one
+    join back per signal keyed on the value. The final top-N lowers to
+    TakeOrderedAndProject — the corpus is never globally sorted."""
+    out = df.select(F.col(id_col).alias("id"), *[F.col(c) for c in signal_cols])
+    total = F.lit(0).cast("long")
+    for c in signal_cols:
+        hist = out.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        below = hist.withColumn(
+            f"__pts_{c}",
+            (F.sum("__cnt").over(w) - F.col("__cnt")).cast("long"),
+        ).select(F.col("__v").alias(c), f"__pts_{c}")
+        out = out.join(below, c)
+        total = total + F.col(f"__pts_{c}")
+    return (
+        out.withColumn("borda", total)
+        .select("id", *signal_cols, "borda")
+        .orderBy(F.desc("borda"), F.asc("id"))
+        .limit(top_n)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def greedy_budget_selection(
+    df: DataFrame,
+    id_col: str,
+    quality_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Budget-constrained greedy selection — keep the highest-quality
+    documents until a token budget is exhausted — WITHOUT globally
+    sorting the corpus: find the quality CUTOFF on the (quality,
+    token-mass) histogram (every document strictly above the cutoff
+    fits), then admit boundary-layer documents (quality == cutoff) in
+    deterministic id order until the remainder is spent. The histogram
+    walk and the boundary window touch distinct-value / boundary-layer
+    rows only; the full corpus sees one aggregate and one filter — the
+    scale-safe form of "sort by quality, take until budget".
+
+    Output: one row — budget, cutoff quality, counts/token mass of the
+    strictly-above layer and of the admitted boundary docs."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(quality_col).cast("long").alias("q"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    hist = base.groupBy("q").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("w").alias("mass")
+    )
+    w_above = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn(
+        "mass_above", F.coalesce(F.sum("mass").over(w_above), F.lit(0))
+    )
+    # cutoff = the highest quality value whose strictly-above mass still
+    # fits the budget; everything above it is admitted wholesale
+    cut = (
+        cum.filter(F.col("mass_above") <= budget)
+        .agg(F.min("q").alias("cutoff"))
+    )
+    j = base.crossJoin(F.broadcast(cut))
+    above = j.filter(F.col("q") > F.col("cutoff")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_above"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("mass_above"),
+    )
+    # boundary layer: admit in id order while the remainder holds
+    w_b = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    boundary = (
+        j.filter(F.col("q") == F.col("cutoff"))
+        .withColumn("__cum", F.sum("w").over(w_b))
+        .crossJoin(F.broadcast(above))
+        .filter(F.col("__cum") <= F.lit(budget) - F.col("mass_above"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_boundary"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("mass_boundary"),
+        )
+    )
+    return (
+        cut.crossJoin(above)
+        .crossJoin(boundary)
+        .select(
+            F.lit(budget).cast("long").alias("budget"),
+            F.col("cutoff").cast("long").alias("cutoff"),
+            "n_above",
+            "mass_above",
+            "n_boundary",
+            "mass_boundary",
+            (F.col("n_above") + F.col("n_boundary")).cast("long").alias("n_kept"),
+            (F.col("mass_above") + F.col("mass_boundary"))
+            .cast("long")
+            .alias("mass_kept"),
+        )
+    )

@@ -1503,3 +1503,75 @@ def group_overlap_matrix(
             .alias("jaccard_ppm"),
         )
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash Jaccard ESTIMATE vs exact truth for every LSH candidate
+    pair: est = matching signature positions / n_hashes (the estimator
+    LSH banding is built on), joined with the exact shingle-set Jaccard
+    — the estimator-quality audit run before trusting signature length
+    n_hashes at corpus scale (abs_err distribution tells you whether to
+    spend more hashes).
+
+    Plan: signatures computed ONCE (checkpointed), candidate pairs from
+    the banded buckets, per-pair position-match count as an in-row
+    zip_with/aggregate over two 8-element arrays (interpreted HOF, but
+    only over CANDIDATE PAIRS — never the corpus), exact Jaccard via
+    the shared staged-grams join restricted by the pair set."""
+    grams = staged_grams(df, id_col, text_col, ngram).localCheckpoint(eager=True)
+    sig = grams.select(
+        "id", _minhash_sig_udf(n_hashes)(F.col("grams")).alias("sig")
+    ).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, n_bands, ngram)
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
+    est = p.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "aggregate(zip_with(sa, sb, (x, y) -> CAST(x = y AS INT)),"
+            f" 0, (acc, v) -> acc + v) * 1000000 div {n_hashes}"
+        ).cast("long").alias("est_ppm"),
+    )
+    ex = (
+        grams.select("id", F.size("grams").alias("ng"), F.explode("grams").alias("g"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ng").alias("na"),
+            F.col("b.ng").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(p, ["id_a", "id_b"], "semi")
+    )
+    truth = inter.select(
+        "id_a",
+        "id_b",
+        F.expr("(inter * 1000000) div (na + nb - inter)")
+        .cast("long")
+        .alias("true_ppm"),
+    )
+    return (
+        est.join(truth, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "est_ppm",
+            F.coalesce("true_ppm", F.lit(0)).cast("long").alias("true_ppm"),
+            F.abs(F.col("est_ppm") - F.coalesce("true_ppm", F.lit(0)))
+            .cast("long")
+            .alias("abs_err_ppm"),
+        )
+    )

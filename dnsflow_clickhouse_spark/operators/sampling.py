@@ -369,3 +369,81 @@ def shard_balance(
         )
         .orderBy("shard")
     )
+
+
+def distribution_match(
+    df: DataFrame,
+    group_col: str,
+    bucket: Column,
+    id_col: str,
+    ref_group: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Distribution-matching rejection sampler: downsample every group
+    so its BUCKET profile matches the reference group's (the curation
+    move when a new crawl's length/quality profile must match the
+    corpus it joins). Per (group, bucket) the acceptance probability is
+    min(1, target_share / actual_share) — computed exactly in ppm with
+    decimal(38,0) widening — and applied as the deterministic portable
+    hash gate, so the sample is replayable on any engine.
+
+    Scale shape: two (group, bucket) count aggregates (tiny grain), a
+    broadcast of the acceptance table, and a map-side filter — the
+    fact table is scanned once and never shuffled.
+
+    Output: per (group, bucket) — original count, acceptance ppm, and
+    the count actually kept by the hash gate."""
+    tagged = df.select(
+        F.col(group_col).alias("g"),
+        bucket.cast("long").alias("b"),
+        F.col(id_col).alias("id"),
+    )
+    counts = tagged.groupBy("g", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("g").agg(F.sum("cnt").alias("tot"))
+    ref = (
+        counts.join(totals, "g")
+        .filter(F.col("g") == ref_group)
+        .select(
+            F.col("b"),
+            F.col("cnt").alias("ref_cnt"),
+            F.col("tot").alias("ref_tot"),
+        )
+    )
+    accept = (
+        counts.join(totals, "g")
+        .join(F.broadcast(ref), "b", "left")
+        .select(
+            "g",
+            "b",
+            "cnt",
+            F.when(
+                F.col("ref_cnt").isNotNull(),
+                F.least(
+                    F.lit(1_000_000).cast("long"),
+                    F.expr(
+                        "CAST((CAST(ref_cnt AS DECIMAL(38,0)) * tot * 1000000)"
+                        " div (CAST(ref_tot AS DECIMAL(38,0)) * cnt) AS BIGINT)"
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("accept_ppm"),
+        )
+    )
+    kept = (
+        tagged.join(F.broadcast(accept.select("g", "b", "accept_ppm")), ["g", "b"])
+        .filter(sample_key("id", seed) < F.col("accept_ppm"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        accept.join(kept, ["g", "b"], "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("b").alias("bucket"),
+            F.col("cnt").cast("long").alias("n"),
+            "accept_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -14,10 +14,10 @@ round, ``_PRIORITY`` is rebuilt as
 truncated to 50. Changed-code queries that do not fit the window get a
 same-round ``tools/verify_oracle.py --json SWEEP_VERIFY_r{N}.json``
 artifact committed instead — the judge reads it in place of a driver
-row. With a 200-query registry this bounds attestation staleness at
-ceil(200/50) = 4 rounds worst-case and empties any older backlog first.
+row. With a 204-query registry this bounds attestation staleness at
+ceil(204/50) = 5 rounds worst-case and empties any older backlog first.
 
-ROUND-8 WINDOW: after the smoke query, the TWENTY queries brand-new this
+ROUND-8 WINDOW: after the smoke query, the TWENTY-FOUR queries brand-new this
 round (catalog_traindata2.py: segment_dedup_docs, symspell_token_pairs,
 lpa_communities, lexical_rerank_pairs, split_contamination_report,
 dedup_recall_report, quantile_calibrated_lengths,
@@ -25,7 +25,8 @@ weighted_median_lengths, ewma_event_rates, oov_rate_by_source,
 event_transition_matrix, attribution_u_shaped, conversion_lag_report,
 vocab_coverage_report, shard_balance_report, user_sequence_fingerprints,
 abc_customer_classes, temporal_split_report, join_skew_profile,
-source_overlap_matrix), then
+source_overlap_matrix, distribution_match_sample, borda_quality_docs,
+budget_selection_report, minhash_estimate_report), then
 ALL SIX round-7 queries that have never received a driver row —
 bm25_retrieval_topk, truncated_knn_recall, winsorized_length_stats
 (the late second batch, added after the r7 window was pinned) AND
@@ -33,11 +34,13 @@ hard_negative_mining, label_centroid_margins, span_scrubbed_docs
 (shipped round 7 but attested only in SWEEP_VERIFY_r07.json; the r7
 docstring omitted these three — r7 ADVICE low #4, fixed here) — then
 the oldest-green-first fill: the round-4-latest cohort (bloom/bpe/
-sketch/tpch shapes through source_token_entropy; the ten r4-stale
-rows displaced by batches 2-3 — quantile_sketch_values,
-rare_token_report, set_ops_users, snapshot_diff_report,
-source_token_entropy, user_report_pipeline, user_state_history,
-cidr_membership_rollup, cluster_balanced_sample, cms_heavy_hitters —
+sketch/tpch shapes through source_token_entropy; the fourteen r4-stale
+rows displaced by batches 2-4 — q2_min_cost_supplier,
+q4_priority_semi, q7_volume_shipping, q8_market_share,
+quantile_sketch_values, rare_token_report, set_ops_users,
+snapshot_diff_report, source_token_entropy, user_report_pipeline,
+user_state_history, cidr_membership_rollup, cluster_balanced_sample,
+cms_heavy_hitters —
 head the r9 fill), which the builder
 pre-verified green at sf0.01 in round 7 (SWEEP_VERIFY_r07.json) so no
 latent breakage rides into this window.
@@ -117,6 +120,10 @@ _PRIORITY = [
     "temporal_split_report",
     "join_skew_profile",
     "source_overlap_matrix",
+    "distribution_match_sample",
+    "borda_quality_docs",
+    "budget_selection_report",
+    "minhash_estimate_report",
     # --- ALL round-7 queries without a driver row (SWEEP_VERIFY_r07
     # was their only attestation) ---
     "bm25_retrieval_topk",
@@ -145,10 +152,6 @@ _PRIORITY = [
     "q10_returned_items",
     "q13_order_distribution",
     "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_priority_semi",
-    "q7_volume_shipping",
-    "q8_market_share",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -833,3 +833,201 @@ TRAINDATA2_REGISTRY.update(
         "source_overlap_matrix": (source_overlap_matrix, _OVERLAP_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# batch 4: distribution matching / rank-ensemble / budget selection /
+# estimator audit
+# ---------------------------------------------------------------------------
+
+_DM_SEED = 5
+
+
+def distribution_match_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection-sample every source so its length-bucket profile
+    matches src0's (exact-ppm acceptance, portable hash gate)."""
+    from dnsflow_clickhouse_spark.operators.sampling import distribution_match
+
+    d = load_table(spark, sf_dir, "documents")
+    return distribution_match(
+        d, "source", F.expr("n_chars div 100"), "doc_id", "src0", seed=_DM_SEED
+    ).orderBy("source", "bucket")
+
+
+_SQL_DM_GATE = (
+    f"(({_sql_poly('CAST(id AS VARCHAR)', seed=_DM_SEED)})"
+    f" * 2654435761) % {POLY_MOD} % 1000000"
+)
+
+_DISTMATCH_SQL = f"""
+WITH tg AS (SELECT source AS g, CAST(n_chars // 100 AS BIGINT) AS b,
+                   doc_id AS id FROM documents),
+c AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt FROM tg GROUP BY 1, 2),
+t AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+r AS (SELECT b, cnt AS ref_cnt, tot AS ref_tot
+      FROM c JOIN t USING (g) WHERE g = 'src0'),
+a AS (SELECT c.g, c.b, c.cnt,
+             CASE WHEN r.ref_cnt IS NOT NULL THEN
+               least(1000000,
+                 CAST((CAST(r.ref_cnt AS HUGEINT) * t.tot * 1000000)
+                      // (CAST(r.ref_tot AS HUGEINT) * c.cnt) AS BIGINT))
+             ELSE 0 END AS accept_ppm
+      FROM c JOIN t USING (g) LEFT JOIN r ON r.b = c.b),
+k AS (SELECT tg.g, tg.b, CAST(count(*) AS BIGINT) AS n_kept
+      FROM tg JOIN a ON a.g = tg.g AND a.b = tg.b
+      WHERE {_SQL_DM_GATE} < a.accept_ppm GROUP BY 1, 2)
+SELECT a.g AS source, a.b AS bucket, a.cnt AS n,
+       CAST(a.accept_ppm AS BIGINT) AS accept_ppm,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM a LEFT JOIN k ON k.g = a.g AND k.b = a.b
+ORDER BY source, bucket
+"""
+
+
+def borda_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by histogram-Borda rank aggregation over three
+    uncalibrated quality signals (chars, tokens, distinct tokens)."""
+    from dnsflow_clickhouse_spark.operators.corpus import borda_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = (
+        d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                 tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("__toks").cast("long").alias("n_toks"),
+            F.size(F.array_distinct("__toks")).cast("long").alias("n_uniq"),
+        )
+    )
+    return borda_rank(staged, "doc_id", ["n_chars", "n_toks", "n_uniq"], 20)
+
+
+def _borda_pts(sig: str, idx: int) -> str:
+    return f"""
+h{idx} AS (SELECT {sig} AS v, count(*) AS cnt FROM s GROUP BY 1),
+p{idx} AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) - cnt AS BIGINT) AS pts
+           FROM h{idx})"""
+
+
+_BORDA_SQL = (
+    f"""
+WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                  {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq FROM t),"""
+    + ",".join(
+        _borda_pts(sig, i + 1)
+        for i, sig in enumerate(["n_chars", "n_toks", "n_uniq"])
+    )
+    + """
+SELECT s.doc_id, s.n_chars, s.n_toks, s.n_uniq,
+       CAST(p1.pts + p2.pts + p3.pts AS BIGINT) AS borda
+FROM s JOIN p1 ON p1.v = s.n_chars
+       JOIN p2 ON p2.v = s.n_toks
+       JOIN p3 ON p3.v = s.n_uniq
+ORDER BY borda DESC, doc_id LIMIT 20
+"""
+)
+
+_SELECT_BUDGET = 10_000
+
+
+def budget_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered selection under a 10k-token budget via
+    the histogram-cutoff plan (no global sort): admit every doc above
+    the quality cutoff, then boundary docs in id order."""
+    from dnsflow_clickhouse_spark.operators.corpus import greedy_budget_selection
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_uniq"),
+        F.size("__toks").cast("long").alias("n_toks"),
+    )
+    return greedy_budget_selection(
+        staged, "doc_id", "n_uniq", "n_toks", _SELECT_BUDGET
+    )
+
+
+_BUDGET_SQL = f"""
+WITH t AS (SELECT doc_id AS id,
+                  CAST(len(list_distinct(toks)) AS BIGINT) AS q,
+                  CAST(len(toks) AS BIGINT) AS w
+           FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)),
+h AS (SELECT q, CAST(sum(w) AS BIGINT) AS mass FROM t GROUP BY 1),
+c AS (SELECT q, CAST(coalesce(sum(mass) OVER (ORDER BY q DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS mass_above
+      FROM h),
+cut AS (SELECT min(q) AS cutoff FROM c WHERE mass_above <= {_SELECT_BUDGET}),
+above AS (SELECT CAST(count(*) AS BIGINT) AS n_above,
+                 CAST(coalesce(sum(w), 0) AS BIGINT) AS mass_above
+          FROM t, cut WHERE q > cutoff),
+bl AS (SELECT w, sum(w) OVER (ORDER BY id) AS cum
+       FROM t, cut WHERE q = cutoff),
+bnd AS (SELECT CAST(count(*) AS BIGINT) AS n_boundary,
+               CAST(coalesce(sum(w), 0) AS BIGINT) AS mass_boundary
+        FROM bl, above WHERE cum <= {_SELECT_BUDGET} - above.mass_above)
+SELECT CAST({_SELECT_BUDGET} AS BIGINT) AS budget,
+       CAST(cut.cutoff AS BIGINT) AS cutoff,
+       above.n_above, above.mass_above, bnd.n_boundary, bnd.mass_boundary,
+       CAST(above.n_above + bnd.n_boundary AS BIGINT) AS n_kept,
+       CAST(above.mass_above + bnd.mass_boundary AS BIGINT) AS mass_kept
+FROM cut, above, bnd
+"""
+
+
+def minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimate (position-match fraction) vs the exact
+    shingle Jaccard for every LSH candidate pair — the estimator audit
+    that sizes n_hashes before a corpus-scale dedup."""
+    from dnsflow_clickhouse_spark.operators.dedup import minhash_estimate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_estimate_pairs(d, "doc_id", "text", N_HASHES, N_BANDS, 3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_MATCHES = " + ".join(
+    f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+    for i in range(N_HASHES)
+)
+
+_MH_EST_SQL = _SQL_LSH_PAIRS_CTE + f""",
+est AS (SELECT p.id_a, p.id_b,
+               (({_MATCHES}) * 1000000) // {N_HASHES} AS est_ppm
+        FROM pairs p JOIN s a ON a.doc_id = p.id_a
+                     JOIN s b ON b.doc_id = p.id_b),
+e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+              CAST(count(*) AS BIGINT) AS inter
+       FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       GROUP BY 1, 2, 3, 4),
+tr AS (SELECT jp.id_a, jp.id_b,
+              CAST((inter * 1000000) // (na + nb - inter) AS BIGINT)
+                AS true_ppm
+       FROM jp JOIN pairs p ON p.id_a = jp.id_a AND p.id_b = jp.id_b)
+SELECT est.id_a, est.id_b, CAST(est.est_ppm AS BIGINT) AS est_ppm,
+       coalesce(tr.true_ppm, 0) AS true_ppm,
+       CAST(abs(est.est_ppm - coalesce(tr.true_ppm, 0)) AS BIGINT)
+         AS abs_err_ppm
+FROM est LEFT JOIN tr ON tr.id_a = est.id_a AND tr.id_b = est.id_b
+ORDER BY est.id_a, est.id_b
+"""
+
+
+TRAINDATA2_REGISTRY.update(
+    {
+        "distribution_match_sample": (
+            distribution_match_sample,
+            _DISTMATCH_SQL,
+        ),
+        "borda_quality_docs": (borda_quality_docs, _BORDA_SQL),
+        "budget_selection_report": (budget_selection_report, _BUDGET_SQL),
+        "minhash_estimate_report": (minhash_estimate_report, _MH_EST_SQL),
+    }
+)

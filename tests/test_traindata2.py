@@ -436,3 +436,97 @@ def test_group_overlap_matrix_exact(spark):
     assert set(got) == {("x", "y")}
     r = got[("x", "y")]
     assert (r.inter, r.na, r.nb, r.jaccard_ppm) == (1, 2, 1, 500_000)
+
+
+def test_distribution_match_acceptance(spark):
+    from dnsflow_clickhouse_spark.operators.sampling import distribution_match
+
+    # ref 'r': buckets 0 and 1 equally; 'x' is all bucket 0 -> bucket 0
+    # accepted at 50% target share / 100% actual share = 500000 ppm
+    rows = (
+        [("r", 0, i) for i in range(10)]
+        + [("r", 100, 10 + i) for i in range(10)]
+        + [("x", 0, 100 + i) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        (r.g, r.bucket): r
+        for r in distribution_match(
+            df, "g", F.expr("v div 100"), "id", "r"
+        ).collect()
+    }
+    assert got[("x", 0)].accept_ppm == 500_000
+    # the reference matches itself exactly: accept_ppm 1e6, all kept
+    assert got[("r", 0)].accept_ppm == 1_000_000
+    assert got[("r", 0)].n_kept == 10 and got[("r", 1)].n_kept == 10
+    # gate keeps a subset, never more than n
+    assert 0 <= got[("x", 0)].n_kept <= 20
+
+
+def test_distribution_match_unseen_bucket_rejected(spark):
+    from dnsflow_clickhouse_spark.operators.sampling import distribution_match
+
+    rows = [("r", 0, 1), ("x", 0, 2), ("x", 500, 3)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        (r.g, r.bucket): r
+        for r in distribution_match(
+            df, "g", F.expr("v div 100"), "id", "r"
+        ).collect()
+    }
+    # bucket 5 absent from the reference -> acceptance 0, nothing kept
+    assert got[("x", 5)].accept_ppm == 0 and got[("x", 5)].n_kept == 0
+
+
+def test_borda_rank_histogram_points(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import borda_rank
+
+    # doc 1 best on s1 (2 below), worst on s2 (0 below); doc 3 middling
+    rows = [(1, 30, 1), (2, 20, 2), (3, 10, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, s1 long, s2 long")
+    got = {r.doc_id: r.borda for r in borda_rank(df, "doc_id", ["s1", "s2"], 3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # ties share points: two docs with equal s1 both get points-below
+    df2 = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 5)], "doc_id long, s1 long"
+    )
+    got2 = {r.doc_id: r.borda for r in borda_rank(df2, "doc_id", ["s1"], 3).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 0}
+
+
+def test_greedy_budget_selection_boundary(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import greedy_budget_selection
+
+    # quality 3: one doc of 4 tokens; quality 2: three docs of 3 tokens
+    # (ids 10,11,12); quality 1: one doc. budget 9 -> q>2 layer = 4
+    # tokens; boundary q=2 admits ids 10 (cum 3) and 11 (cum 6: 4+6=10>9?
+    # remainder = 9-4 = 5 -> cum<=5 admits only id 10 (cum 3)
+    rows = [(1, 3, 4), (10, 2, 3), (11, 2, 3), (12, 2, 3), (20, 1, 5)]
+    df = spark.createDataFrame(rows, "id long, q long, w long")
+    [r] = greedy_budget_selection(df, "id", "q", "w", 9).collect()
+    assert (r.cutoff, r.n_above, r.mass_above) == (2, 1, 4)
+    assert (r.n_boundary, r.mass_boundary) == (1, 3)
+    assert (r.n_kept, r.mass_kept) == (2, 7)
+
+
+def test_greedy_budget_selection_all_fit(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import greedy_budget_selection
+
+    df = spark.createDataFrame([(1, 5, 2), (2, 4, 2)], "id long, q long, w long")
+    [r] = greedy_budget_selection(df, "id", "q", "w", 100).collect()
+    assert (r.n_kept, r.mass_kept) == (2, 4)
+
+
+def test_minhash_estimate_identical_docs(spark):
+    from dnsflow_clickhouse_spark.operators.dedup import minhash_estimate_pairs
+
+    # two identical docs: estimate 1e6, true 1e6, err 0 (and they are
+    # guaranteed LSH candidates since every band matches)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z z z y y x w v")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r for r in
+           minhash_estimate_pairs(df, "doc_id", "text").collect()}
+    r = got[(1, 2)]
+    assert (r.est_ppm, r.true_ppm, r.abs_err_ppm) == (1_000_000, 1_000_000, 0)
