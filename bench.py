@@ -95,8 +95,9 @@ def _run_query(spark, sf_dir: str, fn) -> float:
     return time.perf_counter() - t0
 
 
-def _dns_batch(spark, sf_dir: str) -> tuple[float, dict[str, float]]:
-    """One production window batch end-to-end; returns (wall, per-report)."""
+def _dns_batch(spark, sf_dir: str) -> tuple[float, dict[str, float], float]:
+    """One production window batch end-to-end; returns
+    (wall, per-report, fanout_overhead)."""
     from dnsflow_clickhouse_spark.sources.synth import (
         SYNTH_APP_TIME,
         demo_dims,

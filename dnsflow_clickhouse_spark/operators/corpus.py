@@ -402,12 +402,22 @@ def borda_rank(
     Scale shape: per signal, one (value, cnt) histogram aggregate and a
     cumulative window that walks DISTINCT VALUES (never rows), then one
     join back per signal keyed on the value. The final top-N lowers to
-    TakeOrderedAndProject — the corpus is never globally sorted."""
+    TakeOrderedAndProject — the corpus is never globally sorted.
+
+    NULL signals award ZERO points for that signal and never drop the
+    row: NULLs are excluded from the value histogram, the join-back is
+    a LEFT join, and the points are coalesced to 0 — well-defined,
+    engine-portable (a SQL twin mirrors it with ``WHERE c IS NOT NULL``
+    in the histogram CTE + ``LEFT JOIN`` + ``COALESCE(pts, 0)``), and
+    the plain equality key keeps the broadcast-hash fast path that a
+    null-safe join key would forfeit."""
     out = df.select(F.col(id_col).alias("id"), *[F.col(c) for c in signal_cols])
     total = F.lit(0).cast("long")
     for c in signal_cols:
-        hist = out.groupBy(F.col(c).alias("__v")).agg(
-            F.count(F.lit(1)).alias("__cnt")
+        hist = (
+            out.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
         )
         w = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
@@ -415,9 +425,11 @@ def borda_rank(
         below = hist.withColumn(
             f"__pts_{c}",
             (F.sum("__cnt").over(w) - F.col("__cnt")).cast("long"),
-        ).select(F.col("__v").alias(c), f"__pts_{c}")
-        out = out.join(below, c)
-        total = total + F.col(f"__pts_{c}")
+        ).select(F.col("__v").alias(f"__v_{c}"), f"__pts_{c}")
+        out = out.join(
+            below, F.col(c) == F.col(f"__v_{c}"), "left"
+        ).drop(f"__v_{c}")
+        total = total + F.coalesce(F.col(f"__pts_{c}"), F.lit(0).cast("long"))
     return (
         out.withColumn("borda", total)
         .select("id", *signal_cols, "borda")

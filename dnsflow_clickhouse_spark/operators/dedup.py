@@ -337,6 +337,13 @@ def minhash_bands_df(
         # of round 2's fixed-cost catalog tax at small scale)
         .localCheckpoint(eager=False)
     )
+    return _bands_from_sigs(sigs, n_bands, rows)
+
+
+def _bands_from_sigs(sigs: DataFrame, n_bands: int, rows: int) -> DataFrame:
+    """Band an already-materialized (id, sig) frame. ``sigs`` must be a
+    checkpoint/cache barrier (or plain attributes) — explode over a live
+    signature expression would recompute it per emitted row."""
     staged = sigs.select(
         "id", F.explode(minhash_band_hashes(F.col("sig"), n_bands, rows)).alias("bh")
     )
@@ -369,6 +376,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 8,
     n_bands: int = 4,
     ngram: int = 3,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
@@ -378,8 +386,18 @@ def lsh_candidate_pairs(
     signature pipeline runs exactly once. Hot buckets (giant near-dup
     clusters) surface as big arrays — cap via pre-filter on
     ``F.size(ids)`` if a corpus degenerates.
+
+    ``sig_df`` (optional): a precomputed, barriered (id, sig) frame
+    whose ``sig`` is an array<long> of length ``n_hashes`` built with
+    the same gram/hash scheme — callers that already hold signatures
+    (e.g. :func:`minhash_estimate_pairs`) pass it so the signature
+    pipeline is not run a second time; ``df``/``text_col``/``ngram``
+    are ignored in that case.
     """
-    banded = minhash_bands_df(df, id_col, text_col, n_hashes, n_bands, ngram)
+    if sig_df is not None:
+        banded = _bands_from_sigs(sig_df, n_bands, n_hashes // n_bands)
+    else:
+        banded = minhash_bands_df(df, id_col, text_col, n_hashes, n_bands, ngram)
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -1520,16 +1538,23 @@ def minhash_estimate_pairs(
     n_hashes at corpus scale (abs_err distribution tells you whether to
     spend more hashes).
 
-    Plan: signatures computed ONCE (checkpointed), candidate pairs from
-    the banded buckets, per-pair position-match count as an in-row
-    zip_with/aggregate over two 8-element arrays (interpreted HOF, but
-    only over CANDIDATE PAIRS — never the corpus), exact Jaccard via
-    the shared staged-grams join restricted by the pair set."""
+    Plan: signatures computed ONCE (checkpointed, fed to the band
+    bucketing via ``sig_df`` so candidate mining reuses them), candidate
+    pairs from the banded buckets, per-pair position-match count as an
+    in-row zip_with/aggregate over two 8-element arrays (interpreted
+    HOF, but only over CANDIDATE PAIRS — never the corpus), exact
+    Jaccard restricted to candidate work: the staged grams are
+    semi-joined to the candidate-id set BEFORE the gram self-join, so
+    exact intersection counts are computed only for docs that appear in
+    some candidate pair (then the pair set itself filters candidate×
+    candidate gram collisions)."""
     grams = staged_grams(df, id_col, text_col, ngram).localCheckpoint(eager=True)
     sig = grams.select(
         "id", _minhash_sig_udf(n_hashes)(F.col("grams")).alias("sig")
     ).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, n_bands, ngram)
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col, n_hashes, n_bands, ngram, sig_df=sig
+    )
     p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
@@ -1541,8 +1566,19 @@ def minhash_estimate_pairs(
             f" 0, (acc, v) -> acc + v) * 1000000 div {n_hashes}"
         ).cast("long").alias("est_ppm"),
     )
+    # prune BEFORE the self-join: only docs present in some candidate
+    # pair need exact gram intersections (the pruned (id, grams) frame
+    # is candidate-count-sized, so the eager barrier is cheap and lets
+    # both self-join sides read attributes instead of re-running the
+    # semi-join)
+    cand_ids = (
+        p.select(F.col("id_a").alias("id"))
+        .union(p.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    pruned = grams.join(cand_ids, "id", "semi").localCheckpoint(eager=True)
     ex = (
-        grams.select("id", F.size("grams").alias("ng"), F.explode("grams").alias("g"))
+        pruned.select("id", F.size("grams").alias("ng"), F.explode("grams").alias("g"))
     )
     a, b = ex.alias("a"), ex.alias("b")
     inter = (

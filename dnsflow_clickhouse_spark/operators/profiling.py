@@ -658,7 +658,10 @@ def ewma_smooth(
     counts = (
         df.select(
             F.col(key_col).alias("k"),
-            (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
+            # floor, not cast-truncation: cast-to-long truncates toward
+            # zero, which diverges from the oracle's integer floor
+            # division for pre-1970 (negative-epoch) timestamps
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
             .cast("long")
             .alias("b"),
         )

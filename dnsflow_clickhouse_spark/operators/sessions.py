@@ -145,7 +145,6 @@ def transition_matrix(
     transition grain is |states|², never row-scale, so everything after
     the lag is broadcast-sized. The tiebreak column makes the ordering
     total and therefore engine-replayable."""
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     pairs = (
         df.select(
             F.col(key_col).alias("k"),
@@ -206,7 +205,6 @@ def u_shaped_attribution(
         .withColumn("pos", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(w_all))
     )
-    mid_n = F.col("n") - 2
     mid_share = F.expr("200000 div (n - 2)")
     mid_rem = F.expr("200000 % (n - 2)")
     credit = (

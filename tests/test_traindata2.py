@@ -494,6 +494,18 @@ def test_borda_rank_histogram_points(spark):
     assert got2 == {1: 1, 2: 1, 3: 0}
 
 
+def test_borda_rank_null_signal_zero_points_no_drop(spark):
+    from dnsflow_clickhouse_spark.operators.corpus import borda_rank
+
+    # doc 2 has a NULL s1: it must NOT be dropped, gets 0 points from
+    # s1, and does not count as "smaller" for the non-null docs (doc 3
+    # with the smallest non-null s1 still gets 0 points from s1)
+    rows = [(1, 10, 1), (2, None, 3), (3, 5, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, s1 long, s2 long")
+    got = {r.doc_id: r.borda for r in borda_rank(df, "doc_id", ["s1", "s2"], 3).collect()}
+    assert got == {1: 1 + 0, 2: 0 + 2, 3: 0 + 1}
+
+
 def test_greedy_budget_selection_boundary(spark):
     from dnsflow_clickhouse_spark.operators.corpus import greedy_budget_selection
 
