@@ -1,0 +1,320 @@
+"""Crash/restart recovery drill (r8 verdict ask #7: evidence depth —
+"restart/recovery drills on the streaming folds").
+
+The soak (tools/soak_stream.py) proves the cross-batch loop stays flat
+when nothing goes wrong. This drill proves the loop RECOVERS: a
+deployed foreachBatch pipeline persists its fold state and report
+output per trigger, crashes mid-run, restarts in a NEW process, and
+must converge to exactly the state + output an uninterrupted run
+produces — including replaying the in-flight batch under at-least-once
+delivery without duplicating anything.
+
+Recovery protocol modeled (the standard checkpoint/commit-log shape a
+production foreachBatch uses; Structured Streaming's own checkpoint
+does the batch-id bookkeeping, this drill makes the state-store side
+explicit and testable):
+
+- per batch k, each state family (bloom bitmap, HLL registers,
+  per-series hour counts) is written to ``state/<name>/v=<k>`` as
+  parquet (versioned, never in-place), and three representative
+  reports go through :func:`io.write_report_idempotent` keyed on
+  ``batch_id=k``;
+- only after ALL writes for batch k succeed is the manifest
+  ``commit.json`` atomically replaced (tmp + os.replace) with
+  ``{"last": k}`` — the commit point;
+- versions older than last-1 are pruned (bounded storage);
+- on restart, the new process reads the manifest, loads state
+  ``v=<last>``, and resumes at ``last + 1``. A crash AFTER the state/
+  report writes but BEFORE the manifest commit therefore REPLAYS that
+  batch: state v=<k> is overwritten with identical content (the folds
+  are deterministic functions of committed state + batch input) and
+  the idempotent report sink replaces the ``batch_id=k`` partition
+  instead of appending — the at-least-once path the reference's plain
+  JDBC append gets wrong (SURVEY §3).
+
+Drill: life A runs batches 0..CRASH_AFTER, hard-crashes (os._exit)
+after writing batch CRASH_AFTER's state + reports but before its
+commit; life B restarts, replays CRASH_AFTER, continues to N_BATCHES.
+A control life runs 0..N_BATCHES uninterrupted in its own process.
+The artifact asserts, per state family and for the report tables, an
+order-independent content hash (bit_xor of xxhash64 over all columns +
+row count) EQUAL between drill and control, and exactly one
+``batch_id`` partition per batch in the report tables.
+
+    python tools/restart_drill.py [sf_dir] [out.json]
+    (defaults: /root/testdata/sf0.01, RESTART_DRILL_r09.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_BATCHES = 8
+CRASH_AFTER = 4  # life A dies after writing batch 4, before its commit
+# three representative nonempty reports at sf0.01 (the per-user top
+# report is empty at this scale and a zero-row dynamic-partition write
+# emits no files, which is fine for a sink but unreadable as evidence)
+DRILL_REPORTS = ["dns_flow_qps", "dns_flow_response_code", "dns_flow_code_domain"]
+STATE_FAMILIES = ["bloom", "hll", "hours"]
+
+
+# ---------------------------------------------------------------------------
+# life body (runs in its own subprocess == its own JVM)
+# ---------------------------------------------------------------------------
+
+def _manifest_path(root: Path) -> Path:
+    return root / "commit.json"
+
+
+def _read_last(root: Path) -> int:
+    p = _manifest_path(root)
+    if not p.exists():
+        return -1
+    return int(json.loads(p.read_text())["last"])
+
+
+def _commit(root: Path, k: int) -> None:
+    tmp = root / f".commit.{k}.tmp"
+    tmp.write_text(json.dumps({"last": k}))
+    os.replace(tmp, _manifest_path(root))
+
+
+def _state_dir(root: Path, name: str, k: int) -> str:
+    return str(root / "state" / name / f"v={k}")
+
+
+def _prune_versions(root: Path, name: str, keep_from: int) -> None:
+    base = root / "state" / name
+    if not base.exists():
+        return
+    for child in base.iterdir():
+        if child.name.startswith("v=") and int(child.name[2:]) < keep_from:
+            shutil.rmtree(child, ignore_errors=True)
+
+
+def run_life(root: Path, sf_dir: str, crash_after: int | None) -> None:
+    """Resume from the manifest and run batches until N_BATCHES (or the
+    crash point). Designed to be invoked repeatedly: each invocation is
+    one process lifetime."""
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.io import write_report_idempotent
+    from dnsflow_clickhouse_spark.operators.sketches import (
+        bloom_build,
+        hll_registers,
+    )
+    from dnsflow_clickhouse_spark.session import get_spark
+    from dnsflow_clickhouse_spark.sources.synth import (
+        SYNTH_APP_TIME,
+        demo_dims,
+        synthetic_raw_events,
+    )
+    from dnsflow_clickhouse_spark.streaming.pipeline import (
+        WINDOW_SECONDS,
+        merge_bloom_state,
+        merge_series_hour_counts,
+        merge_sketch_state,
+        process_batch,
+    )
+
+    spark = get_spark(app_name="restart-drill")
+    spark.sparkContext.setLogLevel("ERROR")
+    dims = demo_dims(spark)
+    last = _read_last(root)
+    state = {
+        name: (
+            spark.read.parquet(_state_dir(root, name, last))
+            if last >= 0
+            else None
+        )
+        for name in STATE_FAMILIES
+    }
+
+    for k in range(last + 1, N_BATCHES):
+        app_k = SYNTH_APP_TIME + WINDOW_SECONDS * k
+        raw = synthetic_raw_events(spark, sf_dir, app_time_s=app_k)
+        out = process_batch(raw, dims, app_k, deterministic=True)
+
+        # fold the three state families from committed state + batch
+        state["bloom"] = merge_bloom_state(
+            state["bloom"], bloom_build(raw, "Domain")
+        )
+        state["hll"] = merge_sketch_state(
+            state["hll"],
+            hll_registers(raw, ["ServerIP"], "ClientIP"),
+            ["ServerIP"],
+        )
+        batch_hours = (
+            raw.select(
+                F.col("Type").alias("series"),
+                (F.col("Timestamp") - F.pmod(F.col("Timestamp"), F.lit(3600)))
+                .cast("long")
+                .alias("hour_ep"),
+            )
+            .groupBy("series", "hour_ep")
+            .agg(F.count("*").alias("cnt"))
+        )
+        state["hours"] = merge_series_hour_counts(state["hours"], batch_hours)
+
+        # persist: versioned state writes + idempotent report writes...
+        for name in STATE_FAMILIES:
+            state[name].write.mode("overwrite").parquet(
+                _state_dir(root, name, k)
+            )
+            # read back so the next fold's lineage starts at the store,
+            # exactly like a restarted process would (and so a replay
+            # can't accidentally reuse in-memory pre-crash state)
+            state[name] = spark.read.parquet(_state_dir(root, name, k))
+        for rpt in DRILL_REPORTS:
+            write_report_idempotent(
+                out[rpt], str(root / "reports"), rpt, batch_id=k
+            )
+        spark.catalog.clearCache()  # process_batch persists base/flow
+
+        if crash_after is not None and k == crash_after:
+            # hard crash BEFORE the commit: batch k's writes are on
+            # disk but uncommitted -> the next life must replay it
+            print(f"CRASH after batch {k} writes, before commit", flush=True)
+            os._exit(17)
+
+        # ...then the commit point, then bounded-version pruning
+        _commit(root, k)
+        for name in STATE_FAMILIES:
+            _prune_versions(root, name, keep_from=k - 1)
+        print(f"committed batch {k}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+def _content_hash(spark, path: str, drop: list[str] | None = None):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c in drop or []:
+        df = df.drop(c)
+    row = (
+        df.agg(
+            F.expr(
+                "bit_xor(xxhash64("
+                + ", ".join(
+                    f"coalesce(cast(`{c}` as string), '<NULL>')"
+                    for c in sorted(df.columns)
+                )
+                + "))"
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    return {"xor_hash": int(row["h"]) if row["h"] is not None else 0, "rows": int(row["n"])}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = Path(sys.argv[2] if len(sys.argv) > 2 else "RESTART_DRILL_r09.json")
+    work = Path("/tmp/restart_drill")
+    shutil.rmtree(work, ignore_errors=True)
+    control_root, drill_root = work / "control", work / "drill"
+    for r in (control_root, drill_root):
+        r.mkdir(parents=True)
+
+    env = {**os.environ, "PYTHONPATH": str(Path(__file__).resolve().parent.parent)}
+    me = str(Path(__file__).resolve())
+    walls: dict[str, float] = {}
+    lives: list[dict] = []
+
+    def life(root: Path, crash: bool, label: str) -> int:
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, me, "--life", str(root), sf_dir]
+            + (["--crash"] if crash else []),
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        walls[label] = round(time.perf_counter() - t0, 1)
+        lives.append(
+            {
+                "label": label,
+                "rc": proc.returncode,
+                "tail": proc.stdout.strip().splitlines()[-3:],
+            }
+        )
+        print(f"[{label}] rc={proc.returncode} wall={walls[label]}s", flush=True)
+        return proc.returncode
+
+    rc_control = life(control_root, crash=False, label="control")
+    rc_a = life(drill_root, crash=True, label="drill_life_A")
+    last_after_crash = _read_last(drill_root)
+    rc_b = life(drill_root, crash=False, label="drill_life_B")
+
+    # compare final artifacts from a fresh session
+    from dnsflow_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="restart-drill-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    comparison: dict[str, dict] = {}
+    equal = True
+    final = N_BATCHES - 1
+    for name in STATE_FAMILIES:
+        c = _content_hash(spark, _state_dir(control_root, name, final))
+        d = _content_hash(spark, _state_dir(drill_root, name, final))
+        comparison[f"state:{name}"] = {"control": c, "drill": d, "equal": c == d}
+        equal &= c == d
+    for rpt in DRILL_REPORTS:
+        c = _content_hash(spark, str(control_root / "reports" / rpt))
+        d = _content_hash(spark, str(drill_root / "reports" / rpt))
+        comparison[f"report:{rpt}"] = {"control": c, "drill": d, "equal": c == d}
+        equal &= c == d
+    # replay must not duplicate: exactly one batch_id partition per batch
+    import pyspark.sql.functions as F
+
+    parts = (
+        spark.read.parquet(str(drill_root / "reports" / DRILL_REPORTS[0]))
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+
+    art = {
+        "metric": "restart_drill",
+        "sf_dir": sf_dir,
+        "n_batches": N_BATCHES,
+        "crash_after_batch": CRASH_AFTER,
+        "manifest_last_at_crash": last_after_crash,
+        "replayed_batch": last_after_crash + 1,
+        "lives": lives,
+        "rc": {"control": rc_control, "drill_life_A": rc_a, "drill_life_B": rc_b},
+        "walls_s": walls,
+        "comparison": comparison,
+        "report_batch_partitions": parts,
+        "recovered_equal": bool(
+            equal and parts == N_BATCHES and rc_a == 17 and rc_b == 0
+        ),
+    }
+    out_path.write_text(json.dumps(art, indent=1, sort_keys=True))
+    print(json.dumps({k: art[k] for k in ("recovered_equal", "replayed_batch", "report_batch_partitions", "walls_s")}))
+    print(f"wrote {out_path}")
+    if not art["recovered_equal"]:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--life":
+        run_life(
+            Path(sys.argv[2]),
+            sys.argv[3],
+            CRASH_AFTER if "--crash" in sys.argv else None,
+        )
+    else:
+        main()
