@@ -25,7 +25,7 @@ linear in windows.
 
     python tools/soak_stream.py [sf_dir] [n_batches] [out.json]
 
-Defaults: /root/testdata/sf0.01, 10 batches, SOAK_r07.json.
+Defaults: /root/testdata/sf0.01, 10 batches, SOAK_r09.json.
 """
 
 from __future__ import annotations
@@ -148,7 +148,7 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     n = int(args[1]) if len(args) > 1 else 10
-    out = Path(args[2] if len(args) > 2 else "SOAK_r08.json")
+    out = Path(args[2] if len(args) > 2 else "SOAK_r09.json")
     spark = get_spark(app_name="stream-soak")
     art = run_soak(spark, sf_dir, n)
     out.write_text(json.dumps(art, indent=1, sort_keys=True))
