@@ -27,8 +27,11 @@ changed + new + oldest-first), not the only evidence. This permanently
 retires the staleness backlog a 50-slot window can never clear against
 a 200+ registry.
 
-ROUND-9 WINDOW: the smoke query, then the ELEVEN queries whose code
-changed this round (the minhash estimator prune + sig reuse touches
+ROUND-9 WINDOW: the smoke query, then the TWELVE queries whose code
+changed this round (the normalize_text fused-regex rewrite touches
+normalized_dedup_docs — 51x faster at 256x, oracle hash unchanged,
+re-verified at sf0.01 AND sf0.1 in SWEEP_VERIFY_r09.json;
+the minhash estimator prune + sig reuse touches
 minhash_estimate_report, lsh_candidate_pairs, minhash_band_buckets,
 lpa_communities, lexical_rerank_pairs, split_contamination_report,
 dedup_recall_report; the advisory fixes touch ewma_event_rates,
@@ -100,8 +103,9 @@ for _part in _PARTS:
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- queries whose code changed this round (minhash estimator
-    # prune/sig-reuse + round-8 advisory fixes) ---
+    # --- queries whose code changed this round (normalize_text fused
+    # regex, minhash estimator prune/sig-reuse, round-8 advisory fixes) ---
+    "normalized_dedup_docs",
     "minhash_estimate_report",
     "lsh_candidate_pairs",
     "minhash_band_buckets",
