@@ -156,7 +156,9 @@ _PRIORITY = [
     "kmeans_cluster_report",
     "lang_id_confusion",
     "lang_token_jsd",
-    "multimodal_features",
+    # (multimodal_features, the former 50th slot, was displaced by
+    # normalized_dedup_docs entering at the changed-code head; it keeps
+    # its same-round dual-SF attestation in SWEEP_VERIFY_r09.json)
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]
