@@ -19,6 +19,12 @@ targets) are output-bounded either way.
 
 Writes are chunked 64 copies per append so no single plan unions 256
 branches.
+
+    python tools/make_scale256.py [K]   # default 256 -> /tmp/scale<K>
+
+K=1024 builds the 5.1M-doc / 2M-vector tier (three orders of magnitude
+over the 1x bench corpus) with the same scheme; doc_id/vec_id shifts of
+1M per copy keep key ranges disjoint up to K ~ 1e6.
 """
 import sys, time
 
@@ -27,9 +33,9 @@ import pyspark.sql.functions as F
 
 from dnsflow_clickhouse_spark.session import get_spark
 
-K = 256
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 CHUNK = 64
-OUT = "/tmp/scale256"
+OUT = f"/tmp/scale{K}"
 
 spark = get_spark(app_name="gen256")
 spark.sparkContext.setLogLevel("ERROR")
