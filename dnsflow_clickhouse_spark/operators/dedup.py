@@ -277,9 +277,20 @@ def _base_hashes(grams: Column, hash_fn: Callable[[Column], Column] | None) -> C
 
 
 def _sig_from_base(base: Column, n_hashes: int) -> Column:
+    # Reduce the base hash into [0, POLY_MOD) BEFORE the permutation
+    # multiply: identity for the default poly_hash path (already
+    # reduced), and required for caller-supplied ``hash_fn`` like raw
+    # F.xxhash64 whose full-64-bit values overflow ``a*h`` under
+    # Spark 4 ANSI mode (a < POLY_MOD so a*h' < ~1e12 after reduction).
     sigs = [
         F.coalesce(
-            F.array_min(F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(POLY_MOD))),
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (F.lit(a) * F.pmod(h, F.lit(POLY_MOD)) + F.lit(b))
+                    % F.lit(POLY_MOD),
+                )
+            ),
             F.lit(POLY_MOD),  # empty-doc sentinel
         )
         for a, b in _perm_consts(n_hashes)

@@ -75,6 +75,25 @@ def test_minhash_bands_df_matches_column_form(docs):
     assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, expected.collect()))
 
 
+def test_minhash_bands_df_xxhash64_scale_knob(docs):
+    """The documented scale knob (``hash_fn=F.xxhash64`` — dedup.py
+    module docstring) must actually run: raw xxhash64 values span the
+    full int64 range, and the permutation fold ``a*h + b`` overflowed
+    under Spark 4 ANSI mode until the fold reduced h mod POLY_MOD first
+    (an identity for the default poly-hash path, whose values are
+    already reduced — oracle hashes unchanged). Exact dups must still
+    collide in every band, and the output must be deterministic."""
+    out1 = minhash_bands_df(docs, "doc_id", "text", 8, 4, 3, hash_fn=F.xxhash64)
+    rows1 = sorted(map(tuple, out1.collect()))
+    assert len(rows1) == docs.count() * 4  # n_bands rows per doc
+    by_doc = {}
+    for doc_id, band, band_hash in rows1:
+        by_doc.setdefault(doc_id, {})[band] = band_hash
+    assert by_doc[0] == by_doc[1]  # doc 1 is an exact dup of doc 0
+    out2 = minhash_bands_df(docs, "doc_id", "text", 8, 4, 3, hash_fn=F.xxhash64)
+    assert rows1 == sorted(map(tuple, out2.collect()))
+
+
 def test_lsh_finds_duplicates(docs):
     pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()}
     assert (0, 1) in pairs  # exact dups always collide in every band
