@@ -388,6 +388,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     ngram: int = 3,
     sig_df: DataFrame | None = None,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
@@ -404,11 +405,19 @@ def lsh_candidate_pairs(
     (e.g. :func:`minhash_estimate_pairs`) pass it so the signature
     pipeline is not run a second time; ``df``/``text_col``/``ngram``
     are ignored in that case.
+
+    ``hash_fn`` (optional): gram-hash override passed through to
+    :func:`minhash_bands_df` — the production-scale path is
+    ``hash_fn=F.xxhash64`` (measured 5.8x over the oracle-portable
+    poly hash on signatures at 5.1M docs, SCALE_SMOKE.md r9); the
+    default stays the DuckDB-replayable portable hash.
     """
     if sig_df is not None:
         banded = _bands_from_sigs(sig_df, n_bands, n_hashes // n_bands)
     else:
-        banded = minhash_bands_df(df, id_col, text_col, n_hashes, n_bands, ngram)
+        banded = minhash_bands_df(
+            df, id_col, text_col, n_hashes, n_bands, ngram, hash_fn=hash_fn
+        )
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

@@ -92,6 +92,14 @@ def test_minhash_bands_df_xxhash64_scale_knob(docs):
     assert by_doc[0] == by_doc[1]  # doc 1 is an exact dup of doc 0
     out2 = minhash_bands_df(docs, "doc_id", "text", 8, 4, 3, hash_fn=F.xxhash64)
     assert rows1 == sorted(map(tuple, out2.collect()))
+    # and the top-level miner's passthrough: exact dups always collide
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            docs, "doc_id", "text", hash_fn=F.xxhash64
+        ).collect()
+    }
+    assert (0, 1) in pairs
 
 
 def test_lsh_finds_duplicates(docs):
