@@ -191,6 +191,48 @@ def test_normalize_text(spark):
     assert got == ["hello world", "hello world", "hello world", ""]
 
 
+def test_normalize_text_fused_regex_equals_textbook_form(spark):
+    """Permanent pin for the r9 hot-path rewrite: the fused single
+    regex ``[^a-z0-9]+ -> " "`` must equal the textbook two-pass form
+    (``[^a-z0-9\\s]`` -> " " per char, then ``\\s+`` collapse, then
+    trim) on an adversarial battery — the forms are equivalent because
+    any maximal run of non-[a-z0-9] characters (punctuation and
+    whitespace interleaved) becomes exactly one space either way, and
+    leading/trailing runs trim identically. The fused form measured 51x
+    faster over 1.28M docs (SCALE_SMOKE.md r9); this test keeps any
+    future edit honest against the reference semantics."""
+    import pyspark.sql.functions as F
+
+    from dnsflow_clickhouse_spark.functions.textfn import normalize_text
+
+    battery = [
+        "  Hello,   WORLD!!  ",
+        "a.b", "a. b", "a .b", "a\t.\nb", "a..b", ". .",
+        "...", "", " ", "\t\n\x0b\f\r", "_",
+        "tabs\tand\nnewlines\x0band\fforms\rand spaces",
+        "Héllo café naïve",          # accented letters -> space
+        "nbsp\u00a0here", "em\u2014dash", "emoji\U0001f600x",
+        "combining e\u0301 accent",  # combining mark -> space
+        "zero\u200bwidth", "cjk\u6f22\u5b57mix",
+        "CTRL\x01\x02chars", "del\x7fchar",
+        "digits123MIXED456case",
+        "trailing punct!!!", "!!!leading punct",
+        "x" * 500 + "," + "y" * 500,
+        ",".join(["w"] * 200),
+        "a" + " " * 300 + "b", "a" + "." * 300 + "b",
+    ]
+    df = spark.createDataFrame([(s,) for s in battery], ["t"])
+    c = F.lower(F.col("t"))
+    textbook = F.trim(
+        F.regexp_replace(F.regexp_replace(c, r"[^a-z0-9\s]", " "), r"\s+", " ")
+    )
+    out = df.select(
+        normalize_text("t").alias("fused"), textbook.alias("textbook")
+    ).collect()
+    for row, s in zip(out, battery):
+        assert row.fused == row.textbook, (s, row.fused, row.textbook)
+
+
 def test_round6_is_engine_portable_on_half_boundaries(spark):
     """Spark's round() HALF_UPs the shortest decimal STRING of a double
     ("0.5006875" -> 0.500688) while DuckDB and python round the actual
