@@ -31,7 +31,10 @@ ROUND-9 WINDOW: the smoke query, then the TWELVE queries whose code
 changed this round (the normalize_text fused-regex rewrite touches
 normalized_dedup_docs — 51x faster at 256x, oracle hash unchanged,
 re-verified at sf0.01 AND sf0.1 in SWEEP_VERIFY_r09.json;
-the minhash estimator prune + sig reuse touches
+the minhash estimator prune + sig reuse AND the minhash hash_fn
+scale-knob fix (int64 overflow under ANSI for raw xxhash64; the
+default portable path is bit-identical, proven by the full dual-SF
+sweep re-run on final code) touch
 minhash_estimate_report, lsh_candidate_pairs, minhash_band_buckets,
 lpa_communities, lexical_rerank_pairs, split_contamination_report,
 dedup_recall_report; the advisory fixes touch ewma_event_rates,
