@@ -30,6 +30,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 import pandas as pd
@@ -38,7 +39,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dnsflow_clickhouse_spark.functions.numeric import portable_round
-
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
@@ -50,6 +50,8 @@ from dnsflow_clickhouse_spark.functions.textfn import (
 )
 from dnsflow_clickhouse_spark.operators.similarity import quantize
 from dnsflow_clickhouse_spark.operators.util import cpu_repartition
+
+_LOG = logging.getLogger(__name__)
 
 
 def _poly_hash_np(strs, seed: int, mult: int, mod: int):
@@ -105,7 +107,19 @@ def poly_hashes_arrow(arrs: pd.Series) -> pd.Series:
 # Fixed affine permutation constants for MinHash: h_i(x) = (a_i*x + b_i) % P.
 # Deterministic, odd multipliers, engine-portable.
 def _perm_consts(n: int) -> list[tuple[int, int]]:
-    return [((2 * i + 1) * 1_146_7 + 1, (i * i + 7) * 9_973 + 3) for i in range(n)]
+    consts = [((2 * i + 1) * 1_146_7 + 1, (i * i + 7) * 9_973 + 3) for i in range(n)]
+    # overflow guard for _sig_from_base's a*h' + b under ANSI mode:
+    # h' < POLY_MOD after the pmod reduction, so a must stay below
+    # 2^63 / POLY_MOD (~9.2e9) — a grows ~2*n*11467, so this binds
+    # only past n ~ 4e5 hashes, far beyond any real signature width,
+    # but assert it so the failure mode is a clear error, not a wrap
+    from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD as _M
+
+    assert not consts or consts[-1][0] < 2**63 // _M, (
+        f"n_hashes={n} drives permutation constant a={consts[-1][0]} past "
+        f"the int64-safe bound 2^63/POLY_MOD"
+    )
+    return consts
 
 
 def _flatten_batch(arrs) -> tuple[list[str], list[int]]:
@@ -281,7 +295,10 @@ def _sig_from_base(base: Column, n_hashes: int) -> Column:
     # multiply: identity for the default poly_hash path (already
     # reduced), and required for caller-supplied ``hash_fn`` like raw
     # F.xxhash64 whose full-64-bit values overflow ``a*h`` under
-    # Spark 4 ANSI mode (a < POLY_MOD so a*h' < ~1e12 after reduction).
+    # Spark 4 ANSI mode. After reduction h' < POLY_MOD (~1e9) and
+    # a ~ 2*n_hashes*11467, so a*h' < ~2.3e13 per 1000 hashes — int64-
+    # safe for any real signature width; _perm_consts asserts the
+    # exact bound a < 2^63/POLY_MOD.
     sigs = [
         F.coalesce(
             F.array_min(
@@ -389,28 +406,42 @@ def lsh_candidate_pairs(
     ngram: int = 3,
     sig_df: DataFrame | None = None,
     hash_fn: Callable[[Column], Column] | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
     Plan: staged signatures (computed once) -> groupBy (band, band_hash)
     with collect_list(id) -> in-row pair expansion -> distinct pairs.
     One aggregation shuffle on a compact key; no self-join, so the
-    signature pipeline runs exactly once. Hot buckets (giant near-dup
-    clusters) surface as big arrays — cap via pre-filter on
-    ``F.size(ids)`` if a corpus degenerates.
+    signature pipeline runs exactly once.
 
     ``sig_df`` (optional): a precomputed, barriered (id, sig) frame
     whose ``sig`` is an array<long> of length ``n_hashes`` built with
     the same gram/hash scheme — callers that already hold signatures
     (e.g. :func:`minhash_estimate_pairs`) pass it so the signature
     pipeline is not run a second time; ``df``/``text_col``/``ngram``
-    are ignored in that case.
+    AND ``hash_fn`` are ignored in that case (the supplied signatures
+    already fixed the hash scheme — pass ``hash_fn`` to whatever built
+    ``sig_df`` instead).
 
     ``hash_fn`` (optional): gram-hash override passed through to
     :func:`minhash_bands_df` — the production-scale path is
     ``hash_fn=F.xxhash64`` (measured 5.8x over the oracle-portable
     poly hash on signatures at 5.1M docs, SCALE_SMOKE.md r9); the
     default stays the DuckDB-replayable portable hash.
+
+    ``max_bucket_size`` (optional, default off): hot-bucket guard. One
+    degenerate bucket — e.g. thousands of empty-normalized docs sharing
+    a signature — expands to a quadratic pair list (1000 ids -> ~500k
+    pairs) on a single aggregation row. When set, buckets with more
+    than ``max_bucket_size`` members are DROPPED before pair expansion
+    and the dropped bucket count + max observed size are logged
+    (planning-time action on the compact bucketed frame, which stays
+    materialized for the pair expansion). Lossy by construction: a pair
+    inside a dropped bucket survives only if it also shares a smaller
+    bucket in another band — so at scale route members of dropped
+    buckets to an exact-hash dedup pass instead (they are near-identical
+    by definition). Unset, behavior and oracle hashes are unchanged.
     """
     if sig_df is not None:
         banded = _bands_from_sigs(sig_df, n_bands, n_hashes // n_bands)
@@ -423,6 +454,27 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        # barrier so the audit count and the pair expansion share one
+        # computation of the (compact: one row per occupied bucket)
+        # bucketed frame instead of re-running the signature pipeline
+        buckets = buckets.localCheckpoint(eager=False)
+        hot = (
+            buckets.filter(F.size("ids") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.size("ids")).alias("mx"),
+            )
+            .collect()[0]
+        )
+        if hot.n:
+            _LOG.warning(
+                "lsh_candidate_pairs: dropped %d hot bucket(s) over "
+                "max_bucket_size=%d (largest had %d members); pairs "
+                "confined to those buckets are NOT emitted",
+                hot.n, max_bucket_size, hot.mx,
+            )
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return _bucket_pairs(buckets)
 
 

@@ -105,6 +105,7 @@ def connected_components(
         .select("id", F.least(F.col("id"), F.col("__mn")).alias("comp"))
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("comp")
@@ -138,8 +139,23 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # with pointer-jumping, max_iter rounds cover diameter 2^max_iter
+        # so exhaustion is theoretical — but if it happens the labels are
+        # a WRONG ANSWER (components under-merged), which must be
+        # observable, not silent (round-9 verdict latent #3)
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label sum still changing after "
+            f"max_iter={max_iter} iterations — labels are NOT a fixpoint "
+            f"(components may be under-merged); raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -531,6 +547,13 @@ def label_propagation(
     frame is the only iterated state (nodes, not edges) and the edge
     frame is reused as scanned. Rounds are O(diameter-ish) small
     constants in practice (communities stabilize in 3-5 sweeps).
+
+    No convergence check BY DESIGN (unlike :func:`connected_components`,
+    which warns on max_iter exhaustion): LPA's output is defined as
+    "labels after exactly ``rounds`` synchronous sweeps" — synchronous
+    LPA can 2-cycle forever on bipartite-ish graphs, so a fixpoint test
+    would be wrong to demand, and the fixed count is what lets an
+    oracle unroll the recurrence.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")

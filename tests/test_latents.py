@@ -129,3 +129,97 @@ def test_random_projection_empty_frame(spark):
         random_projection(empty, "vec_id", "embedding", out_dim=4)
     out = random_projection(empty, "vec_id", "embedding", out_dim=4, dim=8)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-9 verdict latents (VERDICT r9 "What's wrong" items 1-3)
+# ---------------------------------------------------------------------------
+
+
+def test_skipping_works_on_file_scheme_paths(spark, tmp_path):
+    """r9 latent #1: file enumeration goes through the Hadoop FS API, so
+    manifest skipping works on any scheme Spark reads — exercised here
+    via an explicit ``file:`` URI (the non-local-walk path), with the
+    manifest itself built from the PLAIN path to prove the key
+    normalization bridges the two spellings."""
+    from dnsflow_clickhouse_spark.sources.skipping import (
+        build_manifest,
+        read_with_skipping,
+    )
+
+    plain = str(tmp_path / "zoned")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    (
+        df.repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(plain)
+    )
+    build_manifest(spark, plain, ["user_id"])
+
+    uri = "file:" + plain
+    got = read_with_skipping(spark, uri, {"user_id": (1000, 1500)})
+    assert len(got.inputFiles()) < 4, "no files skipped via file: scheme"
+    assert got.filter(F.col("user_id").between(1000, 1500)).count() == 501
+
+    # and the mirror: manifest built FROM the file: URI serves a
+    # plain-path read
+    build_manifest(spark, uri, ["user_id"])
+    got2 = read_with_skipping(spark, plain, {"user_id": (1000, 1500)})
+    assert len(got2.inputFiles()) < 4
+    assert got2.filter(F.col("user_id").between(1000, 1500)).count() == 501
+
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark, caplog):
+    """r9 latent #2: 1000 identical docs share every band bucket — the
+    uncapped expansion is ~500k pairs from ONE aggregation row; with
+    max_bucket_size set the hot buckets are dropped, counted, and
+    logged. Knob off => behavior unchanged (oracle hashes pinned by the
+    sweep)."""
+    import logging
+
+    from dnsflow_clickhouse_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same text every single time").alias("text"),
+    )
+    capped = lsh_candidate_pairs(
+        docs, "doc_id", "text", max_bucket_size=100
+    )
+    with caplog.at_level(logging.WARNING, logger="dnsflow_clickhouse_spark.operators.dedup"):
+        # the audit count runs at plan-build time (documented); re-call
+        # to capture the log record deterministically under caplog
+        capped = lsh_candidate_pairs(
+            docs, "doc_id", "text", max_bucket_size=100
+        )
+    assert capped.count() == 0
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+    # sanity on a small corpus that the uncapped path still pairs
+    uncapped = lsh_candidate_pairs(docs.limit(50), "doc_id", "text")
+    assert uncapped.count() == 50 * 49 // 2
+
+
+def test_connected_components_warns_on_max_iter_exhaustion(spark):
+    """r9 latent #3: exhausting max_iter without the label-sum fixpoint
+    emits a RuntimeWarning naming the iteration count; a converged run
+    stays silent."""
+    import warnings
+
+    from dnsflow_clickhouse_spark.operators.graph import connected_components
+
+    # a long chain needs several pointer-jumping rounds; max_iter=1
+    # cannot reach the fixpoint
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with pytest.warns(RuntimeWarning, match="max_iter=1"):
+        cc = connected_components(chain, max_iter=1, num_partitions=4)
+        cc.count()
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        cc = connected_components(chain, max_iter=25, num_partitions=4)
+        assert cc.select(F.countDistinct("comp")).collect()[0][0] == 1
