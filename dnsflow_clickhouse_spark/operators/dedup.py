@@ -495,7 +495,12 @@ def _simhash_from_hashes(hs: Column, n_bits: int) -> Column:
     out = F.lit(0).cast("long")
     for b in range(n_bits):
         ones = F.size(F.filter(hs, lambda h: F.shiftright(h, b).bitwiseAND(1) == 1))
-        out = out + F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0))
+        # bit 63 is the long's sign bit: 1 << 63 overflows, but adding
+        # -2^63 once sets exactly that bit in two's complement (every
+        # other bit contributes < 2^63 combined), so full-width 64-bit
+        # signatures stay representable as a plain long
+        bit_val = F.lit(-(2**63)) if b == 63 else F.lit(1 << b)
+        out = out + F.when(ones * 2 > total, bit_val).otherwise(F.lit(0).cast("long"))
     return out
 
 

@@ -27,30 +27,22 @@ changed + new + oldest-first), not the only evidence. This permanently
 retires the staleness backlog a 50-slot window can never clear against
 a 200+ registry.
 
-ROUND-9 WINDOW: the smoke query, then the TWELVE queries whose code
-changed this round (the normalize_text fused-regex rewrite touches
-normalized_dedup_docs — 51x faster at 256x, oracle hash unchanged,
-re-verified at sf0.01 AND sf0.1 in SWEEP_VERIFY_r09.json;
-the minhash estimator prune + sig reuse AND the minhash hash_fn
-scale-knob fix (int64 overflow under ANSI for raw xxhash64; the
-default portable path is bit-identical, proven by the full dual-SF
-sweep re-run on final code) touch
-minhash_estimate_report, lsh_candidate_pairs, minhash_band_buckets,
-lpa_communities, lexical_rerank_pairs, split_contamination_report,
-dedup_recall_report; the advisory fixes touch ewma_event_rates,
-event_transition_matrix, attribution_u_shaped, borda_quality_docs —
-all re-verified green at sf0.01 by the builder pre-commit), no
-brand-new queries (r8 verdict ask #7: evidence depth over breadth),
-then the oldest-green-first fill headed by the FOURTEEN r4-stale rows
-displaced from the r8 window (q2_min_cost_supplier, q4_priority_semi,
-q7_volume_shipping, q8_market_share, quantile_sketch_values,
-rare_token_report, set_ops_users, snapshot_diff_report,
-source_token_entropy, user_report_pipeline, user_state_history,
-cidr_membership_rollup, cluster_balanced_sample, cms_heavy_hitters —
-the judge independently re-verified the first eleven in round 8),
-then the r5-latest cohort in oldest-first order. All 50 were
-pre-verified green at sf0.01 in SWEEP_VERIFY_r09.json (the first
-full-registry sweep).
+ROUND-10 WINDOW: the smoke query, then the THIRTEEN queries whose code
+changed this round — the lsh_candidate_pairs max_bucket_size hot-bucket
+knob (default off; oracle hashes unchanged, builder re-verified the
+whole dedup family at sf0.01 pre-commit), the _perm_consts int64-bound
+assert, the 64-bit _simhash_from_hashes sign-bit fix (toy 16-bit paths
+go through the fused Arrow kernel and are untouched; re-attested
+anyway), and the connected_components non-convergence warning (touches
+every CC consumer: neardup_components/census, dedup_canonical_keep,
+semdedup_keep, neardup_kcore, dedup_recall_report, segment_dedup_docs)
+— then the THREE brand-new production-width entries (r9 verdict ask
+#5: simhash_wide_neardups, embedding_ann_wide_recall,
+minhash_wide_recall; rows-only — raw xxhash64 / 16-plane GEMM
+signatures are not DuckDB-replayable — with self-consistency floors
+pinned in tests/test_wide.py), then the oldest-green-first fill
+(r6-latest cohort per tools/rotate_window.py over
+CORRECTNESS_r01-r09).
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -82,11 +74,12 @@ from dnsflow_clickhouse_spark.queries.catalog_traindata import (
 from dnsflow_clickhouse_spark.queries.catalog_traindata2 import (
     TRAINDATA2_REGISTRY as _TRAINDATA2,
 )
+from dnsflow_clickhouse_spark.queries.catalog_wide import WIDE_REGISTRY as _WIDE
 
 _PARTS = [
     _BASE, _DNS2, _DNS3, _DNS4, _DNS5, _TPCH2, _TPCH3, _TPCH4,
     _MLOPS, _CORPUS, _CURATION, _PROFILING, _SKETCHES, _TOKENIZER, _EVAL,
-    _TRAINDATA, _TRAINDATA2,
+    _TRAINDATA, _TRAINDATA2, _WIDE,
 ]
 _MERGED: dict = {}
 for _part in _PARTS:
@@ -102,66 +95,67 @@ for _part in _PARTS:
         )
     _MERGED.update(_part)
 
-# First 50 = driver correctness window for this round (round 9).
+# First 50 = driver correctness window for this round (round 10).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- queries whose code changed this round (normalize_text fused
-    # regex, minhash estimator prune/sig-reuse, round-8 advisory fixes) ---
-    "normalized_dedup_docs",
-    "minhash_estimate_report",
+    # --- queries whose code changed this round (lsh_candidate_pairs
+    # max_bucket_size knob + _perm_consts bound assert + 64-bit
+    # _simhash_from_hashes sign-bit fix; connected_components
+    # non-convergence warning; graph-family consumers re-attested) ---
     "lsh_candidate_pairs",
     "minhash_band_buckets",
-    "lpa_communities",
-    "lexical_rerank_pairs",
-    "split_contamination_report",
-    "dedup_recall_report",
-    "ewma_event_rates",
-    "event_transition_matrix",
-    "attribution_u_shaped",
-    "borda_quality_docs",
-    # --- oldest-green-first fill: the fourteen r4-stale rows displaced
-    # from the r8 window head the fill, then the r5-latest cohort ---
-    "q2_min_cost_supplier",
-    "q4_priority_semi",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "quantile_sketch_values",
-    "rare_token_report",
-    "set_ops_users",
-    "snapshot_diff_report",
-    "source_token_entropy",
-    "user_report_pipeline",
-    "user_state_history",
-    "cidr_membership_rollup",
-    "cluster_balanced_sample",
-    "cms_heavy_hitters",
-    "collocation_pmi_topk",
-    "column_profile_events",
-    "component_aware_shards",
-    "containment_pairs",
-    "curation_funnel",
-    "decontamination_report",
+    "minhash_estimate_report",
+    "neardup_components",
+    "neardup_component_census",
     "dedup_canonical_keep",
-    "doc_quality_score",
-    "dsir_importance_weights",
-    "embedding_ivf_ann",
-    "embedding_ivfpq_ann",
-    "embedding_pq_ann",
-    "embedding_rp_components",
-    "event_gini_concentration",
-    "feature_correlation_report",
-    "geo_region_rollup",
-    "group_split_leakproof",
-    "hll_distinct_users",
-    "inverted_index_terms",
-    "item_hits_authorities",
-    "kmeans_cluster_report",
-    "lang_id_confusion",
-    "lang_token_jsd",
-    # (multimodal_features, the former 50th slot, was displaced by
-    # normalized_dedup_docs entering at the changed-code head; it keeps
-    # its same-round dual-SF attestation in SWEEP_VERIFY_r09.json)
+    "semdedup_keep",
+    "dedup_recall_report",
+    "neardup_kcore",
+    "simhash_docs",
+    "simhash_near_docs",
+    "image_dhash_neardups",
+    "segment_dedup_docs",
+    # --- new this round: production-width instances (rows-only —
+    # xxhash64/16-plane settings are not DuckDB-replayable; the report
+    # values ARE the check, floors pinned in tests/test_wide.py) ---
+    "simhash_wide_neardups",
+    "embedding_ann_wide_recall",
+    "minhash_wide_recall",
+    # --- oldest-green-first fill (r6-latest cohort) ---
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "ols_tokens_per_char",
+    "per_source_caps",
+    "pii_redaction_report",
+    "prefix_jaccard_pairs",
+    "qps_anomaly_report",
+    "quality_feature_matrix",
+    "quality_quantile_gate",
+    "ranking_ndcg_by_source",
+    "score_auc_by_source",
+    "score_calibration_bins",
+    "tfidf_top_terms",
+    "value_drift_psi",
+    "authority_slice_docs",
+    "brier_quality_en",
+    "chunk_documents",
+    "doc_bpe_tokens",
+    "doc_fingerprints",
+    "doc_length_histogram",
+    "doc_token_stats",
+    "embedding_spectrum_power",
+    "event_cooccurrence",
+    "event_k_anonymity",
+    "event_rate_cusum",
+    "event_type_ratio",
+    "event_value_percentiles",
+    "fuzzy_near_titles",
+    "grouping_sets_events",
+    "ip_function_rollup",
+    "lang_id_prf1",
+    "null_semantics_report",
+    "pack_sequences",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]
