@@ -54,6 +54,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, (fn, _) in QUERY_REGISTRY.items()}
 
 
+# Explicit rows-only waivers (the weaker check is a DECISION, asserted
+# by tests/test_oracle_types.py): the round-10 production-width
+# instances run the documented 100 TB knob settings — raw xxhash64 gram
+# hashes, 16-plane GEMM signatures — which no DuckDB oracle can replay;
+# each returns a one-row SELF-CONSISTENCY report (banding losslessness
+# vs exact scan, recall vs exact truth) whose floors tests/test_wide.py
+# pins.
+ROWS_ONLY_WAIVERS = (
+    "simhash_wide_neardups",
+    "embedding_ann_wide_recall",
+    "minhash_wide_recall",
+)
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (omitted for
     non-SQL-expressible ops, which get a rows-only check)."""

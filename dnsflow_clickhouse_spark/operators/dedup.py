@@ -209,6 +209,69 @@ def _minhash_sig_udf(n_hashes: int):
     return _FUSED_UDF_CACHE[key]
 
 
+def _minhash_sig_from_base_udf(n_hashes: int):
+    """Precomputed base-hash array<long> -> MinHash signature in ONE
+    Arrow pass — the ``hash_fn`` twin of :func:`_minhash_sig_udf`.
+
+    The production knob (``hash_fn=F.xxhash64``) computes base hashes
+    JVM-side in one codegen ``transform``; this kernel replaces what
+    used to follow — ``n_hashes`` interpreted ``transform`` +
+    ``array_min`` passes over that array (64 passes/doc at production
+    width, measured 330 s for the 64x16 signature build at the 4096x
+    tier / 20.5M docs) — with the same vectorized permutation-min
+    numpy fold the portable path already uses. Values identical to
+    ``_sig_from_base``: base reduced into [0, POLY_MOD) first (numpy
+    ``%`` is nonnegative like Spark ``pmod``), empty docs get the
+    POLY_MOD sentinel."""
+    key = ("minhash_from_base", n_hashes)
+    if key not in _FUSED_UDF_CACHE:
+        consts = _perm_consts(n_hashes)
+
+        @pandas_udf(ArrayType(LongType()))
+        def f(base: pd.Series) -> pd.Series:
+            import numpy as np
+
+            # numpy-native flatten: per-row asarray + one concatenate.
+            # A python-level ``extend`` here iterates every gram of
+            # every doc (~1.1B appends over the 4096x tier) and was a
+            # visible fraction of the job.
+            chunks = [
+                np.asarray(arr, dtype=np.int64)
+                for arr in base
+                if arr is not None and len(arr)
+            ]
+            lens = np.fromiter(
+                (0 if arr is None else len(arr) for arr in base),
+                dtype=np.int64,
+                count=len(base),
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            h = (
+                np.concatenate(chunks)
+                if chunks
+                else np.empty(0, dtype=np.int64)
+            ) % POLY_MOD
+            starts, ends = offsets[:-1], offsets[1:]
+            nonempty = ends > starts
+            out = np.full((len(base), n_hashes), POLY_MOD, dtype=np.int64)
+            # ONE permutation per pass: the (n_grams x n_hashes) matrix
+            # form allocates multi-hundred-MB temporaries per Arrow
+            # batch at production width (64 hashes), and the page-fault
+            # churn dominated the kernel (55% sys time observed at the
+            # 4096x tier); per-perm vectors are a few MB and stream
+            # through cache. a < 2^63/POLY_MOD (asserted in
+            # _perm_consts) and h < POLY_MOD keep a*h+b inside int64.
+            if h.shape[0]:
+                ne_starts = starts[nonempty]
+                for j, (a, b) in enumerate(consts):
+                    v = (h * a + b) % POLY_MOD
+                    out[nonempty, j] = np.minimum.reduceat(v, ne_starts)
+            return pd.Series(list(out))
+
+        _FUSED_UDF_CACHE[key] = f
+    return _FUSED_UDF_CACHE[key]
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact duplicate grouping by content hash of ``cols``: adds
     ``dup_hash``, canonical ``keep_id`` (min id) and ``is_dup``."""
@@ -350,9 +413,17 @@ def minhash_bands_df(
             "id", _minhash_sig_udf(n_hashes)(F.col("grams")).alias("sig")
         )
     else:
+        # base hashes in ONE codegen transform (the point of the knob:
+        # xxhash64 is a JVM intrinsic), then the permutation mins in one
+        # Arrow fold — NOT _sig_from_base, whose n_hashes interpreted
+        # array_min passes dominate at production width (330 s -> Arrow
+        # fold at the 4096x tier; equivalence pinned by test)
         sig = grams.select(
             "id", _base_hashes(F.col("grams"), hash_fn).alias("__base")
-        ).select("id", _sig_from_base(F.col("__base"), n_hashes).alias("sig"))
+        ).select(
+            "id",
+            _minhash_sig_from_base_udf(n_hashes)(F.col("__base")).alias("sig"),
+        )
     sigs = (
         sig
         # plan-truncating barrier: Generate re-evaluates its input

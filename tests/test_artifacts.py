@@ -42,9 +42,24 @@ def test_plans_md_rows_match_registry():
     )
 
 
+# The ONLY sanctioned rows-only entries: the round-10 production-width
+# instances (queries/catalog_wide.py) whose raw-xxhash64 / 16-plane-GEMM
+# signatures are not DuckDB-replayable BY DESIGN — each returns a
+# one-row self-consistency report whose floors tests/test_wide.py
+# asserts. Anything else without an oracle is a regression.
+ROWS_ONLY_SANCTIONED = {
+    "simhash_wide_neardups",
+    "embedding_ann_wide_recall",
+    "minhash_wide_recall",
+}
+
+
 def test_every_query_has_an_oracle():
-    missing = [n for n, (_, sql) in QUERY_REGISTRY.items() if sql is None]
-    assert not missing, f"registry entries without a DuckDB oracle: {missing}"
+    missing = {n for n, (_, sql) in QUERY_REGISTRY.items() if sql is None}
+    assert missing == ROWS_ONLY_SANCTIONED, (
+        "registry entries without a DuckDB oracle beyond the sanctioned "
+        f"production-width set: {sorted(missing ^ ROWS_ONLY_SANCTIONED)}"
+    )
 
 
 def test_readme_count_matches_registry():

@@ -102,6 +102,55 @@ def test_minhash_bands_df_xxhash64_scale_knob(docs):
     assert (0, 1) in pairs
 
 
+def test_minhash_from_base_arrow_fold_matches_expression(spark):
+    """The hash_fn path's Arrow permutation fold (r10: replaces
+    n_hashes interpreted array_min passes — 330 s at the 4096x tier)
+    must be value-identical to the textbook ``_sig_from_base``
+    expression it replaced, including raw negative xxhash64 base
+    values (numpy ``%`` must match Spark ``pmod``) and empty docs
+    (POLY_MOD sentinel)."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        _base_hashes,
+        _minhash_sig_from_base_udf,
+        _sig_from_base,
+        staged_grams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, ""),
+            (4, "   "),
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    for n_hashes in (8, 64):
+        grams = staged_grams(docs, "doc_id", "text", 3)
+        base = grams.select(
+            "id", _base_hashes(F.col("grams"), F.xxhash64).alias("__base")
+        )
+        old = {
+            r.id: r.sig
+            for r in base.select(
+                "id", _sig_from_base(F.col("__base"), n_hashes).alias("sig")
+            ).collect()
+        }
+        new = {
+            r.id: r.sig
+            for r in base.select(
+                "id",
+                _minhash_sig_from_base_udf(n_hashes)(F.col("__base")).alias("sig"),
+            ).collect()
+        }
+        assert old == new, n_hashes
+        from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD
+
+        assert new[3] == [POLY_MOD] * n_hashes  # empty-doc sentinel
+
+
 def test_lsh_finds_duplicates(docs):
     pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, "doc_id", "text").collect()}
     assert (0, 1) in pairs  # exact dups always collide in every band
