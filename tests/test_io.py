@@ -499,3 +499,33 @@ def test_write_reports_concurrent_collects_all_errors(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="boom"):
         write_reports_concurrent(reports, write_one, max_threads=2)
+
+
+def test_distributed_manifest_build_matches_driver_build(spark, tmp_path):
+    """build_manifest(distributed=True) fans footer reads out as
+    executor-side mapInPandas (the 100 TB build shape — a driver loop
+    is latency-bound at ~100k files); both paths share _footer_stats
+    and must write byte-identical manifest rows, and skipping must
+    behave the same on either manifest."""
+    from dnsflow_clickhouse_spark.sources.skipping import (
+        build_manifest,
+        read_with_skipping,
+    )
+
+    path = str(tmp_path / "zoned")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 97).alias("v")
+    )
+    (
+        df.repartitionByRange(4, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(path)
+    )
+    drv = sorted(map(tuple, build_manifest(spark, path, ["user_id"]).collect()))
+    dist = sorted(
+        map(tuple, build_manifest(spark, path, ["user_id"], distributed=True).collect())
+    )
+    assert drv == dist and len(dist) == 4
+    got = read_with_skipping(spark, path, {"user_id": (1000, 1500)})
+    assert len(got.inputFiles()) < 4
+    assert got.filter(F.col("user_id").between(1000, 1500)).count() == 501
