@@ -373,38 +373,47 @@ def _plane_coeff(plane: int, dim_idx: Column) -> Column:
     return (x * x % F.lit(1009).cast("long")) - F.lit(504).cast("long")
 
 
-def hyperplane_signature_expr(vec_q: Column, n_planes: int = 8) -> Column:
-    """Bucket id in [0, 2^n_planes): bit p = sign of <v, h_p>.
+def hyperplane_signature_expr(
+    vec_q: Column, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Bucket id in [0, 2^n_planes): bit p = sign of <v, h_{p+offset}>.
 
     Pure-expression form (interpreted; n_planes x dim work per row) —
     kept as the portable reference the oracles replay and the parity
-    test pins; bulk paths use :func:`hyperplane_signature`."""
+    test pins; bulk paths use :func:`hyperplane_signature`.
+    ``plane_offset`` selects a disjoint plane family — hash table t of
+    a multi-table index uses offset ``t * n_planes``."""
     dims = F.sequence(F.lit(0), F.size(vec_q) - 1)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = F.aggregate(
             dims,
             F.lit(0).cast("long"),
-            lambda acc, i: acc + F.element_at(vec_q, (i + 1).cast("int")) * _plane_coeff(p, i),
+            lambda acc, i: acc
+            + F.element_at(vec_q, (i + 1).cast("int"))
+            * _plane_coeff(p + plane_offset, i),
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
 
 
-def _plane_matrix(n_planes: int, dim: int):
-    """The (n_planes, dim) coefficient matrix of :func:`_plane_coeff`,
-    replayed in exact int64 numpy arithmetic (x*x stays < 2^53 so every
-    engine agrees)."""
+def _plane_matrix(n_planes: int, dim: int, plane_offset: int = 0):
+    """The (n_planes, dim) coefficient matrix of :func:`_plane_coeff`
+    for planes [plane_offset, plane_offset + n_planes), replayed in
+    exact int64 numpy arithmetic (x*x stays < 2^53 so every engine
+    agrees)."""
     import numpy as np
 
     i = np.arange(dim, dtype=np.int64)
-    p = np.arange(n_planes, dtype=np.int64)
+    p = np.arange(plane_offset, plane_offset + n_planes, dtype=np.int64)
     x = (i[None, :] + 1) * (2654435761 % 1_000_003) + (p[:, None] * 97 + 13)
     return (x * x) % 1009 - 504
 
 
-def hyperplane_signature(vec_q: Column, n_planes: int = 8) -> Column:
-    """Bucket id in [0, 2^n_planes): bit p = sign of <v, h_p>.
+def hyperplane_signature(
+    vec_q: Column, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Bucket id in [0, 2^n_planes): bit p = sign of <v, h_{p+offset}>.
 
     Arrow kernel: one int64 GEMM per batch against the deterministic
     coefficient matrix — bit-identical to
@@ -421,13 +430,13 @@ def hyperplane_signature(vec_q: Column, n_planes: int = 8) -> Column:
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         try:
             mat = np.stack([np.asarray(v, dtype=np.int64) for v in q])
-            proj = mat @ _plane_matrix(n_planes, mat.shape[1]).T
+            proj = mat @ _plane_matrix(n_planes, mat.shape[1], plane_offset).T
             out = ((proj > 0).astype(np.int64) @ weights)
         except ValueError:  # ragged dims
             out = np.empty(n, dtype=np.int64)
             for j in range(n):
                 v = np.asarray(q.iloc[j], dtype=np.int64)
-                pr = _plane_matrix(n_planes, len(v)) @ v
+                pr = _plane_matrix(n_planes, len(v), plane_offset) @ v
                 out[j] = int(((pr > 0).astype(np.int64) * weights).sum())
         return pd.Series(out)
 
@@ -547,6 +556,7 @@ def hyperplane_lsh_topk(
     n_planes: int = 8,
     exclude_self: bool = True,
     multiprobe: bool = False,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: compare only vectors sharing the query's hyperplane
     bucket. Recall < 1 by construction; the scale win is that the join
@@ -558,13 +568,52 @@ def hyperplane_lsh_topk(
     across ONE hyperplane become reachable, at (n_planes+1)x the probe
     rows on the QUERY side only (the corpus index is untouched, and a
     corpus vector still matches a query at most once since the probed
-    buckets are distinct)."""
-    q = (
-        _staged(queries, id_col, vec_col, "query_id")
-        .withColumnRenamed("q", "qv")
-        .withColumnRenamed("nrm", "qn")
-        .withColumn("bucket", hyperplane_signature(F.col("qv"), n_planes))
-    )
+    buckets are distinct).
+
+    ``n_tables > 1`` builds the OTHER standard recall dial: L
+    independent hash tables (table t hashes with the disjoint plane
+    family [t*n_planes, (t+1)*n_planes)); a pair is a candidate if it
+    collides in ANY table — P(miss) = (1 - (1-theta/pi)^n_planes)^L
+    drops geometrically in L. Cost is L x the index rows on BOTH sides
+    (the classic LSH memory/recall trade) and the join key becomes
+    (table, bucket), still a plain equi-join. A pair colliding in
+    several tables (or several probes) is deduplicated BEFORE scoring,
+    so each candidate pays its dot product exactly once. Composes with
+    ``multiprobe`` (flips within each table's bucket)."""
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+
+    def _indexed(df: DataFrame, out_id: str, vcol: str, ncol: str) -> DataFrame:
+        staged = (
+            _staged(df, id_col, vec_col, out_id)
+            .withColumnRenamed("q", vcol)
+            .withColumnRenamed("nrm", ncol)
+        )
+        if n_tables == 1:
+            # single-table path kept byte-identical to the pre-knob plan
+            # (no table column, no pair dedup) — the oracled catalog
+            # entries pin it
+            return staged.withColumn(
+                "bucket", hyperplane_signature(F.col(vcol), n_planes)
+            )
+        return staged.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            hyperplane_signature(
+                                F.col(vcol), n_planes, plane_offset=t * n_planes
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("*", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")).drop("tb")
+
+    q = _indexed(queries, "query_id", "qv", "qn")
     if multiprobe:
         q = q.withColumn(
             "bucket",
@@ -578,15 +627,15 @@ def hyperplane_lsh_topk(
                 )
             ),
         )
-    c = (
-        _staged(corpus, id_col, vec_col, "neighbor_id")
-        .withColumnRenamed("q", "cv")
-        .withColumnRenamed("nrm", "cn")
-        .withColumn("bucket", hyperplane_signature(F.col("cv"), n_planes))
-    )
-    pairs = q.join(c, "bucket")
+    c = _indexed(corpus, "neighbor_id", "cv", "cn")
+    join_key = ["bucket"] if n_tables == 1 else ["table", "bucket"]
+    pairs = q.join(c, join_key)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    if n_tables > 1:
+        # a pair may collide in several tables; all its rows carry the
+        # same staged vectors, so keep-any is deterministic values-wise
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
     scored = pairs.select(
         "query_id",
         "neighbor_id",

@@ -40,9 +40,11 @@ semdedup_keep, neardup_kcore, dedup_recall_report, segment_dedup_docs)
 #5: simhash_wide_neardups, embedding_ann_wide_recall,
 minhash_wide_recall; rows-only — raw xxhash64 / 16-plane GEMM
 signatures are not DuckDB-replayable — with self-consistency floors
-pinned in tests/test_wide.py), then the oldest-green-first fill
-(r6-latest cohort per tools/rotate_window.py over
-CORRECTNESS_r01-r09).
+pinned in tests/test_wide.py), then embedding_lsh_multitable (new r10:
+the L-independent-hash-tables recall dial, fully oracled — the plane
+family simply shifts by t*n_planes, which the portable coefficient
+formula replays), then the oldest-green-first fill (r6-latest cohort
+per tools/rotate_window.py over CORRECTNESS_r01-r09).
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -122,6 +124,8 @@ _PRIORITY = [
     "simhash_wide_neardups",
     "embedding_ann_wide_recall",
     "minhash_wide_recall",
+    # multi-table hyperplane LSH (new r10, fully oracled)
+    "embedding_lsh_multitable",
     # --- oldest-green-first fill (r6-latest cohort) ---
     "multimodal_features",
     "ngram_jaccard_pairs",
@@ -155,7 +159,6 @@ _PRIORITY = [
     "ip_function_rollup",
     "lang_id_prf1",
     "null_semantics_report",
-    "pack_sequences",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -441,10 +441,10 @@ def embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
-def _sql_bucket(vcol: str) -> str:
+def _sql_bucket(vcol: str, plane_offset: int = 0) -> str:
     terms = []
     for p in range(N_PLANES):
-        x = f"(CAST(i + 1 AS BIGINT) * {_C} + {p * 97 + 13})"
+        x = f"(CAST(i + 1 AS BIGINT) * {_C} + {(p + plane_offset) * 97 + 13})"
         proj = (
             f"list_sum(list_transform(generate_series(0, len({vcol}) - 1), "
             f"i -> {vcol}[i + 1] * (({x} * {x}) % 1009 - 504)))"
@@ -1809,3 +1809,52 @@ FROM {prev} GROUP BY a ORDER BY id
 
 
 MLOPS_REGISTRY["neardup_kcore"] = (neardup_kcore, _sql_kcore())
+
+
+# --- multi-table hyperplane LSH (round 10) ---------------------------------
+
+N_LSH_TABLES = 2
+
+
+def embedding_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-table hyperplane-LSH ANN top-3: two independent 8-plane hash
+    tables over disjoint plane families; a pair is a candidate if it
+    collides in EITHER table (P(miss) squares with the second table —
+    the standard LSH recall dial that composes with multiprobe). Each
+    surviving pair is deduplicated before scoring, so the dot-product
+    cost is per-candidate, not per-collision."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        e.filter(F.col("vec_id") < KNN_QUERIES), e, "vec_id", "embedding",
+        KNN_K, N_PLANES, n_tables=N_LSH_TABLES,
+    ).orderBy("query_id", "rnk")
+
+
+def _sql_multitable() -> str:
+    table_joins = "\n  UNION\n".join(
+        f"""  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM (SELECT vec_id, {_sql_bucket('qv', plane_offset=t * N_PLANES)} AS bucket FROM q) a
+  JOIN (SELECT vec_id, {_sql_bucket('qv', plane_offset=t * N_PLANES)} AS bucket FROM q) b
+    ON a.bucket = b.bucket AND a.vec_id < {KNN_QUERIES} AND a.vec_id != b.vec_id"""
+        for t in range(N_LSH_TABLES)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings),
+cand AS (
+{table_joins}
+),
+pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+         floor(list_dot_product(x.qv, y.qv)
+               / (sqrt(list_dot_product(x.qv, x.qv)) * sqrt(list_dot_product(y.qv, y.qv))) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM cand c JOIN q x ON x.vec_id = c.query_id JOIN q y ON y.vec_id = c.neighbor_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {KNN_K} ORDER BY query_id, rnk
+"""
+
+
+MLOPS_REGISTRY["embedding_lsh_multitable"] = (
+    embedding_lsh_multitable, _sql_multitable()
+)

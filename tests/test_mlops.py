@@ -231,10 +231,54 @@ def test_hyperplane_signature_arrow_matches_expr(spark):
         "vec_id",
         hyperplane_signature(F.col("q"), 8).alias("arrow_sig"),
         hyperplane_signature_expr(F.col("q"), 8).alias("expr_sig"),
+        # r10 multi-table knob: table t hashes with the disjoint plane
+        # family at offset t*n_planes — kernel/expr parity must hold at
+        # every offset, and the offset family must actually differ
+        hyperplane_signature(F.col("q"), 8, plane_offset=8).alias("arrow_t1"),
+        hyperplane_signature_expr(F.col("q"), 8, plane_offset=8).alias("expr_t1"),
     ).collect()
     assert len(both) == 201
     for r in both:
         assert r.arrow_sig == r.expr_sig, r.vec_id
+        assert r.arrow_t1 == r.expr_t1, r.vec_id
+    assert any(r.arrow_sig != r.arrow_t1 for r in both), (
+        "offset plane family degenerated to the table-0 hashes"
+    )
+
+
+def test_multitable_lsh_recall_dominates_single_table(spark):
+    """L independent tables can only ADD candidates (table 0 IS the
+    single-table hashing), so recall against the exact top-k is
+    monotone in n_tables; and the n_tables=1 path must stay the
+    pre-knob plan (same rows)."""
+    import random
+
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_lsh_topk,
+    )
+
+    rnd = random.Random(23)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = vecs.filter(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(qs, vecs, "vec_id", "embedding", k=3).collect()
+    }
+
+    def hits(n_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in hyperplane_lsh_topk(
+                qs, vecs, "vec_id", "embedding", k=3, n_tables=n_tables
+            ).collect()
+        }
+        return len(got & exact)
+
+    h1, h2, h4 = hits(1), hits(2), hits(4)
+    assert h1 <= h2 <= h4, (h1, h2, h4)
+    assert h4 > h1, "4 tables found nothing beyond table 0 on random vectors"
 
 
 def test_hyperplane_lsh_subset_of_exact(spark):
