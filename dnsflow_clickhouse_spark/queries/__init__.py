@@ -20,7 +20,7 @@ FULL-SWEEP-PER-ROUND POLICY (r8 verdict ask #1, adopted round 9): on
 top of the 50-slot driver window, every round the builder runs the
 DuckDB oracle gate over the ENTIRE registry —
 ``python tools/verify_oracle.py /root/testdata/sf0.01 --json
-SWEEP_VERIFY_r{N}.json`` (~10 min for 204 queries) — and commits the
+SWEEP_VERIFY_r{N}.json`` (~10 min for the 208-query registry) — and commits the
 artifact. Every query therefore carries a same-round attestation every
 round; the driver window remains the independent re-check (smoke +
 changed + new + oldest-first), not the only evidence. This permanently
