@@ -15,9 +15,10 @@ of raw pairs:
   LOSSLESS by pigeonhole) — the report re-proves losslessness against
   an exact all-pairs Hamming scan over a capped, deterministic doc
   subset.
-- ``embedding_ann_wide_recall``: 16-plane multi-probe hyperplane LSH
-  recall@1 against the exact GEMM top-1 on deterministically perturbed
-  near-dup queries (the geometry ANN is deployed for).
+- ``embedding_ann_wide_recall``: 16-plane / 2-table multi-probe
+  hyperplane LSH recall@1 against the exact GEMM top-1 on
+  deterministically perturbed near-dup queries (the geometry ANN is
+  deployed for).
 - ``minhash_wide_recall``: 64-hash/16-band xxhash64 MinHash-LSH
   candidates (with the round-10 ``max_bucket_size`` guard engaged at
   its production setting) measured against the exact Jaccard >= 0.7
@@ -46,7 +47,7 @@ from dnsflow_clickhouse_spark.sources.tables import load_table
 EXACT_CAP = 2048
 
 SIMHASH_BITS, SIMHASH_BANDS, SIMHASH_MAXHAM = 64, 8, 7
-ANN_PLANES = 16
+ANN_PLANES, ANN_TABLES = 16, 2
 MH_HASHES, MH_BANDS, MH_BUCKET_CAP = 64, 16, 100_000
 
 
@@ -127,7 +128,9 @@ def embedding_ann_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNPERTURBED top-10 sits at cosine ~0.37 (random-vector range),
     where any LSH's recall is a property of the data, not the
     operator. Expected here: per-plane flip prob ~theta/pi ~1%,
-    P(0 flips) ~0.85, multiprobe covers 1 flip -> recall ~0.98.
+    P(0 flips) ~0.85, multiprobe covers 1 flip -> ~0.98 per table;
+    the second independent table (r10 n_tables knob) squares the
+    remaining miss probability -> ~0.999.
 
     The candidate index is built over the FULL corpus — only the query
     set is capped, which is also the production shape (queries bounded
@@ -180,6 +183,7 @@ def embedding_ann_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
         n_planes=ANN_PLANES,
         multiprobe=True,
+        n_tables=ANN_TABLES,
     ).select("query_id", "neighbor_id")
     hits = exact.join(ann, ["query_id", "neighbor_id"], "semi")
     return (
