@@ -238,6 +238,18 @@ def main() -> None:
         "idle_gate_waited_s": idle_waited,
     }
 
+    # A/B adjudication (r10 verdict #1): movers >1.25x vs the previous
+    # round's committed bench re-time on BOTH code versions side by
+    # side, so ambient-load phantoms self-clear in the artifact itself.
+    # Disable with SPARK_GRAFT_AB=0 (e.g. iterating locally).
+    if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        from ab_bench import adjudicate
+
+        ab = adjudicate(Path(__file__).resolve().parent, timings, sf_dir)
+    else:
+        ab = {"prev_round": None, "flagged": [], "disabled": True}
+
     detail = {
         "metric": "catalog_total_wall",
         "value": round(total, 3),
@@ -253,6 +265,7 @@ def main() -> None:
         # wall minus the summed per-report clocks = inter-job driver
         # overhead of the sequential fan-out
         "dns_batch_fanout_overhead": fanout_overhead,
+        "ab": ab,
         "sf": sf,
         "notes": {
             "prefix_jaccard_pairs": (
@@ -286,6 +299,13 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    # stdout line must stay well under the driver's tail-capture bound:
+    # cap the inline ab rows (full copy lives in BENCH_DETAIL.json)
+    ab_line = dict(ab)
+    if len(ab_line.get("flagged", [])) > 6:
+        ab_line["flagged_omitted"] = len(ab_line["flagged"]) - 6
+        ab_line["flagged"] = ab_line["flagged"][:6]
+    ab_line.pop("policy", None)
     print(
         json.dumps(
             {
@@ -297,6 +317,7 @@ def main() -> None:
                 "dns_batch_wall": round(dns_wall, 3),
                 "dns_batch_wall_concurrent": round(dns_wall_con, 3),
                 "noise_guard": noise_guard,
+                "ab": ab_line,
                 "queries": slowest,
             }
         )

@@ -109,16 +109,21 @@ def poly_hashes_arrow(arrs: pd.Series) -> pd.Series:
 def _perm_consts(n: int) -> list[tuple[int, int]]:
     consts = [((2 * i + 1) * 1_146_7 + 1, (i * i + 7) * 9_973 + 3) for i in range(n)]
     # overflow guard for _sig_from_base's a*h' + b under ANSI mode:
-    # h' < POLY_MOD after the pmod reduction, so a must stay below
-    # 2^63 / POLY_MOD (~9.2e9) — a grows ~2*n*11467, so this binds
-    # only past n ~ 4e5 hashes, far beyond any real signature width,
-    # but assert it so the failure mode is a clear error, not a wrap
+    # h' <= POLY_MOD-1 after the pmod reduction, so the worst case of
+    # the WHOLE protected expression is a*(POLY_MOD-1) + b — bounding
+    # only a < 2^63/POLY_MOD would let b (~n^2*9973) eat the remaining
+    # headroom and wrap silently for n just under the a-bound. a grows
+    # ~2*n*11467, so this binds only past n ~ 4e5 hashes, far beyond
+    # any real signature width; ValueError (not assert) so the guard
+    # survives `python -O`.
     from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD as _M
 
-    assert not consts or consts[-1][0] < 2**63 // _M, (
-        f"n_hashes={n} drives permutation constant a={consts[-1][0]} past "
-        f"the int64-safe bound 2^63/POLY_MOD"
-    )
+    if consts and consts[-1][0] * (_M - 1) + consts[-1][1] >= 2**63:
+        raise ValueError(
+            f"n_hashes={n} drives the permutation fold a*h'+b "
+            f"(a={consts[-1][0]}, b={consts[-1][1]}) past int64: "
+            f"a*(POLY_MOD-1)+b must stay below 2^63"
+        )
     return consts
 
 
@@ -505,14 +510,16 @@ def lsh_candidate_pairs(
     degenerate bucket — e.g. thousands of empty-normalized docs sharing
     a signature — expands to a quadratic pair list (1000 ids -> ~500k
     pairs) on a single aggregation row. When set, buckets with more
-    than ``max_bucket_size`` members are DROPPED before pair expansion
-    and the dropped bucket count + max observed size are logged
-    (planning-time action on the compact bucketed frame, which stays
-    materialized for the pair expansion). Lossy by construction: a pair
-    inside a dropped bucket survives only if it also shares a smaller
-    bucket in another band — so at scale route members of dropped
-    buckets to an exact-hash dedup pass instead (they are near-identical
-    by definition). Unset, behavior and oracle hashes are unchanged.
+    than ``max_bucket_size`` members are DROPPED before pair expansion.
+    The function stays a PURE PLAN BUILDER either way (round-11, was an
+    eager audit job at call time): the drop count and max observed
+    bucket size are available via :func:`lsh_hot_bucket_audit` as an
+    explicit separate job, which also logs the drop warning.
+    Lossy by construction: a pair inside a dropped bucket survives only
+    if it also shares a smaller bucket in another band — so at scale
+    route members of dropped buckets to an exact-hash dedup pass
+    instead (they are near-identical by definition). Unset, behavior
+    and oracle hashes are unchanged.
     """
     if sig_df is not None:
         banded = _bands_from_sigs(sig_df, n_bands, n_hashes // n_bands)
@@ -526,27 +533,52 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
-        # barrier so the audit count and the pair expansion share one
-        # computation of the (compact: one row per occupied bucket)
-        # bucketed frame instead of re-running the signature pipeline
-        buckets = buckets.localCheckpoint(eager=False)
-        hot = (
-            buckets.filter(F.size("ids") > max_bucket_size)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(F.size("ids")).alias("mx"),
-            )
-            .collect()[0]
-        )
-        if hot.n:
-            _LOG.warning(
-                "lsh_candidate_pairs: dropped %d hot bucket(s) over "
-                "max_bucket_size=%d (largest had %d members); pairs "
-                "confined to those buckets are NOT emitted",
-                hot.n, max_bucket_size, hot.mx,
-            )
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+        out = _bucket_pairs(buckets.filter(F.size("ids") <= max_bucket_size))
+        # carried for lsh_hot_bucket_audit; plain attribute — DataFrame
+        # transformations downstream do NOT propagate it (read the audit
+        # off the frame this function returned). NOT an Observation:
+        # observe-metrics below a downstream dropDuplicates/aggregate
+        # are silently lost on this plan shape (verified on Spark
+        # 4.1.2), so the audit is an explicit separate job instead.
+        out._lsh_hot_bucket_audit = (buckets, max_bucket_size)
+        return out
     return _bucket_pairs(buckets)
+
+
+def lsh_hot_bucket_audit(pairs_df: DataFrame) -> dict | None:
+    """Hot-bucket guard audit for a frame returned by
+    :func:`lsh_candidate_pairs` with ``max_bucket_size`` set: runs ONE
+    dedicated aggregate job over the bucketed frame (this re-executes
+    the signature pipeline — diagnostics you invoke when you want the
+    numbers, never a hidden cost inside the plan builder) and logs a
+    warning when buckets were dropped.
+
+    Returns ``{"n_hot": dropped-bucket count, "max_bucket": largest
+    observed bucket size (None when no bucket had >1 member),
+    "max_bucket_size": the cap}``; ``None`` when the frame carries no
+    audit tag (knob unset, or a derived frame rather than the one the
+    builder returned)."""
+    tagged = getattr(pairs_df, "_lsh_hot_bucket_audit", None)
+    if tagged is None:
+        return None
+    buckets, cap = tagged
+    row = buckets.agg(
+        F.sum((F.size("ids") > cap).cast("long")).alias("n_hot"),
+        F.max(F.size("ids")).alias("max_bucket"),
+    ).collect()[0]
+    n_hot = int(row["n_hot"] or 0)
+    if n_hot:
+        _LOG.warning(
+            "lsh_candidate_pairs: dropped %d hot bucket(s) over "
+            "max_bucket_size=%d (largest had %d members); pairs "
+            "confined to those buckets are NOT emitted",
+            n_hot, cap, row["max_bucket"],
+        )
+    return {
+        "n_hot": n_hot,
+        "max_bucket": row["max_bucket"],
+        "max_bucket_size": cap,
+    }
 
 
 def simhash(

@@ -71,3 +71,116 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _jdbc_connect(spark: SparkSession, url: str, properties: dict[str, str] | None):
+    """Driver-side ``java.sql.Connection`` through the py4j gateway —
+    the control channel for the idempotent sink's tiny bookkeeping
+    statements (exists-check, scrub, commit mark). Registers the driver
+    class first when given (Spark's own JDBC path does the same)."""
+    jvm = spark._jvm
+    props = dict(properties or {})
+    drv = props.pop("driver", None)
+    if drv:
+        jvm.java.lang.Class.forName(drv)
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    return jvm.java.sql.DriverManager.getConnection(url, jprops)
+
+
+def write_jdbc_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batch_id: int,
+    batchsize: int = 100_000,
+    num_partitions: int = 1,
+    properties: dict[str, str] | None = None,
+    on_before_commit_mark=None,
+) -> str:
+    """Exactly-once-per-batch JDBC sink — the reference's real sink is
+    a bare JDBC append whose retries DUPLICATE rows (ClickUtils.scala:
+    29-32 swallows errors; ``isolationLevel=NONE``). This wrapper makes
+    a replayed batch converge to one copy, mirroring
+    ``io.write_report_idempotent``'s parquet contract for the JDBC
+    backend (round-10 verdict #3):
+
+    1. a ``<table>__commits (batch_id)`` marker table records which
+       batches have COMPLETED;
+    2. a replay whose ``batch_id`` is already marked returns
+       ``"skipped"`` without touching data;
+    3. an unmarked replay first DELETEs the batch's stragglers (rows a
+       crashed attempt wrote before dying — every data row carries its
+       ``batch_id``), appends the batch, then inserts the commit mark
+       LAST. A crash at any point leaves either (no mark, partial rows
+       -> scrubbed and rewritten on replay) or (mark present, full rows
+       -> skipped on replay); duplicates are impossible at any retry
+       count.
+
+    Safe from ``foreachBatch`` with the streaming batch id (Spark
+    replays a failed batch under the same id). The bookkeeping
+    statements are driver-side single-row JDBC ops; the data append is
+    Spark's distributed JDBC writer, untouched. Scale note: the DELETE
+    is keyed on ``batch_id`` — on a real warehouse give the column an
+    index (ClickHouse: partition by batch_id, drop-partition instead of
+    delete). Returns ``"written"`` or ``"skipped"``.
+
+    ``on_before_commit_mark`` (tests/ops hook): called after the data
+    append, before the mark insert — the restart drill raises here to
+    simulate the kill window.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    commits = f"{table}__commits"
+    bid = int(batch_id)
+    conn = _jdbc_connect(spark, url, properties)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(
+                f"CREATE TABLE {commits} (batch_id BIGINT PRIMARY KEY)"
+            )
+        except Exception:
+            pass  # exists already (Derby has no IF NOT EXISTS)
+        rs = st.executeQuery(
+            f"SELECT 1 FROM {commits} WHERE batch_id = {bid}"
+        )
+        committed = rs.next()
+        rs.close()
+        if committed:
+            return "skipped"
+        try:
+            # Spark's JDBC writer quotes COLUMN identifiers (the table
+            # name passes through verbatim), so the scrub must quote
+            # "batch_id" the same way or Derby/ANSI folds it to
+            # BATCH_ID and misses — a silent miss here is exactly the
+            # duplicate-on-retry this sink exists to prevent
+            st.executeUpdate(
+                f'DELETE FROM {table} WHERE "batch_id" = {bid}'
+            )
+        except Exception:
+            # acceptable ONLY when the data table itself does not exist
+            # yet (first-ever batch); any other scrub failure must
+            # surface — swallowing it re-opens the duplicate window
+            try:
+                st.executeQuery(f"SELECT 1 FROM {table}").close()
+            except Exception:
+                pass  # table truly absent: nothing to scrub
+            else:
+                raise
+        write_jdbc(
+            df.withColumn("batch_id", F.lit(bid)),
+            url,
+            table,
+            batchsize=batchsize,
+            num_partitions=num_partitions,
+            properties=properties,
+        )
+        if on_before_commit_mark is not None:
+            on_before_commit_mark()
+        st.executeUpdate(f"INSERT INTO {commits} VALUES ({bid})")
+        return "written"
+    finally:
+        conn.close()

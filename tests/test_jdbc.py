@@ -52,3 +52,73 @@ def test_jdbc_read_filter_pushdown(spark):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     # the comparison is pushed to the remote scan, not a Spark Filter
     assert "PushedFilters: [" in plan
+
+
+def test_jdbc_idempotent_write_skips_committed_batch(spark):
+    from dnsflow_clickhouse_spark.sources.dims import write_jdbc_idempotent
+
+    got = write_jdbc_idempotent(
+        _people(spark), _URL, "people_idem", batch_id=7, properties=_PROPS
+    )
+    assert got == "written"
+    # replay of a COMMITTED batch is a no-op
+    assert (
+        write_jdbc_idempotent(
+            _people(spark), _URL, "people_idem", batch_id=7, properties=_PROPS
+        )
+        == "skipped"
+    )
+    back = read_jdbc(spark, _URL, "people_idem", properties=_PROPS)
+    assert back.count() == 3
+    # a different batch id appends beside it (normal multi-batch append)
+    write_jdbc_idempotent(
+        _people(spark), _URL, "people_idem", batch_id=8, properties=_PROPS
+    )
+    assert read_jdbc(spark, _URL, "people_idem", properties=_PROPS).count() == 6
+
+
+def test_jdbc_idempotent_recovers_kill_between_write_and_mark(spark):
+    """r10 verdict #3 drill shape: the process dies AFTER the data
+    append but BEFORE the commit mark — the partial batch's rows are on
+    the table with no mark; the replay must scrub and rewrite them,
+    converging to exactly one copy (the reference's bare append would
+    hold six rows here)."""
+    import pytest
+
+    from dnsflow_clickhouse_spark.sources.dims import write_jdbc_idempotent
+
+    class _Kill(RuntimeError):
+        pass
+
+    def _die():
+        raise _Kill("killed between data append and commit mark")
+
+    with pytest.raises(_Kill):
+        write_jdbc_idempotent(
+            _people(spark),
+            _URL,
+            "people_crash",
+            batch_id=1,
+            properties=_PROPS,
+            on_before_commit_mark=_die,
+        )
+    # partial state: data rows landed, batch never marked
+    back = read_jdbc(spark, _URL, "people_crash", properties=_PROPS)
+    assert back.count() == 3
+
+    got = write_jdbc_idempotent(
+        _people(spark), _URL, "people_crash", batch_id=1, properties=_PROPS
+    )
+    assert got == "written"  # unmarked -> scrub + rewrite, not skip
+    back = read_jdbc(spark, _URL, "people_crash", properties=_PROPS)
+    assert back.count() == 3, "replay duplicated the crashed batch"
+    ids = sorted(r["ID"] if "ID" in r.asDict() else r["id"] for r in back.collect())
+    assert ids == [1, 2, 3]
+
+    # and now it IS marked
+    assert (
+        write_jdbc_idempotent(
+            _people(spark), _URL, "people_crash", batch_id=1, properties=_PROPS
+        )
+        == "skipped"
+    )

@@ -1,0 +1,223 @@
+"""Automated bench A/B adjudication (round-10 verdict, next-round #1).
+
+Two rounds in a row the driver's per-round BENCH artifact shipped
+phantom movers — queries reading 1.3-1.9x their prior-round minimums
+under ambient VM load, with zero code delta — and only a MANUAL re-time
+of the flagged queries on the previous round's code cleared them. This
+tool makes that adjudication part of the bench protocol itself:
+
+1. flag: any query common to this bench run and the previous round's
+   committed bench detail whose current min exceeds ``FLAG_RATIO``
+   (1.25x) of the previous round's min, with absolute floors so micro
+   queries don't flag on scheduler jitter;
+2. re-time: the flagged set runs again on BOTH code versions — the
+   current tree and a detached git worktree of the previous round's
+   final code (the commit that added ``BENCH_r{N-1}.json`` — the
+   driver's round-boundary commit) — each in its own fresh subprocess
+   via that tree's own ``tools/time_queries.py``, back to back in the
+   same box session so both sides share the same weather;
+3. verdict: ``"regression"`` when current code still exceeds
+   ``FLAG_RATIO`` x previous code (and the delta clears the floor),
+   ``"ambient"`` when the side-by-side re-time shows the two code
+   versions within noise of each other (the artifact's mover was the
+   VM, not the engine).
+
+``bench.py`` calls :func:`adjudicate` after its passes and embeds the
+row list ``{query, prev_round_s, final_bench_s, prev_code_s,
+cur_code_s, ratio, verdict}`` as the ``ab`` section of the bench line
+(full copy in BENCH_DETAIL.json). Any git/subprocess failure degrades
+to ``verdict: "unadjudicated"`` rows — the bench must never crash on
+the adjudicator's account.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+FLAG_RATIO = 1.25
+# floors: previous min must be big enough that a ratio is meaningful,
+# and the absolute delta must exceed the documented cross-round jitter
+# for sub-2s queries (bench.py notes: +-0.3-0.8s from pass-order heat)
+FLAG_PREV_FLOOR_S = 0.8
+FLAG_DELTA_FLOOR_S = 0.4
+MAX_ADJUDICATED = 8
+CHILD_TIMEOUT_S = 1800
+
+
+def _git(repo: Path, *args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", str(repo), *args],
+        capture_output=True, text=True, check=True, timeout=120,
+    ).stdout.strip()
+
+
+def find_prev_round(repo: Path) -> tuple[int, str] | None:
+    """(round number, commit sha) of the previous round's final code:
+    the commit that ADDED the newest ``BENCH_r{N}.json`` is the driver's
+    round-boundary commit, whose tree is that round's final code and
+    whose ``BENCH_DETAIL.json`` is that round's full per-query bench."""
+    rounds = []
+    for p in repo.glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    if not rounds:
+        return None
+    n = max(rounds)
+    sha = _git(
+        repo, "log", "--diff-filter=A", "--format=%H", "--",
+        f"BENCH_r{n:02d}.json",
+    ).splitlines()
+    return (n, sha[0]) if sha else None
+
+
+def prev_round_timings(repo: Path, commit: str) -> dict[str, float]:
+    """Full per-query minimums of the previous round's bench — the
+    ``queries`` map of BENCH_DETAIL.json as committed at the round
+    boundary (the driver commits its own run's detail)."""
+    raw = _git(repo, "show", f"{commit}:BENCH_DETAIL.json")
+    return {k: float(v) for k, v in json.loads(raw)["queries"].items()}
+
+
+def flag_movers(
+    cur: dict[str, float], prev: dict[str, float]
+) -> list[tuple[str, float, float]]:
+    """(name, cur_s, prev_s) for every common query over the mover bar,
+    worst ratio first."""
+    out = []
+    for name, cur_s in cur.items():
+        prev_s = prev.get(name)
+        if prev_s is None or prev_s < FLAG_PREV_FLOOR_S:
+            continue
+        if cur_s > FLAG_RATIO * prev_s and cur_s - prev_s > FLAG_DELTA_FLOOR_S:
+            out.append((name, cur_s, prev_s))
+    return sorted(out, key=lambda t: t[1] / t[2], reverse=True)
+
+
+def ensure_worktree(repo: Path, commit: str) -> Path:
+    wt = Path(f"/tmp/ab_prev_{commit[:10]}")
+    if not (wt / "tools" / "time_queries.py").exists():
+        subprocess.run(
+            ["git", "-C", str(repo), "worktree", "prune"],
+            capture_output=True, timeout=60,
+        )
+        if wt.exists():
+            subprocess.run(
+                ["git", "-C", str(repo), "worktree", "remove", "--force", str(wt)],
+                capture_output=True, timeout=60,
+            )
+        _git(repo, "worktree", "add", "--detach", str(wt), commit)
+    return wt
+
+
+_MIN_RE = re.compile(r"^(\S+): .*min=([\d.]+)s", re.M)
+
+
+def time_subset(
+    tree: Path, names: list[str], sf_dir: str, repeat: int = 2
+) -> dict[str, float]:
+    """Run ``tree``'s own tools/time_queries.py over ``names`` in a
+    fresh subprocess (its sys.path points at ``tree``, so the queries
+    AND every operator they lazily import come from that code version —
+    an in-process module swap cannot guarantee that) and parse the
+    stable ``name: ... min=X.XXs`` lines."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, str(tree / "tools" / "time_queries.py"),
+         sf_dir, *names, "--repeat", str(repeat)],
+        capture_output=True, text=True, cwd=str(tree),
+        timeout=CHILD_TIMEOUT_S, env=env,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"time_queries child in {tree} rc={r.returncode}: "
+            f"{(r.stderr or '')[-500:]}"
+        )
+    return {m.group(1): float(m.group(2)) for m in _MIN_RE.finditer(r.stdout)}
+
+
+def adjudicate(
+    repo: Path, cur_timings: dict[str, float], sf_dir: str
+) -> dict:
+    """The full protocol; returns the ``ab`` section for the bench
+    artifact. Never raises."""
+    try:
+        prev = find_prev_round(repo)
+        if prev is None:
+            return {"prev_round": None, "flagged": []}
+        n, commit = prev
+        prev_t = prev_round_timings(repo, commit)
+        movers = flag_movers(cur_timings, prev_t)
+        section: dict = {
+            "prev_round": n,
+            "prev_commit": commit[:10],
+            "policy": (
+                f"mover >{FLAG_RATIO}x prev-round min (floors "
+                f"{FLAG_PREV_FLOOR_S}/{FLAG_DELTA_FLOOR_S}s) -> side-by-side "
+                "re-time on prev-round worktree vs current tree, fresh "
+                "subprocess each, min-of-2"
+            ),
+            "flagged": [],
+        }
+        if not movers:
+            return section
+        if len(movers) > MAX_ADJUDICATED:
+            section["truncated_movers"] = len(movers) - MAX_ADJUDICATED
+            movers = movers[:MAX_ADJUDICATED]
+        names = [m[0] for m in movers]
+        wt = ensure_worktree(repo, commit)
+        prev_code = time_subset(wt, names, sf_dir)
+        cur_code = time_subset(repo, names, sf_dir)
+        for name, cur_s, prev_s in movers:
+            pc, cc = prev_code.get(name), cur_code.get(name)
+            if pc is None or cc is None:
+                verdict = "unadjudicated"
+                ratio = None
+            else:
+                ratio = round(cc / pc, 3) if pc > 0 else None
+                verdict = (
+                    "regression"
+                    if cc > FLAG_RATIO * pc and cc - pc > FLAG_DELTA_FLOOR_S
+                    else "ambient"
+                )
+            section["flagged"].append({
+                "query": name,
+                "prev_round_s": round(prev_s, 3),
+                "final_bench_s": round(cur_s, 3),
+                "prev_code_s": pc,
+                "cur_code_s": cc,
+                "ratio": ratio,
+                "verdict": verdict,
+            })
+        return section
+    except Exception as exc:  # the bench must survive the adjudicator
+        return {
+            "prev_round": None,
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+            "flagged": [],
+        }
+
+
+def main() -> None:
+    """CLI: ``python tools/ab_bench.py [sf_dir]`` reads the current
+    BENCH_DETAIL.json as 'this run' and adjudicates it — the manual
+    form of what bench.py now does inline."""
+    repo = Path(__file__).resolve().parent.parent
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cur = {
+        k: float(v)
+        for k, v in json.loads(
+            (repo / "BENCH_DETAIL.json").read_text()
+        )["queries"].items()
+    }
+    print(json.dumps(adjudicate(repo, cur, sf_dir), indent=1))
+
+
+if __name__ == "__main__":
+    main()

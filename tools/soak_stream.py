@@ -56,11 +56,93 @@ from dnsflow_clickhouse_spark.streaming.pipeline import (
 )
 
 
+STATEFUL_WORK = Path("/tmp/soak_stateful")
+SS_KEYS_PER_WINDOW, SS_KEY_STRIDE = 100, 60  # 40-key overlap per window
+
+
+def _stateful_window(spark, k: int) -> dict:
+    """One window of the REAL state-store leg (r10 verdict #6): a
+    checkpointed ``applyInPandasWithState`` first-seen query advances
+    one micro-batch per soak window over an overlapping key stream
+    (60 new / 40 repeat keys per window -> state must grow EXACTLY 60
+    rows per window), and the window records the state store's own
+    telemetry so a leak shows in BYTES and commit latency, not just
+    folded-table row counts:
+
+    - ``progress``: the trigger's StateOperatorProgress —
+      ``numRowsTotal`` / ``numRowsUpdated`` / ``commitTimeMs`` /
+      ``memoryUsedBytes`` + the provider's
+      ``stateOnCurrentVersionSizeBytes`` custom metric;
+    - ``reader_rows``: an independent snapshot via the batch
+      ``statestore`` reader (needs
+      ``coordinatorReportSnapshotUploadLag=false`` on a batch session —
+      the lag report RPCs a coordinator endpoint only streaming queries
+      create); recorded as a skip string on any reader gap.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dnsflow_clickhouse_spark.streaming.stateful import first_seen
+
+    inp = STATEFUL_WORK / "input"
+    inp.mkdir(parents=True, exist_ok=True)
+    keys, ids = [], []
+    for key in range(k * SS_KEY_STRIDE, k * SS_KEY_STRIDE + SS_KEYS_PER_WINDOW):
+        for rep in (1, 0):
+            keys.append(f"k{key:05d}")
+            ids.append(key * 10 + rep)
+    pq.write_table(
+        pa.table({"dup_key": pa.array(keys), "id": pa.array(ids, pa.int64())}),
+        inp / f"w{k}.parquet",
+    )
+    raw = (
+        spark.readStream.schema("dup_key string, id long")
+        .parquet(str(inp))
+    )
+    q = (
+        first_seen(raw)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", str(STATEFUL_WORK / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = [p for p in q.recentProgress if p.get("stateOperators")]
+    op = ops[-1]["stateOperators"][0] if ops else {}
+    progress = {
+        "numRowsTotal": op.get("numRowsTotal"),
+        "numRowsUpdated": op.get("numRowsUpdated"),
+        "commitTimeMs": op.get("commitTimeMs"),
+        "memoryUsedBytes": op.get("memoryUsedBytes"),
+        "stateOnCurrentVersionSizeBytes": (op.get("customMetrics") or {}).get(
+            "stateOnCurrentVersionSizeBytes"
+        ),
+    }
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag",
+        "false",
+    )
+    try:
+        reader_rows = (
+            spark.read.format("statestore")
+            .load(str(STATEFUL_WORK / "ckpt"))
+            .count()
+        )
+    except Exception as ex:  # noqa: BLE001 - recorded, not raised
+        reader_rows = f"skipped: {type(ex).__name__}: {str(ex).splitlines()[0][:120]}"
+    return {"window": k, "progress": progress, "reader_rows": reader_rows}
+
+
 def run_soak(spark, sf_dir: str, n_batches: int) -> dict:
+    import shutil
+
     from dnsflow_clickhouse_spark.operators.sketches import (
         bloom_build,
         hll_registers,
     )
+
+    shutil.rmtree(STATEFUL_WORK, ignore_errors=True)
 
     dims = demo_dims(spark)
     walls: list[float] = []
@@ -68,6 +150,7 @@ def run_soak(spark, sf_dir: str, n_batches: int) -> dict:
     hll_rows: list[int] = []
     hour_rows: list[int] = []
     report_rows: list[int] = []
+    statestore: list[dict] = []
     bloom_state = hll_state = hour_state = None
 
     for k in range(n_batches):
@@ -105,6 +188,7 @@ def run_soak(spark, sf_dir: str, n_batches: int) -> dict:
         streaming_cusum(hour_state).write.format("noop").mode(
             "overwrite"
         ).save()
+        statestore.append(_stateful_window(spark, k))
         walls.append(round(time.perf_counter() - t0, 3))
         bloom_rows.append(bloom_state.count())
         hll_rows.append(hll_state.count())
@@ -121,6 +205,42 @@ def run_soak(spark, sf_dir: str, n_batches: int) -> dict:
     head = walls[1 : max(2, min(4, len(walls)))]  # skip batch 0 (cold)
     tail = walls[-3:]
     flat = (sum(tail) / len(tail)) / (sum(head) / len(head)) if head else None
+
+    # state-store leg bounds (r10 verdict #6): the key stream makes the
+    # exact row count a closed form (60 new keys per window after the
+    # first 100), commit latency must stay flat, and bytes-per-state-row
+    # must not creep — a per-row byte leak is the failure mode row
+    # counts alone cannot see
+    ss_rows = [w["progress"]["numRowsTotal"] for w in statestore]
+    ss_expected = [
+        SS_KEY_STRIDE * k + SS_KEYS_PER_WINDOW for k in range(n_batches)
+    ]
+    ss_bytes = [w["progress"]["memoryUsedBytes"] for w in statestore]
+    ss_commit = [w["progress"]["commitTimeMs"] for w in statestore]
+    bpr = [
+        (b / r) for b, r in zip(ss_bytes, ss_rows)
+        if isinstance(b, (int, float)) and r
+    ]
+    ss_bounds = {
+        "rows_exact_closed_form": ss_rows == ss_expected,
+        "bytes_per_row_flat": (
+            len(bpr) >= 2 and bpr[-1] <= 3.0 * max(bpr[0], 1e-9)
+        ),
+        "commit_ms_tail_flat": (
+            len(ss_commit) >= 6
+            and all(isinstance(c, (int, float)) for c in ss_commit)
+            and (sum(ss_commit[-3:]) / 3)
+            <= 3.0 * max(sum(ss_commit[1:4]) / 3, 1.0)
+        ),
+        "reader_matches_progress": all(
+            w["reader_rows"] == w["progress"]["numRowsTotal"]
+            for w in statestore
+            if isinstance(w["reader_rows"], int)
+        ),
+        "reader_snapshots_decoded": sum(
+            1 for w in statestore if isinstance(w["reader_rows"], int)
+        ),
+    }
     return {
         "metric": "stream_soak",
         "sf_dir": sf_dir,
@@ -134,6 +254,10 @@ def run_soak(spark, sf_dir: str, n_batches: int) -> dict:
             "series_hour_counts": hour_rows,
         },
         "reports_per_batch": report_rows[-1],
+        "statestore": {
+            "per_window": statestore,
+            "bounds": ss_bounds,
+        },
         "bounded": {
             "bloom_constant": len(set(bloom_rows)) == 1,
             "hll_nondecreasing_bounded": hll_rows[-1] <= hll_rows[0] * 4 + 64,
@@ -152,7 +276,10 @@ def main() -> None:
     spark = get_spark(app_name="stream-soak")
     art = run_soak(spark, sf_dir, n)
     out.write_text(json.dumps(art, indent=1, sort_keys=True))
-    print(json.dumps({k: art[k] for k in ("wall_per_batch_mean", "wall_flatness_tail3_over_head3", "bounded")}))
+    print(json.dumps({
+        **{k: art[k] for k in ("wall_per_batch_mean", "wall_flatness_tail3_over_head3", "bounded")},
+        "statestore_bounds": art["statestore"]["bounds"],
+    }))
     print(f"wrote {out}")
 
 

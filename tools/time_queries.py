@@ -24,6 +24,9 @@ def main() -> None:
         i = args.index("--repeat")
         repeat = int(args[i + 1])
         del args[i : i + 2]
+    as_json = "--json" in args
+    if as_json:
+        args.remove("--json")
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     names = args[1:] if args and os.path.isdir(args[0]) else args
     spark = get_spark(app_name="dnsflow-time")
@@ -32,6 +35,7 @@ def main() -> None:
     warm.limit(32).groupBy("l_returnflag").applyInPandas(
         lambda pdf: pdf[["l_orderkey"]].head(1), schema="l_orderkey long"
     ).write.format("noop").mode("overwrite").save()
+    mins: dict[str, float] = {}
     for name in names:
         fn = QUERY_REGISTRY[name][0]
         times = []
@@ -43,11 +47,18 @@ def main() -> None:
         # bursts (SCALE_SMOKE), so a reading without its weather is
         # uninterpretable — read `min` for plan quality
         load = os.getloadavg()[0]
+        mins[name] = round(min(times), 3)
         print(
             f"{name}: " + " ".join(f"{t:.2f}s" for t in times)
             + f"  min={min(times):.2f}s load1m={load:.1f}",
             flush=True,
         )
+    if as_json:
+        # machine-readable last line (tools/ab_bench.py child protocol;
+        # the text lines above stay for humans and for old-tree parity)
+        import json
+
+        print(json.dumps({"mins": mins, "repeat": repeat}), flush=True)
 
 
 if __name__ == "__main__":
