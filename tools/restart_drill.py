@@ -193,6 +193,177 @@ def run_life(root: Path, sf_dir: str, crash_after: int | None) -> None:
 
 
 # ---------------------------------------------------------------------------
+# JDBC idempotent-sink drill (r10 verdict #3): the reference's REAL sink
+# is a bare JDBC append that duplicates on retry (ClickUtils.scala:29-32
+# swallows errors). sources.dims.write_jdbc_idempotent adds the
+# batch-id-keyed commit-marker protocol; this drill proves it against a
+# REAL process kill in the worst window — after the data append, before
+# the commit mark — using an on-disk embedded Derby DB that survives
+# process death exactly like an external warehouse would.
+# ---------------------------------------------------------------------------
+
+JDBC_BATCHES = 6
+JDBC_CRASH_AT = 3
+JDBC_ROWS_PER_BATCH = 50
+_JDBC_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _jdbc_url(root: Path) -> str:
+    return f"jdbc:derby:{root}/derbydb;create=true"
+
+
+def run_jdbc_life(root: Path, crash_at: int | None, report_crash_at: int) -> None:
+    """One process lifetime of the JDBC sink loop: replays every batch
+    id from 0 (the commit-marker table turns completed batches into
+    no-op ``skipped``s, so blind full replay is the simplest correct
+    resume). ``crash_at`` hard-kills (``os._exit``) INSIDE the window
+    between that batch's data append and its commit mark."""
+    from dnsflow_clickhouse_spark.session import get_spark
+    from dnsflow_clickhouse_spark.sources.dims import (
+        _jdbc_connect,
+        write_jdbc_idempotent,
+    )
+
+    spark = get_spark(app_name="restart-drill-jdbc")
+    spark.sparkContext.setLogLevel("ERROR")
+    url = _jdbc_url(root)
+
+    # restart evidence: how many stragglers did the crashed batch leave?
+    # (counted BEFORE any replay work in this life)
+    try:
+        conn = _jdbc_connect(spark, url, _JDBC_PROPS)
+        try:
+            rs = conn.createStatement().executeQuery(
+                'SELECT COUNT(*) FROM report_rows WHERE "batch_id" = '
+                + str(report_crash_at)
+            )
+            rs.next()
+            print(f"stragglers_before_replay: {rs.getLong(1)}", flush=True)
+            rs.close()
+        finally:
+            conn.close()
+    except Exception:
+        print("stragglers_before_replay: -1", flush=True)  # fresh DB
+
+    for k in range(JDBC_BATCHES):
+        df = spark.range(k * 100, k * 100 + JDBC_ROWS_PER_BATCH).selectExpr(
+            "id", "id * 2 AS v"
+        )
+        hook = None
+        if crash_at is not None and k == crash_at:
+            def hook() -> None:
+                print(
+                    f"CRASH between batch {k} data append and commit mark",
+                    flush=True,
+                )
+                os._exit(17)
+        got = write_jdbc_idempotent(
+            df, url, "report_rows", batch_id=k,
+            properties=_JDBC_PROPS, on_before_commit_mark=hook,
+        )
+        print(f"batch {k}: {got}", flush=True)
+
+
+def jdbc_drill(work: Path, env: dict, me: str) -> dict:
+    """Run control + crash/replay lives in their own processes and
+    compare final table content; returns the ``jdbc`` artifact
+    subsection."""
+    from pyspark.sql import functions as F
+
+    from dnsflow_clickhouse_spark.session import get_spark
+    from dnsflow_clickhouse_spark.sources.dims import read_jdbc
+
+    roots = {"control": work / "jdbc_control", "drill": work / "jdbc_drill"}
+    for r in roots.values():
+        r.mkdir(parents=True)
+
+    lives: list[dict] = []
+
+    def life(root: Path, crash: bool, label: str) -> int:
+        proc = subprocess.run(
+            [sys.executable, me, "--jdbc-life", str(root)]
+            + (["--crash"] if crash else []),
+            env=env, capture_output=True, text=True,
+        )
+        tail = proc.stdout.strip().splitlines()
+        lives.append({"label": label, "rc": proc.returncode, "tail": tail[-4:]})
+        print(f"[jdbc:{label}] rc={proc.returncode}", flush=True)
+        return proc.returncode
+
+    rc_control = life(roots["control"], crash=False, label="control")
+    rc_a = life(roots["drill"], crash=True, label="life_A")
+    rc_b = life(roots["drill"], crash=False, label="life_B")
+
+    # life B's first stdout line proves the kill window was real: the
+    # crashed batch's rows were ON the table with no commit mark
+    stragglers = next(
+        (
+            int(line.split(":")[1])
+            for e in lives if e["label"] == "life_B"
+            for line in e["tail"]
+            if line.startswith("stragglers_before_replay")
+        ),
+        None,
+    )
+    replay_status = next(
+        (
+            line.split(": ")[1]
+            for e in lives if e["label"] == "life_B"
+            for line in e["tail"]
+            if line.startswith(f"batch {JDBC_CRASH_AT}:")
+        ),
+        None,
+    )
+
+    spark = get_spark(app_name="restart-drill-jdbc-verify")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def table_summary(root: Path) -> dict:
+        df = read_jdbc(spark, _jdbc_url(root), "report_rows", properties=_JDBC_PROPS)
+        cols = sorted(df.columns)
+        row = df.agg(
+            F.expr(
+                "bit_xor(xxhash64("
+                + ", ".join(f"coalesce(cast(`{c}` as string), '<NULL>')" for c in cols)
+                + "))"
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        per_batch = {
+            int(r[0]): int(r[1])
+            for r in df.groupBy("batch_id").count().collect()
+        }
+        return {
+            "xor_hash": int(row["h"] or 0),
+            "rows": int(row["n"]),
+            "per_batch_rows": per_batch,
+        }
+
+    control, drill = table_summary(roots["control"]), table_summary(roots["drill"])
+    no_dups = all(
+        drill["per_batch_rows"].get(k) == JDBC_ROWS_PER_BATCH
+        for k in range(JDBC_BATCHES)
+    )
+    return {
+        "n_batches": JDBC_BATCHES,
+        "crash_at_batch": JDBC_CRASH_AT,
+        "rc": {"control": rc_control, "life_A": rc_a, "life_B": rc_b},
+        "lives": lives,
+        "stragglers_before_replay": stragglers,
+        "replayed_batch_status": replay_status,
+        "control": control,
+        "drill": drill,
+        "recovered_equal": bool(
+            control == drill
+            and no_dups
+            and rc_a == 17 and rc_b == 0 and rc_control == 0
+            and stragglers == JDBC_ROWS_PER_BATCH
+            and replay_status == "written"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
 # orchestrator
 # ---------------------------------------------------------------------------
 
@@ -286,8 +457,11 @@ def main() -> None:
         .count()
     )
 
+    jdbc = jdbc_drill(work, env, me)
+
     art = {
         "metric": "restart_drill",
+        "jdbc": jdbc,
         "sf_dir": sf_dir,
         "n_batches": N_BATCHES,
         "crash_after_batch": CRASH_AFTER,
@@ -303,9 +477,12 @@ def main() -> None:
         ),
     }
     out_path.write_text(json.dumps(art, indent=1, sort_keys=True))
-    print(json.dumps({k: art[k] for k in ("recovered_equal", "replayed_batch", "report_batch_partitions", "walls_s")}))
+    print(json.dumps({
+        **{k: art[k] for k in ("recovered_equal", "replayed_batch", "report_batch_partitions", "walls_s")},
+        "jdbc_recovered_equal": jdbc["recovered_equal"],
+    }))
     print(f"wrote {out_path}")
-    if not art["recovered_equal"]:
+    if not (art["recovered_equal"] and jdbc["recovered_equal"]):
         raise SystemExit(1)
 
 
@@ -315,6 +492,12 @@ if __name__ == "__main__":
             Path(sys.argv[2]),
             sys.argv[3],
             CRASH_AFTER if "--crash" in sys.argv else None,
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--jdbc-life":
+        run_jdbc_life(
+            Path(sys.argv[2]),
+            JDBC_CRASH_AT if "--crash" in sys.argv else None,
+            JDBC_CRASH_AT,
         )
     else:
         main()
