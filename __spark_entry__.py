@@ -65,6 +65,7 @@ ROWS_ONLY_WAIVERS = (
     "simhash_wide_neardups",
     "embedding_ann_wide_recall",
     "minhash_wide_recall",
+    "ivfpq_wide_recall",
 )
 
 

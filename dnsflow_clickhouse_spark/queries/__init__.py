@@ -27,24 +27,17 @@ changed + new + oldest-first), not the only evidence. This permanently
 retires the staleness backlog a 50-slot window can never clear against
 a 200+ registry.
 
-ROUND-10 WINDOW: the smoke query, then the THIRTEEN queries whose code
-changed this round — the lsh_candidate_pairs max_bucket_size hot-bucket
-knob (default off; oracle hashes unchanged, builder re-verified the
-whole dedup family at sf0.01 pre-commit), the _perm_consts int64-bound
-assert, the 64-bit _simhash_from_hashes sign-bit fix (toy 16-bit paths
-go through the fused Arrow kernel and are untouched; re-attested
-anyway), and the connected_components non-convergence warning (touches
-every CC consumer: neardup_components/census, dedup_canonical_keep,
-semdedup_keep, neardup_kcore, dedup_recall_report, segment_dedup_docs)
-— then the THREE brand-new production-width entries (r9 verdict ask
-#5: simhash_wide_neardups, embedding_ann_wide_recall,
-minhash_wide_recall; rows-only — raw xxhash64 / 16-plane GEMM
-signatures are not DuckDB-replayable — with self-consistency floors
-pinned in tests/test_wide.py), then embedding_lsh_multitable (new r10:
-the L-independent-hash-tables recall dial, fully oracled — the plane
-family simply shifts by t*n_planes, which the portable coefficient
-formula replays), then the oldest-green-first fill (r6-latest cohort
-per tools/rotate_window.py over CORRECTNESS_r01-r09).
+ROUND-11 WINDOW: the smoke query, then the FIVE queries whose code
+changed this round — lsh_candidate_pairs (the hot-bucket guard became
+a lazy pure-plan path with the audit as an explicit separate job;
+default-off oracle hashes unchanged), the minhash signature consumers
+of the hardened _perm_consts full-expression ValueError bound (an
+identity at every real width; re-attested anyway), and the two wide
+entries touched by the catalog_wide _neardup_queries factor-out — then
+ivfpq_wide_recall (new r11, r10 verdict #7: IVF-PQ at production
+composition, rows-only self-proof with the recall floor pinned in
+tests/test_wide.py), then the oldest-green-first fill per
+tools/rotate_window.py over CORRECTNESS_r01-r10.
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -97,68 +90,67 @@ for _part in _PARTS:
         )
     _MERGED.update(_part)
 
-# First 50 = driver correctness window for this round (round 10).
+# First 50 = driver correctness window for this round (round 11).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
     # --- queries whose code changed this round (lsh_candidate_pairs
-    # max_bucket_size knob + _perm_consts bound assert + 64-bit
-    # _simhash_from_hashes sign-bit fix; connected_components
-    # non-convergence warning; graph-family consumers re-attested) ---
+    # lazy hot-bucket audit restructure; _perm_consts full-expression
+    # ValueError bound shared by every minhash signature;
+    # catalog_wide _neardup_queries factor-out) ---
     "lsh_candidate_pairs",
     "minhash_band_buckets",
     "minhash_estimate_report",
-    "neardup_components",
-    "neardup_component_census",
-    "dedup_canonical_keep",
-    "semdedup_keep",
-    "dedup_recall_report",
-    "neardup_kcore",
-    "simhash_docs",
-    "simhash_near_docs",
-    "image_dhash_neardups",
-    "segment_dedup_docs",
-    # --- new this round: production-width instances (rows-only —
-    # xxhash64/16-plane settings are not DuckDB-replayable; the report
-    # values ARE the check, floors pinned in tests/test_wide.py) ---
-    "simhash_wide_neardups",
-    "embedding_ann_wide_recall",
     "minhash_wide_recall",
-    # multi-table hyperplane LSH (new r10, fully oracled)
-    "embedding_lsh_multitable",
-    # --- oldest-green-first fill (r6-latest cohort) ---
-    "multimodal_features",
-    "ngram_jaccard_pairs",
-    "ols_tokens_per_char",
-    "per_source_caps",
-    "pii_redaction_report",
-    "prefix_jaccard_pairs",
-    "qps_anomaly_report",
-    "quality_feature_matrix",
-    "quality_quantile_gate",
-    "ranking_ndcg_by_source",
-    "score_auc_by_source",
-    "score_calibration_bins",
-    "tfidf_top_terms",
-    "value_drift_psi",
-    "authority_slice_docs",
-    "brier_quality_en",
-    "chunk_documents",
-    "doc_bpe_tokens",
-    "doc_fingerprints",
-    "doc_length_histogram",
-    "doc_token_stats",
-    "embedding_spectrum_power",
-    "event_cooccurrence",
-    "event_k_anonymity",
-    "event_rate_cusum",
-    "event_type_ratio",
-    "event_value_percentiles",
-    "fuzzy_near_titles",
-    "grouping_sets_events",
-    "ip_function_rollup",
-    "lang_id_prf1",
-    "null_semantics_report",
+    "embedding_ann_wide_recall",
+    # --- new this round: IVF-PQ at production composition (rows-only
+    # self-proof, r10 verdict #7; floor pinned in tests/test_wide.py) ---
+    "ivfpq_wide_recall",
+    # --- oldest-green-first fill (tools/rotate_window.py over
+    # CORRECTNESS_r01-r10) ---
+    "simhash_wide_neardups",
+    "pack_sequences",
+    "perceptron_source_score",
+    "perceptron_train_trace",
+    "pr_auc_by_source",
+    "props_json_rollup",
+    "q11_value_concentration",
+    "q12_priority_class_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "range_frame_rolling",
+    "repetition_report",
+    "roc_points_by_source",
+    "session_stats",
+    "spearman_quality_chars",
+    "stratified_doc_sample",
+    "temperature_lang_resample",
+    "topk_rollup_chain",
+    "unpivot_daily_metrics",
+    "vocab_growth_report",
+    "weighted_doc_sample",
+    "window_suite",
+    "winnowed_span_pairs",
+    "zipf_decay_report",
+    "ann_recall_report",
+    "ann_rrf_fusion",
+    "asof_last_click",
+    "authority_domain_rollup",
+    "benford_order_totals",
+    "bigram_novelty_report",
+    "chi2_token_source",
+    "clients_rollup_sets",
+    "cohort_retention",
+    "conversion_funnel",
+    "curriculum_schedule",
+    "dedup_exact_docs",
+    "dedup_keep_first_events",
+    "deterministic_shuffle_shards",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]

@@ -58,6 +58,40 @@ def _capped_ids(df: DataFrame, id_col: str, cap: int = EXACT_CAP) -> DataFrame:
     return df.select(F.col(id_col).alias("id")).orderBy("id").limit(cap)
 
 
+def _neardup_queries(emb: DataFrame, cap: int = EXACT_CAP) -> DataFrame:
+    """Near-dup query set shared by the ANN self-proof entries: the
+    ``cap`` smallest corpus vectors perturbed by deterministic +-5%
+    multiplicative per-dim noise (the portable square-mix recipe —
+    reduce the id mod m BEFORE multiplying so int64 never overflows),
+    so each query's true nearest neighbor is its source vector at
+    cosine ~0.999 — the geometry ANN is deployed for."""
+    src = emb.join(
+        _capped_ids(emb, "vec_id", cap).withColumnRenamed("id", "vec_id"),
+        "vec_id",
+        "semi",
+    )
+    return src.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * (
+                F.lit(1.0)
+                + (
+                    (
+                        (F.col("vec_id") % 1000003) * 131071
+                        + i.cast("long") * 8191
+                        + 7
+                    )
+                    % 101
+                    - 50
+                ).cast("double")
+                / F.lit(1000.0)
+            ),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=False)
+
+
 def simhash_wide_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit production SimHash (raw xxhash64 token hashes) with banded
     Hamming candidate mining at the documented scale setting, plus an
@@ -144,34 +178,7 @@ def embedding_ann_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.join(
-        _capped_ids(emb, "vec_id").withColumnRenamed("id", "vec_id"),
-        "vec_id",
-        "semi",
-    )
-    # deterministic +-5% multiplicative per-dim noise: mix(id, dim) via
-    # the overflow-safe square-mix recipe (reduce id mod m BEFORE the
-    # multiply), then map into [-0.05, 0.05]
-    q = src.select(
-        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x
-            * (
-                F.lit(1.0)
-                + (
-                    (
-                        (F.col("vec_id") % 1000003) * 131071
-                        + i.cast("long") * 8191
-                        + 7
-                    )
-                    % 101
-                    - 50
-                ).cast("double")
-                / F.lit(1000.0)
-            ),
-        ).alias("embedding"),
-    ).localCheckpoint(eager=False)
+    q = _neardup_queries(emb)
     exact = cosine_topk(q, emb, "vec_id", "embedding", k=1).select(
         "query_id", "neighbor_id"
     ).localCheckpoint(eager=False)
@@ -254,10 +261,69 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_W_CELLS, IVFPQ_W_M, IVFPQ_W_K = 16, 8, 32
+IVFPQ_W_NPROBE, IVFPQ_W_ITERS = 4, 2
+IVFPQ_W_QUERIES = 512  # bounds the broadcast ADC table (q x nprobe x m*k)
+
+
+def ivfpq_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at production composition — 16 coarse cells / nprobe 4,
+    m=8 subspaces x 32 codewords over residuals, 2 Lloyd iterations —
+    scored as recall@1 against the exact GEMM top-1 on the SAME
+    near-dup geometry as :func:`embedding_ann_wide_recall` (r10 verdict
+    #7: the toy-width IVF-PQ is DuckDB-oracled; this entry executes the
+    scale knobs every sweep and self-proves them).
+
+    Expected: the perturbed query lands in (or within nprobe of) its
+    source's coarse cell, and at near-dup distance the source's summed
+    ADC lookups sit far below any random corpus vector's, so PQ
+    distortion (m*log2(k) = 40 bits/vector here) still ranks the true
+    neighbor first for ~all queries. The query set is capped at 512
+    (the production shape: queries bounded + broadcast as the ADC
+    table, corpus codes never reshuffled); the index covers the FULL
+    corpus.
+
+    Output (1 row): n_queries, n_hits, recall_ppm.
+    """
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _neardup_queries(emb, cap=IVFPQ_W_QUERIES)
+    exact = cosine_topk(q, emb, "vec_id", "embedding", k=1).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=False)
+    codes, cells, books = ivfpq_build(
+        emb, "vec_id", "embedding", dim=64,
+        n_cells=IVFPQ_W_CELLS, m=IVFPQ_W_M, k=IVFPQ_W_K,
+        iters=IVFPQ_W_ITERS,
+    )
+    ann = ivfpq_topk(
+        codes, cells, books, q, "vec_id", "embedding",
+        k_neighbors=1, nprobe=IVFPQ_W_NPROBE,
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "semi")
+    return (
+        q.select(F.count(F.lit(1)).alias("n_queries"))
+        .crossJoin(hits.select(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr("(n_hits * 1000000) div n_queries")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 # rows-only entries: sql=None -> the driver/sweep records row-count +
 # schema stability; the report VALUES carry the self-consistency proof
 WIDE_REGISTRY: dict = {
     "simhash_wide_neardups": (simhash_wide_neardups, None),
     "embedding_ann_wide_recall": (embedding_ann_wide_recall, None),
     "minhash_wide_recall": (minhash_wide_recall, None),
+    "ivfpq_wide_recall": (ivfpq_wide_recall, None),
 }

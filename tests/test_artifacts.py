@@ -51,6 +51,7 @@ ROWS_ONLY_SANCTIONED = {
     "simhash_wide_neardups",
     "embedding_ann_wide_recall",
     "minhash_wide_recall",
+    "ivfpq_wide_recall",
 }
 
 

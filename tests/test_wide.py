@@ -54,3 +54,16 @@ def test_minhash_wide_recall_clears_banding_floor(spark):
     # sf0.001 corpus the candidate count is within a small multiple of
     # the true-pair count
     assert r.n_candidates <= max(50, 20 * max(r.n_true, 1)), r
+
+
+def test_ivfpq_wide_recall_clears_floor(spark):
+    from dnsflow_clickhouse_spark.queries.catalog_wide import (
+        ivfpq_wide_recall,
+    )
+
+    r = ivfpq_wide_recall(spark, SF).collect()[0]
+    assert r.n_queries > 0
+    # near-dup geometry: the source's summed ADC lookups sit far below
+    # any random corpus vector's, so recall@1 is ~1.0 (observed 1.0 at
+    # sf0.01 and sf0.1); 0.95 floor leaves small-corpus headroom
+    assert r.recall_ppm >= 950_000, r
