@@ -278,6 +278,7 @@ def jdbc_drill(work: Path, env: dict, me: str) -> dict:
         r.mkdir(parents=True)
 
     lives: list[dict] = []
+    full_out: dict[str, list[str]] = {}
 
     def life(root: Path, crash: bool, label: str) -> int:
         proc = subprocess.run(
@@ -285,8 +286,9 @@ def jdbc_drill(work: Path, env: dict, me: str) -> dict:
             + (["--crash"] if crash else []),
             env=env, capture_output=True, text=True,
         )
-        tail = proc.stdout.strip().splitlines()
-        lives.append({"label": label, "rc": proc.returncode, "tail": tail[-4:]})
+        out = proc.stdout.strip().splitlines()
+        full_out[label] = out
+        lives.append({"label": label, "rc": proc.returncode, "tail": out[-4:]})
         print(f"[jdbc:{label}] rc={proc.returncode}", flush=True)
         return proc.returncode
 
@@ -294,13 +296,13 @@ def jdbc_drill(work: Path, env: dict, me: str) -> dict:
     rc_a = life(roots["drill"], crash=True, label="life_A")
     rc_b = life(roots["drill"], crash=False, label="life_B")
 
-    # life B's first stdout line proves the kill window was real: the
+    # life B's FIRST stdout line proves the kill window was real: the
     # crashed batch's rows were ON the table with no commit mark
+    # (parsed from the full stdout — the 4-line tail has rolled past it)
     stragglers = next(
         (
             int(line.split(":")[1])
-            for e in lives if e["label"] == "life_B"
-            for line in e["tail"]
+            for line in full_out.get("life_B", [])
             if line.startswith("stragglers_before_replay")
         ),
         None,
@@ -308,8 +310,7 @@ def jdbc_drill(work: Path, env: dict, me: str) -> dict:
     replay_status = next(
         (
             line.split(": ")[1]
-            for e in lives if e["label"] == "life_B"
-            for line in e["tail"]
+            for line in full_out.get("life_B", [])
             if line.startswith(f"batch {JDBC_CRASH_AT}:")
         ),
         None,
