@@ -303,3 +303,72 @@ def test_incremental_scrub_matches_full_corpus(spark):
     ).collect():
         inc[r.id] = (r.n_removed, r.clean_text)
     assert inc == full
+
+
+def test_first_seen_under_rocksdb_state_store(spark, tmp_path):
+    """Every stateful operator's scale note says 'RocksDB state store
+    territory at 10^9 keys' — execute that configuration instead of
+    just citing it: the same first_seen stream under the in-box
+    RocksDBStateStoreProvider with changelog checkpointing must produce
+    exactly the default-provider output, including cross-batch
+    suppression (state round-trips through RocksDB between triggers)."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    changelog = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, rocks)
+    spark.conf.set(changelog, "true")
+    try:
+        inp = tmp_path / "rocks_in"
+        inp.mkdir()
+        _write(inp / "b1.txt", [("a", 3), ("a", 1), ("b", 7)])
+        raw = spark.readStream.format("text").load(str(inp))
+        keyed = raw.select(
+            F.split("value", ",")[0].alias("dup_key"),
+            F.split("value", ",")[1].cast("long").alias("id"),
+        )
+        q = (
+            first_seen(keyed)
+            .writeStream.format("memory")
+            .queryName("first_seen_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got1 = {
+                r.dup_key: (r.first_id, r.n_in_batch)
+                for r in spark.sql("SELECT * FROM first_seen_rocks").collect()
+            }
+            assert got1 == {"a": (1, 2), "b": (7, 1)}
+            # the provider actually engaged (not silently defaulted)
+            ops = [
+                p["stateOperators"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ]
+            assert ops and any(
+                "rocksdb" in str(op).lower() for op in ops[-1]
+            ), "RocksDB metrics absent from stateOperators progress"
+
+            _write(inp / "b2.txt", [("a", 99), ("c", 5)])
+            q.processAllAvailable()
+            got2 = {
+                r.dup_key: (r.first_id, r.n_in_batch)
+                for r in spark.sql("SELECT * FROM first_seen_rocks").collect()
+            }
+            assert got2 == {"a": (1, 2), "b": (7, 1), "c": (5, 1)}
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+        spark.conf.unset(changelog)

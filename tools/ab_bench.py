@@ -119,13 +119,17 @@ _MIN_RE = re.compile(r"^(\S+): .*min=([\d.]+)s", re.M)
 
 
 def time_subset(
-    tree: Path, names: list[str], sf_dir: str, repeat: int = 2
+    tree: Path, names: list[str], sf_dir: str, repeat: int = 3
 ) -> dict[str, float]:
     """Run ``tree``'s own tools/time_queries.py over ``names`` in a
     fresh subprocess (its sys.path points at ``tree``, so the queries
     AND every operator they lazily import come from that code version —
     an in-process module swap cannot guarantee that) and parse the
-    stable ``name: ... min=X.XXs`` lines."""
+    stable ``name: ... min=X.XXs`` lines. repeat=3: the child session's
+    warm-up is lighter than bench.py's, so the FIRST run of the first
+    query carries several seconds of JIT/Arrow/broadcast cold cost —
+    measured 9.1s -> 2.9s -> 2.8s on a 2.8s query — and a min-of-2
+    cannot escape it; min-of-3 does."""
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     r = subprocess.run(
@@ -174,6 +178,30 @@ def adjudicate(
         wt = ensure_worktree(repo, commit)
         prev_code = time_subset(wt, names, sf_dir)
         cur_code = time_subset(repo, names, sf_dir)
+
+        def _is_reg(pc: float, cc: float) -> bool:
+            return cc > FLAG_RATIO * pc and cc - pc > FLAG_DELTA_FLOOR_S
+
+        # confirmation pass: a tentative regression re-times BOTH sides
+        # once more (order swapped — current tree first), and the final
+        # verdict uses the min across passes. One noisy pair cannot
+        # convict; the cost lands only on tentative regressions, which
+        # are rare.
+        tentative = [
+            n for n in names
+            if prev_code.get(n) is not None and cur_code.get(n) is not None
+            and _is_reg(prev_code[n], cur_code[n])
+        ]
+        if tentative:
+            cur2 = time_subset(repo, tentative, sf_dir)
+            prev2 = time_subset(wt, tentative, sf_dir)
+            for n in tentative:
+                if n in cur2:
+                    cur_code[n] = min(cur_code[n], cur2[n])
+                if n in prev2:
+                    prev_code[n] = min(prev_code[n], prev2[n])
+            section["confirm_pass"] = sorted(tentative)
+
         for name, cur_s, prev_s in movers:
             pc, cc = prev_code.get(name), cur_code.get(name)
             if pc is None or cc is None:
@@ -181,11 +209,7 @@ def adjudicate(
                 ratio = None
             else:
                 ratio = round(cc / pc, 3) if pc > 0 else None
-                verdict = (
-                    "regression"
-                    if cc > FLAG_RATIO * pc and cc - pc > FLAG_DELTA_FLOOR_S
-                    else "ambient"
-                )
+                verdict = "regression" if _is_reg(pc, cc) else "ambient"
             section["flagged"].append({
                 "query": name,
                 "prev_round_s": round(prev_s, 3),

@@ -84,6 +84,22 @@ def _stateful_window(spark, k: int) -> dict:
 
     from dnsflow_clickhouse_spark.streaming.stateful import first_seen
 
+    # SPARK_GRAFT_SOAK_SS_PROVIDER=rocksdb runs the leg on the
+    # production state-store provider (in-box rocksdbjni + changelog
+    # checkpointing) — the configuration the operators' 10^9-key scale
+    # notes cite; default stays the HDFS-backed provider
+    if os.environ.get("SPARK_GRAFT_SOAK_SS_PROVIDER", "") == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+
     inp = STATEFUL_WORK / "input"
     inp.mkdir(parents=True, exist_ok=True)
     keys, ids = [], []
@@ -221,11 +237,27 @@ def run_soak(spark, sf_dir: str, n_batches: int) -> dict:
         (b / r) for b, r in zip(ss_bytes, ss_rows)
         if isinstance(b, (int, float)) and r
     ]
+    rocksdb = (
+        os.environ.get("SPARK_GRAFT_SOAK_SS_PROVIDER", "") == "rocksdb"
+    )
+    if rocksdb:
+        # RocksDB's memoryUsedBytes is INSTANCE-level (block cache +
+        # memtables filling toward their configured caps — measured
+        # 68KB -> 32.5MB over 8 windows while rows grew 5.2x, then
+        # plateaus at the budget), so per-row flatness is the wrong
+        # leak detector; bound the absolute budget instead.
+        bytes_bound = ("bytes_under_provider_budget", (
+            bool(ss_bytes)
+            and isinstance(ss_bytes[-1], (int, float))
+            and ss_bytes[-1] <= 256 * 1024 * 1024
+        ))
+    else:
+        bytes_bound = ("bytes_per_row_flat", (
+            len(bpr) >= 2 and bpr[-1] <= 3.0 * max(bpr[0], 1e-9)
+        ))
     ss_bounds = {
         "rows_exact_closed_form": ss_rows == ss_expected,
-        "bytes_per_row_flat": (
-            len(bpr) >= 2 and bpr[-1] <= 3.0 * max(bpr[0], 1e-9)
-        ),
+        bytes_bound[0]: bytes_bound[1],
         "commit_ms_tail_flat": (
             len(ss_commit) >= 6
             and all(isinstance(c, (int, float)) for c in ss_commit)
@@ -255,6 +287,9 @@ def run_soak(spark, sf_dir: str, n_batches: int) -> dict:
         },
         "reports_per_batch": report_rows[-1],
         "statestore": {
+            "provider": os.environ.get(
+                "SPARK_GRAFT_SOAK_SS_PROVIDER", "hdfs-backed (default)"
+            ),
             "per_window": statestore,
             "bounds": ss_bounds,
         },
