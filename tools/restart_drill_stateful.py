@@ -100,6 +100,21 @@ def run_life(root: Path, crash: bool) -> None:
 
     spark = get_spark(app_name="restart-drill-stateful")
     spark.sparkContext.setLogLevel("ERROR")
+    # SPARK_GRAFT_DRILL_SS_PROVIDER=rocksdb: run the whole drill —
+    # including the crash/replay state recovery — on the production
+    # RocksDB provider with changelog checkpointing (the configuration
+    # the operators' 10^9-key scale notes cite)
+    if os.environ.get("SPARK_GRAFT_DRILL_SS_PROVIDER", "") == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     raw = (
         spark.readStream.schema("dup_key string, id long")
         .option("maxFilesPerTrigger", 1)
@@ -236,6 +251,9 @@ def main() -> None:
 
     section = {
         "operator": "first_seen (applyInPandasWithState, append)",
+        "state_store_provider": os.environ.get(
+            "SPARK_GRAFT_DRILL_SS_PROVIDER", "hdfs-backed (default)"
+        ),
         "n_input_files": N_FILES,
         "crash_inside_batch": CRASH_AT,
         "rc": {"control": rc_control, "life_A": rc_a, "life_B": rc_b},
@@ -262,7 +280,12 @@ def main() -> None:
     }
 
     art = json.loads(merge_into.read_text()) if merge_into.exists() else {}
-    art["stateful"] = section
+    key = (
+        "stateful_rocksdb"
+        if os.environ.get("SPARK_GRAFT_DRILL_SS_PROVIDER", "") == "rocksdb"
+        else "stateful"
+    )
+    art[key] = section
     merge_into.write_text(json.dumps(art, indent=1, sort_keys=True))
     print(json.dumps({k: section[k] for k in ("recovered_equal", "dedup_invariant", "batch_partitions", "walls_s", "state_reader")}, default=str))
     print(f"merged stateful section into {merge_into}")
