@@ -44,7 +44,16 @@ def _make_barrier(spark, checkpoint_dir: str | None):
     finish before the iteration is considered done.
     """
     if checkpoint_dir:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        try:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        except Exception as exc:  # Spark Connect: no py4j SparkContext
+            raise RuntimeError(
+                "checkpoint_dir requires a classic SparkSession (the "
+                "checkpoint directory is SparkContext state); under "
+                "Spark Connect either pre-set spark.checkpoint.dir on "
+                "the server or omit checkpoint_dir to use "
+                "localCheckpoint"
+            ) from exc
         return lambda df: df.checkpoint(eager=True)
     return lambda df: df.localCheckpoint(eager=False)
 

@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 
 from dnsflow_clickhouse_spark.functions.numeric import portable_round
 
-from dnsflow_clickhouse_spark.operators.util import cpu_repartition
+from dnsflow_clickhouse_spark.operators.util import (
+    cpu_repartition,
+    spark_broadcast,
+)
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
@@ -332,7 +335,7 @@ def cosine_topk(
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q for r in q_rows], dtype=np.int64)
     q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64))
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+    bc = spark_broadcast(spark, (q_ids, q_mat, q_norms))
 
     out_schema = T.StructType(
         [
@@ -510,7 +513,7 @@ def ivf_topk(
     q_mat = np.array([r.q for r in q_rows], dtype=np.int64)
     q_norms = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat).astype(np.float64))
     q_cells = _assign_top(q_mat, q_norms, c_mat, c_norms, max(1, nprobe))
-    bc = spark.sparkContext.broadcast(
+    bc = spark_broadcast(spark, 
         (q_ids, q_mat, q_norms, q_cells, c_mat, c_norms)
     )
 
@@ -1114,7 +1117,7 @@ def l2_topk(
     q_ids = np.array([r.id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q for r in q_rows], dtype=np.int64)
     q_sq = np.einsum("ij,ij->i", q_mat, q_mat)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_sq))
+    bc = spark_broadcast(spark, (q_ids, q_mat, q_sq))
 
     out_schema = T.StructType(
         [

@@ -88,3 +88,27 @@ def maybe_persist(df: DataFrame, source: DataFrame | None = None):
     if est >= PERSIST_MIN_INPUT_BYTES:
         return df.persist(StorageLevel.MEMORY_AND_DISK)
     return df
+
+
+class _ClosureBroadcast:
+    """Connect fallback for ``SparkContext.broadcast``: same ``.value``
+    surface, but the payload rides each task's serialized closure
+    (cloudpickle) instead of the torrent-style once-per-executor
+    broadcast. Correct everywhere; at real scale prefer a classic
+    session where the py4j broadcast exists (the payloads here are the
+    CAPPED query-side matrices, a few MB by construction)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value) -> None:
+        self.value = value
+
+
+def spark_broadcast(spark, value):
+    """``sc.broadcast(value)`` when a py4j SparkContext exists (classic
+    session), else a plain closure-captured holder with the same
+    ``.value`` shape (Spark Connect has no broadcast API)."""
+    try:
+        return spark.sparkContext.broadcast(value)
+    except Exception:
+        return _ClosureBroadcast(value)

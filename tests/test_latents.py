@@ -369,3 +369,34 @@ def test_perm_consts_bounds_full_expression_with_valueerror():
         n *= 2
     with pytest.raises(ValueError, match="int64"):
         _perm_consts(n)
+
+
+def test_spark_broadcast_falls_back_without_sparkcontext(spark):
+    """Spark Connect has no ``sc.broadcast``: the helper degrades to a
+    closure-captured holder with the same ``.value`` surface, and the
+    classic path still returns a real Broadcast."""
+    from dnsflow_clickhouse_spark.operators.util import spark_broadcast
+
+    class _ConnectStub:
+        @property
+        def sparkContext(self):
+            raise AttributeError("Spark Connect client: no SparkContext")
+
+    holder = spark_broadcast(_ConnectStub(), (1, [2, 3]))
+    assert holder.value == (1, [2, 3])
+
+    real = spark_broadcast(spark, ("x", 7))
+    assert real.value == ("x", 7)
+    assert type(real).__name__ == "Broadcast"
+
+
+def test_graph_checkpoint_dir_raises_clearly_without_sparkcontext():
+    from dnsflow_clickhouse_spark.operators.graph import _make_barrier
+
+    class _ConnectStub:
+        @property
+        def sparkContext(self):
+            raise AttributeError("Spark Connect client: no SparkContext")
+
+    with pytest.raises(RuntimeError, match="classic SparkSession"):
+        _make_barrier(_ConnectStub(), "/tmp/ckpt")
