@@ -513,8 +513,11 @@ def lsh_candidate_pairs(
     than ``max_bucket_size`` members are DROPPED before pair expansion.
     The function stays a PURE PLAN BUILDER either way (round-11, was an
     eager audit job at call time): the drop count and max observed
-    bucket size are available via :func:`lsh_hot_bucket_audit` as an
-    explicit separate job, which also logs the drop warning.
+    bucket size are read AFTER the caller's action via
+    :func:`lsh_hot_bucket_audit` (logs the drop warning; cheap — it
+    reads the guard's lazily-checkpointed bucket barrier), or composed
+    INTO a report as columns via :func:`lsh_hot_bucket_counts` so a
+    drop is visible in the report values themselves.
     Lossy by construction: a pair inside a dropped bucket survives only
     if it also shares a smaller bucket in another band — so at scale
     route members of dropped buckets to an exact-hash dedup pass
@@ -533,50 +536,75 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
-        out = _bucket_pairs(buckets.filter(F.size("ids") <= max_bucket_size))
-        # carried for lsh_hot_bucket_audit; plain attribute — DataFrame
-        # transformations downstream do NOT propagate it (read the audit
-        # off the frame this function returned). NOT an Observation:
+        # LAZY shared barrier: no job at call time (eager=False), but
+        # the caller's first action materializes the compact bucketed
+        # frame's checkpoint blocks, which the audit then reads instead
+        # of re-running the signature pipeline. NOT an Observation:
         # observe-metrics below a downstream dropDuplicates/aggregate
         # are silently lost on this plan shape (verified on Spark
-        # 4.1.2), so the audit is an explicit separate job instead.
+        # 4.1.2). Caveat: the blocks are executor-local — on a cluster
+        # read the audit promptly after the action (a lost-executor
+        # recompute re-runs the pipeline, it does not corrupt).
+        buckets = buckets.localCheckpoint(eager=False)
+        out = _bucket_pairs(buckets.filter(F.size("ids") <= max_bucket_size))
+        # carried for lsh_hot_bucket_audit / hot-bucket report columns;
+        # plain attribute — DataFrame transformations downstream do NOT
+        # propagate it (read the audit off the frame this function
+        # returned, BEFORE any localCheckpoint of your own)
         out._lsh_hot_bucket_audit = (buckets, max_bucket_size)
         return out
     return _bucket_pairs(buckets)
 
 
-def lsh_hot_bucket_audit(pairs_df: DataFrame) -> dict | None:
-    """Hot-bucket guard audit for a frame returned by
-    :func:`lsh_candidate_pairs` with ``max_bucket_size`` set: runs ONE
-    dedicated aggregate job over the bucketed frame (this re-executes
-    the signature pipeline — diagnostics you invoke when you want the
-    numbers, never a hidden cost inside the plan builder) and logs a
-    warning when buckets were dropped.
-
-    Returns ``{"n_hot": dropped-bucket count, "max_bucket": largest
-    observed bucket size (None when no bucket had >1 member),
-    "max_bucket_size": the cap}``; ``None`` when the frame carries no
-    audit tag (knob unset, or a derived frame rather than the one the
-    builder returned)."""
+def lsh_hot_bucket_counts(pairs_df: DataFrame) -> DataFrame | None:
+    """LAZY one-row (n_hot_buckets, max_bucket_size_seen) frame over the
+    guard's bucketed barrier — compose it into a report (crossJoin) so
+    the drop count is a REPORT VALUE sharing the caller's single action;
+    ``None`` when the frame carries no audit tag."""
     tagged = getattr(pairs_df, "_lsh_hot_bucket_audit", None)
     if tagged is None:
         return None
     buckets, cap = tagged
-    row = buckets.agg(
-        F.sum((F.size("ids") > cap).cast("long")).alias("n_hot"),
-        F.max(F.size("ids")).alias("max_bucket"),
-    ).collect()[0]
-    n_hot = int(row["n_hot"] or 0)
+    return buckets.agg(
+        F.coalesce(
+            F.sum((F.size("ids") > cap).cast("long")), F.lit(0)
+        ).alias("n_hot_buckets"),
+        F.coalesce(F.max(F.size("ids")), F.lit(0)).alias(
+            "max_bucket_size_seen"
+        ),
+    )
+
+
+def lsh_hot_bucket_audit(pairs_df: DataFrame) -> dict | None:
+    """Hot-bucket guard audit for a frame returned by
+    :func:`lsh_candidate_pairs` with ``max_bucket_size`` set: one small
+    aggregate over the guard's bucketed barrier (reads the checkpoint
+    blocks the caller's own action materialized — cheap after an
+    action; a fresh signature-pipeline run only if called before any
+    action or after executor loss) and logs a warning when buckets
+    were dropped.
+
+    Returns ``{"n_hot": dropped-bucket count, "max_bucket": largest
+    observed bucket size (0 when no bucket had >1 member),
+    "max_bucket_size": the cap}``; ``None`` when the frame carries no
+    audit tag (knob unset, or a derived frame rather than the one the
+    builder returned)."""
+    counts = lsh_hot_bucket_counts(pairs_df)
+    if counts is None:
+        return None
+    cap = pairs_df._lsh_hot_bucket_audit[1]
+    row = counts.collect()[0]
+    n_hot = int(row["n_hot_buckets"])
     if n_hot:
         _LOG.warning(
             "lsh_candidate_pairs: dropped %d hot bucket(s) over "
             "max_bucket_size=%d (largest had %d members); pairs "
             "confined to those buckets are NOT emitted",
-            n_hot, cap, row["max_bucket"],
+            n_hot, cap, row["max_bucket_size_seen"],
         )
     return {
         "n_hot": n_hot,
-        "max_bucket": row["max_bucket"],
+        "max_bucket": int(row["max_bucket_size_seen"]),
         "max_bucket_size": cap,
     }
 

@@ -45,8 +45,14 @@ def _make_barrier(spark, checkpoint_dir: str | None):
     """
     if checkpoint_dir:
         try:
-            spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        except Exception as exc:  # Spark Connect: no py4j SparkContext
+            from pyspark.errors import PySparkNotImplementedError
+
+            no_gateway: tuple = (AttributeError, PySparkNotImplementedError)
+        except ImportError:  # pragma: no cover
+            no_gateway = (AttributeError,)
+        try:
+            sc = spark.sparkContext
+        except no_gateway as exc:  # Spark Connect: no py4j SparkContext
             raise RuntimeError(
                 "checkpoint_dir requires a classic SparkSession (the "
                 "checkpoint directory is SparkContext state); under "
@@ -54,6 +60,10 @@ def _make_barrier(spark, checkpoint_dir: str | None):
                 "the server or omit checkpoint_dir to use "
                 "localCheckpoint"
             ) from exc
+        # a real setCheckpointDir failure (unwritable/invalid dir on a
+        # classic session) propagates untouched — it is NOT a Connect
+        # problem and must not be misdiagnosed as one
+        sc.setCheckpointDir(checkpoint_dir)
         return lambda df: df.checkpoint(eager=True)
     return lambda df: df.localCheckpoint(eager=False)
 

@@ -107,8 +107,18 @@ class _ClosureBroadcast:
 def spark_broadcast(spark, value):
     """``sc.broadcast(value)`` when a py4j SparkContext exists (classic
     session), else a plain closure-captured holder with the same
-    ``.value`` shape (Spark Connect has no broadcast API)."""
+    ``.value`` shape (Spark Connect has no broadcast API). ONLY the
+    gateway-absent errors degrade — a broadcast that fails for a real
+    reason on a classic session (pickle failure, oversized payload,
+    driver pressure) must surface, not silently re-ship per task."""
     try:
-        return spark.sparkContext.broadcast(value)
-    except Exception:
+        from pyspark.errors import PySparkNotImplementedError
+
+        no_gateway: tuple = (AttributeError, PySparkNotImplementedError)
+    except ImportError:  # pragma: no cover - errors module always ships
+        no_gateway = (AttributeError,)
+    try:
+        sc = spark.sparkContext
+    except no_gateway:
         return _ClosureBroadcast(value)
+    return sc.broadcast(value)

@@ -215,15 +215,19 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ~1.0 for exact duplicates, so recall_ppm ~ 990k+ on the
     dup-saturated synthetic corpus.
 
-    Output (1 row): n_true, n_candidates, n_found, recall_ppm.
+    Output (1 row): n_true, n_candidates, n_found, recall_ppm,
+    n_hot_buckets (r11: the guard's drop count as a REPORT VALUE — a
+    lossy hot-bucket drop is visible in every sweep, not just in a log
+    nobody reads; 0 on this corpus, asserted by tests/test_wide.py).
     """
     from dnsflow_clickhouse_spark.operators.dedup import (
         lsh_candidate_pairs,
+        lsh_hot_bucket_counts,
         prefix_filtered_jaccard_pairs,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(
+    cands_raw = lsh_candidate_pairs(
         d,
         "doc_id",
         "text",
@@ -231,7 +235,9 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=MH_BANDS,
         hash_fn=F.xxhash64,
         max_bucket_size=MH_BUCKET_CAP,
-    ).localCheckpoint(eager=False)
+    )
+    hot = lsh_hot_bucket_counts(cands_raw).select("n_hot_buckets")
+    cands = cands_raw.localCheckpoint(eager=False)
     cap_ids = _capped_ids(d, "doc_id")
     sub = d.join(
         cap_ids.withColumnRenamed("id", "doc_id"), "doc_id", "semi"
@@ -247,6 +253,7 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         truth.select(F.count(F.lit(1)).alias("n_true"))
         .crossJoin(cands.select(F.count(F.lit(1)).alias("n_candidates")))
         .crossJoin(found.select(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(hot)
         .select(
             F.col("n_true").cast("long").alias("n_true"),
             F.col("n_candidates").cast("long").alias("n_candidates"),
@@ -257,6 +264,7 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("recall_ppm"),
+            F.col("n_hot_buckets").cast("long").alias("n_hot_buckets"),
         )
     )
 

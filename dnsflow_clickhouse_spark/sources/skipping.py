@@ -63,7 +63,11 @@ def _list_data_files(spark: SparkSession, path: str) -> list[str]:
         jsc = spark._jsc
         if jvm is None or jsc is None:  # pragma: no cover - connect stub
             raise AttributeError("no JVM gateway")
-    except Exception:
+    except AttributeError:
+        # ONLY the gateway-absent case (Spark Connect raises
+        # [Py]AttributeError for _jvm/_jsc) falls back; any other
+        # failure on a classic session must surface, not silently
+        # reroute a cluster listing to the client's local disk
         return _walk_local_files(path)
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
@@ -95,6 +99,18 @@ def _walk_local_files(path: str) -> list[str]:
         )
     else:
         root = path
+    if not os.path.isdir(root):
+        # os.walk on a missing dir yields NOTHING, and the conservative
+        # keep-unknown rule would turn that into "skip everything" — a
+        # silent empty read for a Connect client whose dataset lives on
+        # the cluster's default FS (round-11 review). Fail loudly.
+        raise RuntimeError(
+            f"cannot enumerate {path!r}: not a local directory, and this "
+            "session has no py4j JVM gateway (Spark Connect client) to "
+            "reach the cluster filesystem — run the manifest build/read "
+            "from a classic SparkSession, or point at a locally-visible "
+            "path"
+        )
     out: list[str] = []
     for dirpath, dirnames, filenames in os.walk(root):
         if MANIFEST_DIR in dirnames:

@@ -176,10 +176,11 @@ def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark, caplog):
     bucket — the uncapped expansion is ~500k pairs from ONE aggregation
     row; with max_bucket_size set the hot buckets are dropped. Round-11
     the guard is LAZY: lsh_candidate_pairs stays a pure plan builder
-    (no job at call time), the audit rides the caller's action as an
-    Observation and is read via lsh_hot_bucket_audit, which logs the
-    drop warning. Knob off => behavior unchanged (oracle hashes pinned
-    by the sweep)."""
+    (no job at call time); the audit is read afterwards via
+    lsh_hot_bucket_audit — a small aggregate over the guard's
+    lazily-checkpointed bucket barrier (cheap after the caller's own
+    action has materialized it) that logs the drop warning. Knob off
+    => behavior unchanged (oracle hashes pinned by the sweep)."""
     import logging
 
     from dnsflow_clickhouse_spark.operators.dedup import (
@@ -344,6 +345,12 @@ def test_list_data_files_falls_back_without_jvm_gateway(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="Spark Connect"):
         skipping._list_data_files(_ConnectStub(), "hdfs://nn/warehouse/t")
+
+    # a plain path the client cannot see locally must FAIL LOUDLY, not
+    # silently enumerate zero files (which the conservative keep-unknown
+    # rule would turn into a skip-everything empty read)
+    with _pytest.raises(RuntimeError, match="not a local directory"):
+        skipping._list_data_files(_ConnectStub(), "/warehouse/not/here")
 
 
 def test_perm_consts_bounds_full_expression_with_valueerror():

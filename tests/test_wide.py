@@ -50,6 +50,9 @@ def test_minhash_wide_recall_clears_banding_floor(spark):
     r = minhash_wide_recall(spark, SF).collect()[0]
     # 16 bands x 4 rows: P(candidate | J>=0.7) >= 1-(1-0.7^4)^16 ~ 0.988
     assert r.recall_ppm >= 950_000, r
+    # the guard must not drop buckets on this corpus — and the drop
+    # count is a report VALUE now, so a lossy run is visible per sweep
+    assert r.n_hot_buckets == 0, r
     # candidate mining must stay output-bound, not quadratic: on the
     # sf0.001 corpus the candidate count is within a small multiple of
     # the true-pair count

@@ -165,7 +165,9 @@ def adjudicate(
                 f"mover >{FLAG_RATIO}x prev-round min (floors "
                 f"{FLAG_PREV_FLOOR_S}/{FLAG_DELTA_FLOOR_S}s) -> side-by-side "
                 "re-time on prev-round worktree vs current tree, fresh "
-                "subprocess each, min-of-2"
+                "subprocess each, min-of-3; tentative regressions get a "
+                "swapped-order confirm pass and the verdict uses the min "
+                "across passes"
             ),
             "flagged": [],
         }

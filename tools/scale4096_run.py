@@ -111,7 +111,7 @@ pairs_holder: dict = {}
 
 
 def _mine():
-    p = lsh_candidate_pairs(
+    raw = lsh_candidate_pairs(
         docs,
         "doc_id",
         "text",
@@ -119,12 +119,22 @@ def _mine():
         n_bands=16,
         hash_fn=F.xxhash64,
         max_bucket_size=100_000,
-    ).localCheckpoint(eager=True)
+    )
+    p = raw.localCheckpoint(eager=True)
     pairs_holder["df"] = p
+    pairs_holder["raw"] = raw  # audit tag lives on the builder's frame
     return p.count()
 
 
 timed("lsh_pairs_64x16_xxhash64_guarded", _mine, warm=1)
+
+# guard observability (r11): the drop count reads the guard's bucket
+# barrier — checkpoint blocks the mining action just materialized, so
+# this is a cheap aggregate, and it logs the drop warning if any fired
+from dnsflow_clickhouse_spark.operators.dedup import lsh_hot_bucket_audit
+
+audit = lsh_hot_bucket_audit(pairs_holder["raw"])
+print(f"hot_bucket_audit: {audit}", flush=True)
 
 # 4. connected components over the mined pairs (the CC single-node
 # ceiling the r9 verdict asked to name)

@@ -54,8 +54,12 @@ def main() -> None:
             flush=True,
         )
     if as_json:
-        # machine-readable last line (tools/ab_bench.py child protocol;
-        # the text lines above stay for humans and for old-tree parity)
+        # optional machine-readable last line for ad-hoc tooling. NOTE:
+        # tools/ab_bench.py does NOT use this — it regex-parses the
+        # `name: ... min=X.XXs` TEXT lines above, because the prev-round
+        # worktree's copy of this script predates --json; that text
+        # format is therefore load-bearing across rounds — do not change
+        # it
         import json
 
         print(json.dumps({"mins": mins, "repeat": repeat}), flush=True)
