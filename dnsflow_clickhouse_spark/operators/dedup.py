@@ -53,6 +53,10 @@ from dnsflow_clickhouse_spark.operators.util import cpu_repartition
 
 _LOG = logging.getLogger(__name__)
 
+# one-time (per process) plan-build notice that the hot-bucket guard is
+# engaged and drops surface only via the audit helpers
+_HOT_BUCKET_NOTICE_DONE = False
+
 
 def _poly_hash_np(strs, seed: int, mult: int, mod: int):
     """Vectorized modular polynomial fold: identical values to
@@ -187,15 +191,21 @@ def _simhash_udf(n_bits: int):
     return _FUSED_UDF_CACHE[key]
 
 
-def _minhash_sig_udf(n_hashes: int):
+def _minhash_sig_udf(n_hashes: int, perm_offset: int = 0):
     """gram array -> MinHash signature array<long> in ONE Arrow pass:
     vectorized poly fold + per-permutation segment mins — replaces
     n_hashes interpreted ``transform``+``array_min`` passes. Values
     identical to ``_sig_from_base(poly_hash(...))`` (empty docs get the
-    POLY_MOD sentinel)."""
-    key = ("minhash", n_hashes)
+    POLY_MOD sentinel).
+
+    ``perm_offset``: start at permutation index ``perm_offset`` of the
+    GLOBAL constant sequence — position j of the returned signature is
+    bit-equal to position ``perm_offset + j`` of the full-width
+    signature, which is what lets band-group execution recompute only
+    the slice of the signature its bands read."""
+    key = ("minhash", n_hashes, perm_offset)
     if key not in _FUSED_UDF_CACHE:
-        consts = _perm_consts(n_hashes)
+        consts = _perm_consts(perm_offset + n_hashes)[perm_offset:]
 
         @pandas_udf(ArrayType(LongType()))
         def f(grams: pd.Series) -> pd.Series:
@@ -214,7 +224,7 @@ def _minhash_sig_udf(n_hashes: int):
     return _FUSED_UDF_CACHE[key]
 
 
-def _minhash_sig_from_base_udf(n_hashes: int):
+def _minhash_sig_from_base_udf(n_hashes: int, perm_offset: int = 0):
     """Precomputed base-hash array<long> -> MinHash signature in ONE
     Arrow pass — the ``hash_fn`` twin of :func:`_minhash_sig_udf`.
 
@@ -227,10 +237,13 @@ def _minhash_sig_from_base_udf(n_hashes: int):
     numpy fold the portable path already uses. Values identical to
     ``_sig_from_base``: base reduced into [0, POLY_MOD) first (numpy
     ``%`` is nonnegative like Spark ``pmod``), empty docs get the
-    POLY_MOD sentinel."""
-    key = ("minhash_from_base", n_hashes)
+    POLY_MOD sentinel.
+
+    ``perm_offset``: as in :func:`_minhash_sig_udf` — position j of the
+    output equals position ``perm_offset + j`` of the full signature."""
+    key = ("minhash_from_base", n_hashes, perm_offset)
     if key not in _FUSED_UDF_CACHE:
-        consts = _perm_consts(n_hashes)
+        consts = _perm_consts(perm_offset + n_hashes)[perm_offset:]
 
         @pandas_udf(ArrayType(LongType()))
         def f(base: pd.Series) -> pd.Series:
@@ -365,8 +378,9 @@ def _sig_from_base(base: Column, n_hashes: int) -> Column:
     # F.xxhash64 whose full-64-bit values overflow ``a*h`` under
     # Spark 4 ANSI mode. After reduction h' < POLY_MOD (~1e9) and
     # a ~ 2*n_hashes*11467, so a*h' < ~2.3e13 per 1000 hashes — int64-
-    # safe for any real signature width; _perm_consts asserts the
-    # exact bound a < 2^63/POLY_MOD.
+    # safe for any real signature width; _perm_consts raises ValueError
+    # when the full protected expression a*(POLY_MOD-1)+b would reach
+    # 2^63 (the whole-expression bound, not just a alone).
     sigs = [
         F.coalesce(
             F.array_min(
@@ -383,15 +397,23 @@ def _sig_from_base(base: Column, n_hashes: int) -> Column:
     return F.array(*sigs)
 
 
-def minhash_band_hashes(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+def minhash_band_hashes(
+    sig: Column, n_bands: int, rows_per_band: int, band_offset: int = 0
+) -> Column:
     """Band the signature: array of (band_idx, band_hash) structs. The
     band hash folds the band's signature values with the same portable
-    polynomial fold (over their string forms)."""
+    polynomial fold (over their string forms).
+
+    ``band_offset``: ``sig`` holds a SLICE of a wider signature starting
+    at global band ``band_offset`` (band-group execution) — emitted band
+    indices and seeds use the GLOBAL band number, so the structs are
+    bit-equal to the corresponding slice of the full-width banding."""
     bands = []
     for b in range(n_bands):
         vals = [F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        bh = poly_hash(F.concat_ws(":", *[v.cast("string") for v in vals]), seed=b + 1)
-        bands.append(F.struct(F.lit(b).alias("band"), bh.alias("band_hash")))
+        g = band_offset + b
+        bh = poly_hash(F.concat_ws(":", *[v.cast("string") for v in vals]), seed=g + 1)
+        bands.append(F.struct(F.lit(g).alias("band"), bh.alias("band_hash")))
     return F.array(*bands)
 
 
@@ -403,19 +425,38 @@ def minhash_bands_df(
     n_bands: int = 4,
     ngram: int = 3,
     hash_fn: Callable[[Column], Column] | None = None,
+    band_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(id, band, band_hash): the staged bulk MinHash-LSH index build.
 
     Stages: tokens -> grams -> base hashes -> signature -> band structs,
     each a separate projection so nothing is recomputed; one explode
     (n_bands rows/doc); no shuffle besides the initial repartition.
+
+    ``band_range`` (optional): ``(first_band, n_group_bands)`` — emit
+    only that contiguous slice of the GLOBAL ``n_bands`` banding, computing
+    only the signature positions those bands read (permutation constants
+    and band seeds stay the global ones, so the emitted rows are
+    bit-equal to the corresponding subset of the full build). This is
+    the band-group execution unit: peak state per pass shrinks to
+    ~n_group_bands/n_bands of the full signature table at the cost of
+    one gram/base-hash pass per group.
     """
     rows = n_hashes // n_bands
+    first, n_group = (0, n_bands) if band_range is None else band_range
+    if first < 0 or n_group < 1 or first + n_group > n_bands:
+        raise ValueError(
+            f"band_range={band_range} outside the global banding "
+            f"(n_bands={n_bands})"
+        )
+    perm_offset = first * rows
+    n_sig = n_group * rows
     grams = staged_grams(df, id_col, text_col, ngram)
     if hash_fn is None:
         # fused Arrow kernel: one batch pass does hash + permutation mins
         sig = grams.select(
-            "id", _minhash_sig_udf(n_hashes)(F.col("grams")).alias("sig")
+            "id",
+            _minhash_sig_udf(n_sig, perm_offset)(F.col("grams")).alias("sig"),
         )
     else:
         # base hashes in ONE codegen transform (the point of the knob:
@@ -427,7 +468,9 @@ def minhash_bands_df(
             "id", _base_hashes(F.col("grams"), hash_fn).alias("__base")
         ).select(
             "id",
-            _minhash_sig_from_base_udf(n_hashes)(F.col("__base")).alias("sig"),
+            _minhash_sig_from_base_udf(n_sig, perm_offset)(
+                F.col("__base")
+            ).alias("sig"),
         )
     sigs = (
         sig
@@ -441,15 +484,20 @@ def minhash_bands_df(
         # of round 2's fixed-cost catalog tax at small scale)
         .localCheckpoint(eager=False)
     )
-    return _bands_from_sigs(sigs, n_bands, rows)
+    return _bands_from_sigs(sigs, n_group, rows, band_offset=first)
 
 
-def _bands_from_sigs(sigs: DataFrame, n_bands: int, rows: int) -> DataFrame:
+def _bands_from_sigs(
+    sigs: DataFrame, n_bands: int, rows: int, band_offset: int = 0
+) -> DataFrame:
     """Band an already-materialized (id, sig) frame. ``sigs`` must be a
     checkpoint/cache barrier (or plain attributes) — explode over a live
     signature expression would recompute it per emitted row."""
     staged = sigs.select(
-        "id", F.explode(minhash_band_hashes(F.col("sig"), n_bands, rows)).alias("bh")
+        "id",
+        F.explode(
+            minhash_band_hashes(F.col("sig"), n_bands, rows, band_offset)
+        ).alias("bh"),
     )
     return staged.select("id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
@@ -523,6 +571,12 @@ def lsh_candidate_pairs(
     route members of dropped buckets to an exact-hash dedup pass
     instead (they are near-identical by definition). Unset, behavior
     and oracle hashes are unchanged.
+
+    Scratch note: this one-shot plan holds the full signature
+    checkpoint and the full banding's bucket shuffle live at once
+    (~29.4 GB at the 4096x tier, SCALE_SMOKE.md) — when that is the
+    binding resource, :func:`lsh_candidate_pairs_grouped` mines the
+    bit-identical pair set in sequential band groups at ~1/G the peak.
     """
     if sig_df is not None:
         banded = _bands_from_sigs(sig_df, n_bands, n_hashes // n_bands)
@@ -536,6 +590,22 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
+        # one-time plan-build notice (r12 ADVICE): the guard makes the
+        # candidate set lossy and (since r11) the drop count surfaces
+        # ONLY through lsh_hot_bucket_audit / lsh_hot_bucket_counts —
+        # callers that set the cap but never read the audit must not be
+        # silently lossy. INFO once per process, at plan-build time.
+        global _HOT_BUCKET_NOTICE_DONE
+        if not _HOT_BUCKET_NOTICE_DONE:
+            _HOT_BUCKET_NOTICE_DONE = True
+            _LOG.info(
+                "lsh_candidate_pairs: hot-bucket guard engaged "
+                "(max_bucket_size=%d) — buckets over the cap are dropped "
+                "and the drop count is reported only via "
+                "lsh_hot_bucket_audit()/lsh_hot_bucket_counts() on the "
+                "returned frame",
+                max_bucket_size,
+            )
         # LAZY shared barrier: no job at call time (eager=False), but
         # the caller's first action materializes the compact bucketed
         # frame's checkpoint blocks, which the audit then reads instead
@@ -556,11 +626,152 @@ def lsh_candidate_pairs(
     return _bucket_pairs(buckets)
 
 
+def _release_group_scratch(spark) -> None:
+    """Nudge both runtimes to release a finished band group's scratch
+    (signature-checkpoint blocks + the group's shuffle files) before the
+    next group starts: dropping the Python refs orphans the JVM plans,
+    a JVM GC hands the dead RDD/shuffle references to ContextCleaner,
+    which unpersists blocks and unregisters shuffles asynchronously —
+    the short sleep gives its cleaning thread a beat. Best-effort by
+    design (Connect sessions have no gateway: skip silently — cleanup
+    then rides the session's normal GC cadence)."""
+    import gc
+    import time as _time
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        return
+    _time.sleep(2.0)
+
+
+def lsh_candidate_pairs_grouped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ngram: int = 3,
+    hash_fn: Callable[[Column], Column] | None = None,
+    max_bucket_size: int | None = None,
+    n_band_groups: int = 2,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Scratch-bounded MinHash-LSH candidate mining: the same pair set
+    as :func:`lsh_candidate_pairs`, mined in ``n_band_groups`` SEQUENTIAL
+    band groups so peak single-node scratch is ~1/G of the one-shot plan.
+
+    Why: the one-shot plan holds the full n_hashes-wide signature
+    checkpoint AND the full banding's bucket shuffle live at once —
+    measured ~29.4 GB at the 4096x tier (20.5M docs, 64x16 signatures,
+    SCALE_SMOKE.md), ~2x per octave, which crowds a single node's
+    volume before anything else does. Each group here recomputes grams
+    and base hashes (G gram passes — the documented cost) but builds
+    only its bands' signature SLICE (``minhash_bands_df(band_range=...)``
+    — global permutation constants and band seeds, so group outputs are
+    bit-equal to the corresponding slice of the full build), mines that
+    group's buckets, persists the group's pairs to ``scratch_dir``
+    (parquet — the group's one action), then releases the group's
+    checkpoint/shuffle scratch before the next group starts.
+
+    Returns the distinct union of the group outputs — the SAME pair set
+    as the one-shot builder (a bucket lives entirely inside one band,
+    so per-group bucketing, hot-bucket filtering, and pair expansion
+    are each exactly the one-shot computation restricted to that
+    group's bands; cross-group duplicate pairs collapse in the final
+    ``dropDuplicates``). Bit-equality is pinned by test at fixture
+    scale and was proven at the 1024x tier (G=4, SCALE_SMOKE.md r12).
+
+    Unlike the pure-plan-builder one-shot form this RUNS JOBS at call
+    time (one write per group). ``max_bucket_size`` audit counts are
+    collected eagerly per group and summed; read them via
+    :func:`lsh_hot_bucket_audit` / :func:`lsh_hot_bucket_counts` on the
+    returned frame exactly as for the one-shot form.
+
+    ``scratch_dir``: directory for the per-group pair parquet (created
+    if missing; default a fresh ``tempfile.mkdtemp``). The returned
+    DataFrame READS from it — keep it alive while the frame is in use.
+    """
+    import tempfile
+
+    if n_bands % n_band_groups:
+        raise ValueError(
+            f"n_band_groups={n_band_groups} must divide n_bands={n_bands}"
+        )
+    if n_hashes % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
+    spark = df.sparkSession
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="lsh_band_groups_")
+    bpg = n_bands // n_band_groups
+    n_hot_total = 0
+    max_seen = 0
+    group_paths: list[str] = []
+    for g in range(n_band_groups):
+        banded = minhash_bands_df(
+            df, id_col, text_col, n_hashes, n_bands, ngram,
+            hash_fn=hash_fn, band_range=(g * bpg, bpg),
+        )
+        buckets = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        if max_bucket_size is not None:
+            buckets = buckets.localCheckpoint(eager=False)
+            pairs = _bucket_pairs(
+                buckets.filter(F.size("ids") <= max_bucket_size)
+            )
+        else:
+            pairs = _bucket_pairs(buckets)
+        gpath = f"{scratch}/group={g}"
+        pairs.write.mode("overwrite").parquet(gpath)
+        group_paths.append(gpath)
+        if max_bucket_size is not None:
+            # cheap: reads the bucket barrier the write just materialized
+            row = buckets.agg(
+                F.coalesce(
+                    F.sum((F.size("ids") > max_bucket_size).cast("long")),
+                    F.lit(0),
+                ).alias("n_hot"),
+                F.coalesce(F.max(F.size("ids")), F.lit(0)).alias("mx"),
+            ).collect()[0]
+            n_hot_total += int(row["n_hot"])
+            max_seen = max(max_seen, int(row["mx"]))
+        del banded, buckets, pairs
+        _release_group_scratch(spark)
+    out = spark.read.parquet(*group_paths).select("id_a", "id_b").dropDuplicates()
+    if max_bucket_size is not None:
+        if n_hot_total:
+            _LOG.warning(
+                "lsh_candidate_pairs_grouped: dropped %d hot bucket(s) "
+                "over max_bucket_size=%d (largest had %d members)",
+                n_hot_total, max_bucket_size, max_seen,
+            )
+        # eager tag: the per-group barriers are gone, so the audit
+        # helpers read this precomputed dict instead of re-aggregating
+        out._lsh_hot_bucket_audit_eager = {
+            "n_hot": n_hot_total,
+            "max_bucket": max_seen,
+            "max_bucket_size": max_bucket_size,
+        }
+    return out
+
+
 def lsh_hot_bucket_counts(pairs_df: DataFrame) -> DataFrame | None:
     """LAZY one-row (n_hot_buckets, max_bucket_size_seen) frame over the
     guard's bucketed barrier — compose it into a report (crossJoin) so
     the drop count is a REPORT VALUE sharing the caller's single action;
     ``None`` when the frame carries no audit tag."""
+    eager = getattr(pairs_df, "_lsh_hot_bucket_audit_eager", None)
+    if eager is not None:
+        # grouped execution: counts were collected per group at mining
+        # time (the barriers are gone) — surface them as the same
+        # one-row frame shape
+        return pairs_df.sparkSession.createDataFrame(
+            [(int(eager["n_hot"]), int(eager["max_bucket"]))],
+            "n_hot_buckets long, max_bucket_size_seen long",
+        )
     tagged = getattr(pairs_df, "_lsh_hot_bucket_audit", None)
     if tagged is None:
         return None
@@ -589,6 +800,11 @@ def lsh_hot_bucket_audit(pairs_df: DataFrame) -> dict | None:
     "max_bucket_size": the cap}``; ``None`` when the frame carries no
     audit tag (knob unset, or a derived frame rather than the one the
     builder returned)."""
+    eager = getattr(pairs_df, "_lsh_hot_bucket_audit_eager", None)
+    if eager is not None:
+        # grouped execution already logged its drop warning at mining
+        # time; just return the precomputed counts
+        return dict(eager)
     counts = lsh_hot_bucket_counts(pairs_df)
     if counts is None:
         return None

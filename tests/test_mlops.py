@@ -1132,3 +1132,110 @@ def test_mmr_rerank_matches_python_greedy(spark):
         remaining.remove(best)
     assert [r.neighbor_id for r in got] == picked
     assert [r.simq_micro for r in got] == [sim(0, i) for i in picked]
+
+
+# --- band-group execution (r12: scratch-bounded LSH mining) ---------------
+
+
+def test_minhash_bands_df_band_range_bit_equal(docs):
+    """band_range slices must union to EXACTLY the full banding — global
+    permutation constants and band seeds, so each group's rows are
+    bit-equal to the corresponding subset of the one-shot build. Both
+    hash paths (portable Arrow kernel and the xxhash64 production knob)."""
+    for hf in (None, F.xxhash64):
+        full = sorted(
+            map(tuple, minhash_bands_df(
+                docs, "doc_id", "text", 8, 4, 3, hash_fn=hf
+            ).collect())
+        )
+        for n_groups in (2, 4):
+            bpg = 4 // n_groups
+            got = []
+            for g in range(n_groups):
+                got.extend(
+                    map(tuple, minhash_bands_df(
+                        docs, "doc_id", "text", 8, 4, 3,
+                        hash_fn=hf, band_range=(g * bpg, bpg),
+                    ).collect())
+                )
+            assert sorted(got) == full, (hf, n_groups)
+
+
+def test_minhash_bands_df_band_range_validation(docs):
+    with pytest.raises(ValueError):
+        minhash_bands_df(docs, "doc_id", "text", 8, 4, 3, band_range=(3, 2))
+    with pytest.raises(ValueError):
+        minhash_bands_df(docs, "doc_id", "text", 8, 4, 3, band_range=(-1, 1))
+
+
+def test_lsh_candidate_pairs_grouped_bit_equal(docs, tmp_path):
+    """The grouped miner must emit the IDENTICAL pair set as the
+    one-shot plan, for every group count and both hash paths."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs_grouped,
+    )
+
+    for hf in (None, F.xxhash64):
+        one_shot = sorted(
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(
+                docs, "doc_id", "text", 8, 4, 3, hash_fn=hf
+            ).collect()
+        )
+        assert one_shot, "fixture corpus must mine at least one pair"
+        for n_groups in (2, 4):
+            out = lsh_candidate_pairs_grouped(
+                docs, "doc_id", "text", 8, 4, 3, hash_fn=hf,
+                n_band_groups=n_groups,
+                scratch_dir=str(tmp_path / f"g{n_groups}_{hf is None}"),
+            )
+            assert sorted((r.id_a, r.id_b) for r in out.collect()) == one_shot
+
+
+def test_lsh_candidate_pairs_grouped_hot_bucket_audit(spark, tmp_path):
+    """Grouped mining with the hot-bucket guard: per-group drop counts
+    sum to the one-shot audit, the eager tag feeds the same audit API,
+    and the surviving pair set matches the one-shot guarded run."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs_grouped,
+        lsh_hot_bucket_audit,
+        lsh_hot_bucket_counts,
+    )
+
+    rows = [(i, "aa bb cc dd ee ff gg hh ii jj") for i in range(4)]
+    rows += [(10, "xx yy zz ww vv uu tt ss rr qq"),
+             (11, "xx yy zz ww vv uu tt ss rr qq")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    ref = lsh_candidate_pairs(
+        df, "doc_id", "text", 8, 4, 3, max_bucket_size=3
+    )
+    ref_pairs = sorted((r.id_a, r.id_b) for r in ref.collect())
+    ref_audit = lsh_hot_bucket_audit(ref)
+    assert ref_audit["n_hot"] == 4  # the 4-member clique drops in all 4 bands
+    assert (0, 1) not in ref_pairs and (10, 11) in ref_pairs
+
+    out = lsh_candidate_pairs_grouped(
+        df, "doc_id", "text", 8, 4, 3, max_bucket_size=3,
+        n_band_groups=2, scratch_dir=str(tmp_path / "hot"),
+    )
+    assert sorted((r.id_a, r.id_b) for r in out.collect()) == ref_pairs
+    audit = lsh_hot_bucket_audit(out)
+    assert audit == ref_audit
+    counts = lsh_hot_bucket_counts(out)
+    row = counts.collect()[0]
+    assert (row.n_hot_buckets, row.max_bucket_size_seen) == (
+        ref_audit["n_hot"], ref_audit["max_bucket"],
+    )
+
+
+def test_lsh_candidate_pairs_grouped_validation(docs, tmp_path):
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs_grouped,
+    )
+
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs_grouped(
+            docs, "doc_id", "text", 8, 4, 3, n_band_groups=3,
+            scratch_dir=str(tmp_path),
+        )
