@@ -274,12 +274,17 @@ def test_skipping_handles_percent_encoded_paths(spark, tmp_path):
 
 
 def test_open_footer_hadoop_byte_read_fallback(spark, tmp_path, monkeypatch):
-    """r10 verdict #2: when pyarrow has no filesystem for the scheme
-    (``from_uri`` raises — the libhdfs-less HDFS case), ``_open_footer``
-    falls back to a Hadoop-FS byte read through the py4j gateway.
-    Forced here by sending a ``file:`` URI down the non-local branch
-    with ``from_uri`` stubbed to fail — Hadoop's local FS then plays
-    the role of HDFS."""
+    """r10 verdict #2 / r11 verdict #2: when pyarrow has no filesystem
+    for the scheme (``from_uri`` raises — the libhdfs-less HDFS case),
+    ``_open_footer`` falls back to a RANGED Hadoop-FS footer read
+    through the py4j gateway. Forced here by sending a ``file:`` URI
+    down the non-local branch with ``from_uri`` stubbed to fail —
+    Hadoop's local FS then plays the role of HDFS. Asserts the fallback
+    moved only the parquet tail (footer + 8 trailing bytes), not the
+    file: on a multi-GB HDFS file the old whole-file pull would have
+    transferred the dataset once per manifest build."""
+    import os
+
     import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
@@ -299,10 +304,45 @@ def test_open_footer_hadoop_byte_read_fallback(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(pafs, "FileSystem", _NoPyarrowFS)
     monkeypatch.setattr(skipping, "_is_local_scheme", lambda s: False)
 
+    moved = []
+    real = skipping._hadoop_read_footer
+
+    def _spy(uri):
+        buf = real(uri)
+        moved.append(buf.size())
+        return buf
+
+    monkeypatch.setattr(skipping, "_hadoop_read_footer", _spy)
+
     pf = skipping._open_footer("file:" + fpath)
     direct = pq.ParquetFile(fpath)
     assert pf.metadata.num_rows == direct.metadata.num_rows == 123
     assert pf.metadata.num_columns == direct.metadata.num_columns
+    # row-group stats (what _footer_stats reads) decode from the tail
+    st = pf.metadata.row_group(0).column(0).statistics
+    assert (st.min, st.max) == (0, 122)
+    # ranged, not whole-file: exactly footer + trailing 8 bytes moved
+    fsize = os.path.getsize(fpath)
+    with open(fpath, "rb") as fh:
+        fh.seek(fsize - 8)
+        footer_len = int.from_bytes(fh.read(4), "little")
+    assert moved == [footer_len + 8]
+    assert moved[0] < fsize
+
+
+def test_hadoop_read_footer_rejects_non_parquet(spark, tmp_path):
+    """The ranged fallback must fail loudly (no magic / truncated), not
+    hand pyarrow a garbage buffer."""
+    from dnsflow_clickhouse_spark.sources import skipping
+
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"x" * 64)
+    with __import__("pytest").raises(OSError, match="no parquet magic"):
+        skipping._hadoop_read_footer("file:" + str(bad))
+    tiny = tmp_path / "tiny.parquet"
+    tiny.write_bytes(b"PAR1")
+    with __import__("pytest").raises(OSError, match="too small"):
+        skipping._hadoop_read_footer("file:" + str(tiny))
 
 
 def test_list_data_files_falls_back_without_jvm_gateway(spark, tmp_path):
