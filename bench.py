@@ -246,7 +246,13 @@ def main() -> None:
         sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
         from ab_bench import adjudicate
 
-        ab = adjudicate(Path(__file__).resolve().parent, timings, sf_dir)
+        ab = adjudicate(
+            Path(__file__).resolve().parent, timings, sf_dir,
+            batch_walls={
+                "dns_batch_wall": round(dns_wall, 3),
+                "dns_batch_wall_concurrent": round(dns_wall_con, 3),
+            },
+        )
     else:
         ab = {"prev_round": None, "flagged": [], "disabled": True}
 

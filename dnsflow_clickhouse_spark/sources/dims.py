@@ -116,7 +116,16 @@ def write_jdbc_idempotent(
        LAST. A crash at any point leaves either (no mark, partial rows
        -> scrubbed and rewritten on replay) or (mark present, full rows
        -> skipped on replay); duplicates are impossible at any retry
-       count.
+       count — for SEQUENTIAL retries of one writer per batch_id, the
+       contract ``foreachBatch`` provides (Spark replays a failed batch
+       under the same id, one attempt at a time). The exists-check /
+       scrub / append / mark sequence is NOT atomic across writers: a
+       zombie driver racing its restarted successor on the same
+       batch_id could both pass the exists-check and double-append
+       (r11 advice). If concurrent same-batch writers are possible in
+       your deployment, take a mutex first — e.g. INSERT the batch_id
+       into a lock table with a PRIMARY KEY before appending and abort
+       on key violation.
 
     Safe from ``foreachBatch`` with the streaming batch id (Spark
     replays a failed batch under the same id). The bookkeeping

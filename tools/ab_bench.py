@@ -60,20 +60,26 @@ def find_prev_round(repo: Path) -> tuple[int, str] | None:
     """(round number, commit sha) of the previous round's final code:
     the commit that ADDED the newest ``BENCH_r{N}.json`` is the driver's
     round-boundary commit, whose tree is that round's final code and
-    whose ``BENCH_DETAIL.json`` is that round's full per-query bench."""
+    whose ``BENCH_DETAIL.json`` is that round's full per-query bench.
+
+    Rounds are tried in DESCENDING order, falling back to the next-lower
+    round whose add-commit resolves (r11 advice): mid-round the newest
+    BENCH_rN.json on disk is often the driver's still-UNCOMMITTED current
+    artifact — git log finds no add-commit for it, and bailing out there
+    would silently disable the guard precisely at round boundaries."""
     rounds = []
     for p in repo.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if m:
             rounds.append(int(m.group(1)))
-    if not rounds:
-        return None
-    n = max(rounds)
-    sha = _git(
-        repo, "log", "--diff-filter=A", "--format=%H", "--",
-        f"BENCH_r{n:02d}.json",
-    ).splitlines()
-    return (n, sha[0]) if sha else None
+    for n in sorted(rounds, reverse=True):
+        sha = _git(
+            repo, "log", "--diff-filter=A", "--format=%H", "--",
+            f"BENCH_r{n:02d}.json",
+        ).splitlines()
+        if sha:
+            return (n, sha[0])
+    return None
 
 
 def prev_round_timings(repo: Path, commit: str) -> dict[str, float]:
@@ -146,11 +152,116 @@ def time_subset(
     return {m.group(1): float(m.group(2)) for m in _MIN_RE.finditer(r.stdout)}
 
 
+_BATCH_WALL_KEYS = ("dns_batch_wall", "dns_batch_wall_concurrent")
+
+# Runs in a FRESH subprocess with sys.path pointed at one tree, so the
+# batch unit (and everything it lazily imports) comes from that code
+# version — the same isolation rule time_subset applies to the catalog.
+# min-of-N for the same reason as time_subset's repeat=3.
+_BATCH_SNIPPET = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from bench import _dns_batch, _dns_batch_concurrent, _warm
+from dnsflow_clickhouse_spark.session import get_spark
+tree, sf_dir, repeat = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = get_spark(app_name="ab-batch")
+_warm(spark, sf_dir)
+seq = min(_dns_batch(spark, sf_dir)[0] for _ in range(repeat))
+con = min(_dns_batch_concurrent(spark, sf_dir) for _ in range(repeat))
+print(json.dumps({"dns_batch_wall": round(seq, 3),
+                  "dns_batch_wall_concurrent": round(con, 3)}))
+"""
+
+
+def time_batch_walls(
+    tree: Path, sf_dir: str, repeat: int = 3
+) -> dict[str, float]:
+    """Min-of-``repeat`` DNS batch walls (sequential + concurrent) on
+    ``tree``'s code in a fresh subprocess; parses the single JSON line."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, "-c", _BATCH_SNIPPET, str(tree), sf_dir,
+         str(repeat)],
+        capture_output=True, text=True, cwd=str(tree),
+        timeout=CHILD_TIMEOUT_S, env=env,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"batch-wall child in {tree} rc={r.returncode}: "
+            f"{(r.stderr or '')[-500:]}"
+        )
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    return {k: float(v) for k, v in json.loads(line).items()}
+
+
+def _is_reg(pc: float, cc: float) -> bool:
+    return cc > FLAG_RATIO * pc and cc - pc > FLAG_DELTA_FLOOR_S
+
+
+def _adjudicate_batch_walls(
+    repo: Path, commit: str, batch_walls: dict[str, float], sf_dir: str
+) -> list[dict]:
+    """Mover rule + side-by-side re-time for the two headline batch
+    walls. Always emits one row per wall (flagged or not) so the
+    artifact shows the walls are UNDER adjudication, not just silent."""
+    raw = json.loads(_git(repo, "show", f"{commit}:BENCH_DETAIL.json"))
+    rows: list[dict] = []
+    for key in _BATCH_WALL_KEYS:
+        cur_s = batch_walls.get(key)
+        prev_s = raw.get(key)
+        flagged = (
+            isinstance(cur_s, (int, float))
+            and isinstance(prev_s, (int, float))
+            and prev_s >= FLAG_PREV_FLOOR_S
+            and _is_reg(prev_s, cur_s)
+        )
+        rows.append({
+            "name": key,
+            "prev_round_s": prev_s,
+            "final_bench_s": cur_s,
+            "flagged": flagged,
+        })
+    names = [r["name"] for r in rows if r["flagged"]]
+    if names:
+        try:
+            wt = ensure_worktree(repo, commit)
+            prev_code = time_batch_walls(wt, sf_dir)
+            cur_code = time_batch_walls(repo, sf_dir)
+            for row in rows:
+                if not row["flagged"]:
+                    continue
+                pc = prev_code.get(row["name"])
+                cc = cur_code.get(row["name"])
+                row["prev_code_s"] = pc
+                row["cur_code_s"] = cc
+                if pc is None or cc is None:
+                    row["verdict"] = "unadjudicated"
+                else:
+                    row["ratio"] = round(cc / pc, 3) if pc > 0 else None
+                    row["verdict"] = (
+                        "regression" if _is_reg(pc, cc) else "ambient"
+                    )
+        except Exception as exc:
+            for row in rows:
+                if row["flagged"]:
+                    row["verdict"] = "unadjudicated"
+                    row["error"] = f"{type(exc).__name__}: {exc}"[:200]
+    return rows
+
+
 def adjudicate(
-    repo: Path, cur_timings: dict[str, float], sf_dir: str
+    repo: Path,
+    cur_timings: dict[str, float],
+    sf_dir: str,
+    batch_walls: dict[str, float] | None = None,
 ) -> dict:
     """The full protocol; returns the ``ab`` section for the bench
-    artifact. Never raises."""
+    artifact. ``batch_walls``: this run's headline envelope numbers
+    ({dns_batch_wall, dns_batch_wall_concurrent}) — adjudicated under
+    the same mover rule against the previous round's BENCH_DETAIL
+    (r11 verdict #4), with a side-by-side subprocess re-time of the
+    batch unit on both trees when either wall flags. Never raises."""
     try:
         prev = find_prev_round(repo)
         if prev is None:
@@ -171,6 +282,10 @@ def adjudicate(
             ),
             "flagged": [],
         }
+        if batch_walls:
+            section["batch_walls"] = _adjudicate_batch_walls(
+                repo, commit, batch_walls, sf_dir
+            )
         if not movers:
             return section
         if len(movers) > MAX_ADJUDICATED:
@@ -180,9 +295,6 @@ def adjudicate(
         wt = ensure_worktree(repo, commit)
         prev_code = time_subset(wt, names, sf_dir)
         cur_code = time_subset(repo, names, sf_dir)
-
-        def _is_reg(pc: float, cc: float) -> bool:
-            return cc > FLAG_RATIO * pc and cc - pc > FLAG_DELTA_FLOOR_S
 
         # confirmation pass: a tentative regression re-times BOTH sides
         # once more (order swapped — current tree first), and the final
@@ -236,13 +348,12 @@ def main() -> None:
     form of what bench.py now does inline."""
     repo = Path(__file__).resolve().parent.parent
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    cur = {
-        k: float(v)
-        for k, v in json.loads(
-            (repo / "BENCH_DETAIL.json").read_text()
-        )["queries"].items()
+    detail = json.loads((repo / "BENCH_DETAIL.json").read_text())
+    cur = {k: float(v) for k, v in detail["queries"].items()}
+    walls = {
+        k: float(detail[k]) for k in _BATCH_WALL_KEYS if k in detail
     }
-    print(json.dumps(adjudicate(repo, cur, sf_dir), indent=1))
+    print(json.dumps(adjudicate(repo, cur, sf_dir, walls or None), indent=1))
 
 
 if __name__ == "__main__":

@@ -78,6 +78,28 @@ def main() -> None:
             flush=True,
         )
 
+    # r11 verdict #7: the IVF-PQ wide self-proof runs at the 16x corpus
+    # as part of the sweep anyway — promote its recall into an ASSERTED
+    # artifact value so scale drift in RECALL (not just wall time) is
+    # caught. Floor matches tests/test_wide.py's sf-scale floor.
+    wide_recall = None
+    try:
+        fn16 = QUERY_REGISTRY["ivfpq_wide_recall"][0]
+        row16 = fn16(spark, x16).collect()[0].asDict()
+        wide_recall = {
+            "query": "ivfpq_wide_recall",
+            "corpus": str(x16),
+            **{k: int(v) for k, v in row16.items()},
+            "recall_ppm_floor": 950_000,
+            "recall_ppm_ge_floor": int(row16["recall_ppm"]) >= 950_000,
+        }
+        if not wide_recall["recall_ppm_ge_floor"]:
+            print(
+                f"RECALL FLOOR VIOLATION at 16x: {row16}", file=sys.stderr
+            )
+    except Exception as exc:
+        wide_recall = {"error": str(exc)[:200]}
+
     ratios = sorted(
         v["ratio"] for v in rows.values() if v.get("ratio") is not None
     )
@@ -103,6 +125,7 @@ def main() -> None:
         "n_ratio_gt_16": sum(1 for r in ratios if r > 16),
         "total_1x_sec": round(t_1x_total, 1),
         "total_16x_sec": round(t_16x_total, 1),
+        "wide_recall_16x": wide_recall,
         "queries": rows,
     }
     # merge into an existing artifact so targeted re-runs (e.g. the two

@@ -315,8 +315,19 @@ def main() -> None:
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     n = int(args[1]) if len(args) > 1 else 10
     out = Path(args[2] if len(args) > 2 else "SOAK_r09.json")
+    # same idle gate the bench uses (r11 verdict #3): the flatness
+    # numbers are wall-clock-insensitive by design, but an artifact
+    # recorded under ambient load carries a caveat it doesn't need —
+    # wait (bounded) for the box to drain and record the wait + the
+    # load at start so the numbers are citable without it.
+    from bench import _idle_gate, _loadavg
+
+    idle_waited = _idle_gate()
+    load_at_start = _loadavg()
     spark = get_spark(app_name="stream-soak")
     art = run_soak(spark, sf_dir, n)
+    art["idle_gate_waited_s"] = idle_waited
+    art["load_1m_at_start"] = load_at_start
     out.write_text(json.dumps(art, indent=1, sort_keys=True))
     print(json.dumps({
         **{k: art[k] for k in ("wall_per_batch_mean", "wall_flatness_tail3_over_head3", "bounded")},
