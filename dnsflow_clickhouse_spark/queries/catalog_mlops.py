@@ -131,6 +131,32 @@ ORDER BY id_a, id_b
 """
 
 
+def lsh_pairs_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME candidate pair set as ``lsh_candidate_pairs``, mined by
+    the scratch-bounded band-group executor (r12:
+    ``lsh_candidate_pairs_grouped``, G=2): bands run in sequential
+    groups whose signature slices use the global permutation constants
+    and band seeds, so the union of group outputs is bit-equal to the
+    one-shot plan — proven here against the IDENTICAL DuckDB oracle the
+    one-shot entry replays, and at the 1024x tier (G=4) in
+    SCALE_SMOKE.md. The knob exists because the one-shot plan's peak
+    single-node scratch (~29.4 GB at the 4096x tier, ~2x/octave) is the
+    first ceiling a deep single-node run hits; grouped execution trades
+    G gram passes for ~1/G peak scratch."""
+    import tempfile
+
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs_grouped,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs_grouped(
+        d, "doc_id", "text", N_HASHES, N_BANDS, 3,
+        n_band_groups=2,
+        scratch_dir=tempfile.mkdtemp(prefix="lsh_grouped_cat_"),
+    ).orderBy("id_a", "id_b")
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs at threshold 0.5."""
     d = load_table(spark, sf_dir, "documents")
@@ -1398,6 +1424,7 @@ MLOPS_REGISTRY = {
     "multimodal_frame_index": (multimodal_frame_index, _FRAME_INDEX_SQL),
     "minhash_band_buckets": (minhash_band_buckets, _MINHASH_BANDS_SQL),
     "lsh_candidate_pairs": (lsh_pairs, _LSH_PAIRS_SQL),
+    "lsh_grouped_candidate_pairs": (lsh_pairs_grouped, _LSH_PAIRS_SQL),
     "ngram_jaccard_pairs": (jaccard_pairs, _JACCARD_SQL),
     "containment_pairs": (containment_pairs, _CONTAIN_SQL),
     "prefix_jaccard_pairs": (prefix_jaccard_pairs, _JACCARD_SQL),
