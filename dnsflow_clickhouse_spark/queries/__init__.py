@@ -27,17 +27,18 @@ changed + new + oldest-first), not the only evidence. This permanently
 retires the staleness backlog a 50-slot window can never clear against
 a 200+ registry.
 
-ROUND-11 WINDOW: the smoke query, then the FIVE queries whose code
-changed this round — lsh_candidate_pairs (the hot-bucket guard became
-a lazy pure-plan path with the audit as an explicit separate job;
-default-off oracle hashes unchanged), the minhash signature consumers
-of the hardened _perm_consts full-expression ValueError bound (an
-identity at every real width; re-attested anyway), and the two wide
-entries touched by the catalog_wide _neardup_queries factor-out — then
-ivfpq_wide_recall (new r11, r10 verdict #7: IVF-PQ at production
-composition, rows-only self-proof with the recall floor pinned in
-tests/test_wide.py), then the oldest-green-first fill per
-tools/rotate_window.py over CORRECTNESS_r01-r10.
+ROUND-12 WINDOW: the smoke query, then the queries whose code changed
+this round — lsh_candidate_pairs (one-time plan-build INFO when the
+hot-bucket guard engages; plan and hashes unchanged) and the minhash
+signature family riding the new perm_offset/band_range plumbing whose
+defaults are the identity (band-group execution, r11 verdict #1;
+bit-equality pinned by test and at the 1024x tier) — then
+lsh_grouped_candidate_pairs (NEW r12: the grouped miner against the
+IDENTICAL DuckDB oracle as the one-shot entry), then the
+oldest-green-first fill per tools/rotate_window.py over
+CORRECTNESS_r01-r11 (the three wide rows-only self-proofs sort oldest
+by construction — their declared waivers never hash-match — and stay
+near the top every round by design).
 """
 
 from dnsflow_clickhouse_spark.queries.catalog import QUERY_REGISTRY as _BASE
@@ -90,67 +91,67 @@ for _part in _PARTS:
         )
     _MERGED.update(_part)
 
-# First 50 = driver correctness window for this round (round 11).
+# First 50 = driver correctness window for this round (round 12).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- queries whose code changed this round (lsh_candidate_pairs
-    # lazy hot-bucket audit restructure; _perm_consts full-expression
-    # ValueError bound shared by every minhash signature;
-    # catalog_wide _neardup_queries factor-out) ---
+    # --- queries whose code changed this round (hot-bucket guard
+    # plan-build INFO; perm_offset/band_range identity-default plumbing
+    # under every minhash signature — band-group execution, r11 #1) ---
     "lsh_candidate_pairs",
     "minhash_band_buckets",
     "minhash_estimate_report",
     "minhash_wide_recall",
-    "embedding_ann_wide_recall",
-    # --- new this round: IVF-PQ at production composition (rows-only
-    # self-proof, r10 verdict #7; floor pinned in tests/test_wide.py) ---
-    "ivfpq_wide_recall",
+    # --- new this round: the grouped miner vs the one-shot entry's
+    # IDENTICAL DuckDB oracle (scratch-bounded band groups, G=2) ---
+    "lsh_grouped_candidate_pairs",
     # --- oldest-green-first fill (tools/rotate_window.py over
-    # CORRECTNESS_r01-r10) ---
+    # CORRECTNESS_r01-r11; the wide rows-only self-proofs sort oldest
+    # by construction — declared waivers never hash-match) ---
+    "embedding_ann_wide_recall",
+    "ivfpq_wide_recall",
     "simhash_wide_neardups",
-    "pack_sequences",
-    "perceptron_source_score",
-    "perceptron_train_trace",
-    "pr_auc_by_source",
-    "props_json_rollup",
-    "q11_value_concentration",
-    "q12_priority_class_counts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "range_frame_rolling",
-    "repetition_report",
-    "roc_points_by_source",
-    "session_stats",
-    "spearman_quality_chars",
-    "stratified_doc_sample",
-    "temperature_lang_resample",
-    "topk_rollup_chain",
-    "unpivot_daily_metrics",
-    "vocab_growth_report",
-    "weighted_doc_sample",
-    "window_suite",
-    "winnowed_span_pairs",
-    "zipf_decay_report",
-    "ann_recall_report",
-    "ann_rrf_fusion",
-    "asof_last_click",
-    "authority_domain_rollup",
-    "benford_order_totals",
-    "bigram_novelty_report",
-    "chi2_token_source",
-    "clients_rollup_sets",
-    "cohort_retention",
-    "conversion_funnel",
-    "curriculum_schedule",
-    "dedup_exact_docs",
-    "dedup_keep_first_events",
-    "deterministic_shuffle_shards",
+    "distinct_agg_users",
+    "embedding_ivf_probe2",
+    "embedding_knn",
+    "embedding_lsh_ann",
+    "embedding_lsh_multiprobe",
+    "embedding_mmr_rerank",
+    "embedding_neardup",
+    "embedding_neardup_exact",
+    "flow_report_topk",
+    "grouped_topk_users",
+    "hourly_gapfill",
+    "incremental_dedup_flags",
+    "incremental_report_merge",
+    "item_pagerank",
+    "ks_drift_by_source",
+    "mad_outlier_docs",
+    "masked_lm_samples",
+    "multimodal_frame_index",
+    "pareto_quality_frontier",
+    "per_user_event_sample",
+    "q16_supplier_variety",
+    "q18_big_orders",
+    "q20_stockpile_suppliers",
+    "q21_sole_returner",
+    "q9_product_profit",
+    "qps_per_client",
+    "qps_trend",
+    "range_join_tiers",
+    "response_code_ratio",
+    "running_value_per_user",
+    "storm_span_overlap",
+    "trend_rollup_daily",
+    "user_tag_profiles",
+    "wide_enrichment_report",
+    "abc_customer_classes",
+    "bloom_membership_flags",
+    "bm25_retrieval_topk",
+    "boilerplate_grams",
+    "bpe_merge_training",
+    "bpe_vocab_report",
+    "budget_selection_report",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]
