@@ -707,6 +707,9 @@ def lsh_candidate_pairs_grouped(
     n_hot_total = 0
     max_seen = 0
     group_paths: list[str] = []
+    pair_schema = None  # captured from group 0 for the union read: a
+    # group that mines ZERO pairs can emit no part files (AQE coalesces
+    # the empty output away), and a schema-less read would then fail
     for g in range(n_band_groups):
         banded = minhash_bands_df(
             df, id_col, text_col, n_hashes, n_bands, ngram,
@@ -725,6 +728,8 @@ def lsh_candidate_pairs_grouped(
         else:
             pairs = _bucket_pairs(buckets)
         gpath = f"{scratch}/group={g}"
+        if pair_schema is None:
+            pair_schema = pairs.schema
         pairs.write.mode("overwrite").parquet(gpath)
         group_paths.append(gpath)
         if max_bucket_size is not None:
@@ -740,7 +745,12 @@ def lsh_candidate_pairs_grouped(
             max_seen = max(max_seen, int(row["mx"]))
         del banded, buckets, pairs
         _release_group_scratch(spark)
-    out = spark.read.parquet(*group_paths).select("id_a", "id_b").dropDuplicates()
+    out = (
+        spark.read.schema(pair_schema)
+        .parquet(*group_paths)
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
     if max_bucket_size is not None:
         if n_hot_total:
             _LOG.warning(

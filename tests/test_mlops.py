@@ -1239,3 +1239,21 @@ def test_lsh_candidate_pairs_grouped_validation(docs, tmp_path):
             docs, "doc_id", "text", 8, 4, 3, n_band_groups=3,
             scratch_dir=str(tmp_path),
         )
+
+
+def test_lsh_candidate_pairs_grouped_all_groups_empty(spark, tmp_path):
+    """A corpus with no shared buckets anywhere: every group writes an
+    EMPTY pair frame (AQE can coalesce it to zero part files), and the
+    union read must still see the schema and return 0 rows."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs_grouped,
+    )
+
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = lsh_candidate_pairs_grouped(
+        df, "doc_id", "text", 8, 4, 3, n_band_groups=4,
+        scratch_dir=str(tmp_path / "empty"),
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b"]
