@@ -73,10 +73,13 @@ def find_prev_round(repo: Path) -> tuple[int, str] | None:
         if m:
             rounds.append(int(m.group(1)))
     for n in sorted(rounds, reverse=True):
-        sha = _git(
-            repo, "log", "--diff-filter=A", "--format=%H", "--",
-            f"BENCH_r{n:02d}.json",
-        ).splitlines()
+        try:
+            sha = _git(
+                repo, "log", "--diff-filter=A", "--format=%H", "--",
+                f"BENCH_r{n:02d}.json",
+            ).splitlines()
+        except subprocess.CalledProcessError:
+            continue  # e.g. unborn branch — treat as unresolvable
         if sha:
             return (n, sha[0])
     return None
