@@ -36,6 +36,9 @@ from dnsflow_clickhouse_spark.session import get_spark
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 CHUNK = 64
 OUT = f"/tmp/scale{K}"
+# --docs-only: skip the embeddings replication (the deepest tiers are
+# document-family drills; halves the build time and the disk footprint)
+DOCS_ONLY = "--docs-only" in sys.argv
 
 spark = get_spark(app_name="gen256")
 spark.sparkContext.setLogLevel("ERROR")
@@ -73,7 +76,7 @@ for c0 in range(0, K, CHUNK):
     print("docs chunk", c0, "done", round(time.time() - t, 1), flush=True)
 
 t = time.time()
-for c0 in range(0, K, CHUNK):
+for c0 in range(0, K, CHUNK) if not DOCS_ONLY else []:
     parts = []
     for k in range(c0, c0 + CHUNK):
         if k == 0:
@@ -102,4 +105,5 @@ for c0 in range(0, K, CHUNK):
     print("emb chunk", c0, "done", round(time.time() - t, 1), flush=True)
 
 print("doc rows:", spark.read.parquet(f"{OUT}/documents.parquet").count())
-print("emb rows:", spark.read.parquet(f"{OUT}/embeddings.parquet").count())
+if not DOCS_ONLY:
+    print("emb rows:", spark.read.parquet(f"{OUT}/embeddings.parquet").count())
