@@ -626,24 +626,133 @@ def lsh_candidate_pairs(
     return _bucket_pairs(buckets)
 
 
-def _release_group_scratch(spark) -> None:
+# Below this input size the grouped miner skips the inter-group
+# GC+settle nudge entirely: a group's scratch is then at most a few
+# hundred MB, which the next group can coexist with — while the fixed
+# 2 s settle would dominate the wall (r12 verdict: at sf0.1 the pause
+# was HALF the catalog entry's 7.9 s; the algorithm itself runs ~2 s).
+_SCRATCH_RELEASE_MIN_BYTES = 256 << 20
+
+
+def _plan_input_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate for ``df`` (for a parquet
+    scan: the file footprint), or ``None`` where the gateway internals
+    are unavailable (Spark Connect) or the estimate is the unknown
+    sentinel — callers treat ``None`` as 'assume large'."""
+    try:
+        n = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # Statistics.sizeInBytes defaults to a huge conf-derived sentinel
+    # (defaultSizeInBytes ~ Long.MaxValue) when nothing is known
+    return None if n < 0 or n >= (1 << 62) else n
+
+
+def _release_group_scratch(spark, input_bytes: int | None) -> None:
     """Nudge both runtimes to release a finished band group's scratch
     (signature-checkpoint blocks + the group's shuffle files) before the
     next group starts: dropping the Python refs orphans the JVM plans,
     a JVM GC hands the dead RDD/shuffle references to ContextCleaner,
     which unpersists blocks and unregisters shuffles asynchronously —
-    the short sleep gives its cleaning thread a beat. Best-effort by
-    design (Connect sessions have no gateway: skip silently — cleanup
-    then rides the session's normal GC cadence)."""
+    the short sleep gives its cleaning thread a beat. Size-gated (r12
+    verdict #2): below ``_SCRATCH_RELEASE_MIN_BYTES`` of input the
+    group's scratch is too small to matter and the fixed settle would
+    dominate the wall, so skip the whole nudge; ``None`` (unknown size)
+    is treated as large. Best-effort by design (Connect sessions have
+    no gateway: skip silently — cleanup then rides the session's normal
+    GC cadence)."""
     import gc
     import time as _time
 
+    if input_bytes is not None and input_bytes < _SCRATCH_RELEASE_MIN_BYTES:
+        return
     gc.collect()
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         return
     _time.sleep(2.0)
+
+
+# Measured single-node scratch model for the 64-hash production miner,
+# in bytes per (doc x hash) so it scales with both corpus depth and
+# signature width (assumed linear in n_hashes — signature checkpoint
+# and band shuffle are both n_hashes-wide). Calibration (SCALE_SMOKE.md):
+#   one-shot peak: 29.4 GB / 20.48 M docs @64h (4096x) and ~60 GB /
+#     40.96 M docs @64h (8192x, extrapolated) -> ~1450 B/doc -> 22.7
+#   grouped peak(G) ~ flat + spike/G, from the 8192x G-dial pair
+#     (G=2: 17.24 GB, G=4: 14.01 GB over 40.96 M docs @64h):
+#     spike ~ 12.9 GB -> 338 B/doc -> 5.3; flat ~ 10.8 GB -> 283 B/doc -> 4.4
+_ONE_SHOT_B_PER_DOC_HASH = 22.7
+_GROUP_FLAT_B_PER_DOC_HASH = 4.4
+_GROUP_SPIKE_B_PER_DOC_HASH = 5.3
+
+
+def choose_n_band_groups(
+    n_docs: int,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    scratch_path: str = "/tmp",
+    free_bytes: int | None = None,
+    safety: float = 1.5,
+) -> int:
+    """Auto-dial the band-group count G from the measured scratch model
+    and the scratch volume's free space (r12 verdict #3).
+
+    Model (calibrated constants above): one-shot peak ~ 22.7 B/doc/hash;
+    grouped peak(G) ~ (4.4 + 5.3/G) B/doc/hash. The budget is
+    ``free_bytes / safety`` (``free_bytes`` defaults to ``os.statvfs``
+    of ``scratch_path``; ``safety`` keeps headroom for the model's
+    calibration error and anything else on the volume). Returns the
+    SMALLEST G (fewest gram passes -> lowest wall) whose modeled peak
+    fits the budget: 1 when the one-shot plan itself fits (callers may
+    then use the pure plan builder :func:`lsh_candidate_pairs`), else
+    the smallest divisor of ``n_bands`` >= 2 that fits, else ``n_bands``
+    with a warning (tightest envelope the knob offers). The pick and
+    its model inputs are logged at INFO."""
+    import os as _os
+
+    if free_bytes is None:
+        v = _os.statvfs(scratch_path)
+        free_bytes = v.f_bavail * v.f_frsize
+    budget = free_bytes / max(safety, 1.0)
+    dh = n_docs * n_hashes
+    divisors = [g for g in range(2, n_bands + 1) if n_bands % g == 0]
+    if dh * _ONE_SHOT_B_PER_DOC_HASH <= budget:
+        pick = 1
+    else:
+        pick = next(
+            (
+                g for g in divisors
+                if dh * (_GROUP_FLAT_B_PER_DOC_HASH
+                         + _GROUP_SPIKE_B_PER_DOC_HASH / g) <= budget
+            ),
+            None,
+        )
+        if pick is None:
+            pick = n_bands if divisors else 1
+            _LOG.warning(
+                "choose_n_band_groups: even G=%d's modeled peak "
+                "(%.1f GB) exceeds the scratch budget (%.1f GB free / "
+                "safety %.1f) — proceeding with the tightest envelope",
+                pick,
+                dh * (_GROUP_FLAT_B_PER_DOC_HASH
+                      + _GROUP_SPIKE_B_PER_DOC_HASH / pick) / 2**30,
+                free_bytes / 2**30, safety,
+            )
+    modeled = (
+        dh * _ONE_SHOT_B_PER_DOC_HASH if pick == 1
+        else dh * (_GROUP_FLAT_B_PER_DOC_HASH
+                   + _GROUP_SPIKE_B_PER_DOC_HASH / pick)
+    )
+    _LOG.info(
+        "choose_n_band_groups: G=%d for %d docs x %d hashes "
+        "(modeled peak %.1f GB vs budget %.1f GB = %.1f GB free / "
+        "safety %.1f on %s)",
+        pick, n_docs, n_hashes, modeled / 2**30, budget / 2**30,
+        free_bytes / 2**30, safety, scratch_path,
+    )
+    return pick
 
 
 def lsh_candidate_pairs_grouped(
@@ -655,7 +764,7 @@ def lsh_candidate_pairs_grouped(
     ngram: int = 3,
     hash_fn: Callable[[Column], Column] | None = None,
     max_bucket_size: int | None = None,
-    n_band_groups: int = 2,
+    n_band_groups: int | str = 2,
     scratch_dir: str | None = None,
 ) -> DataFrame:
     """Scratch-bounded MinHash-LSH candidate mining: the same pair set
@@ -687,21 +796,65 @@ def lsh_candidate_pairs_grouped(
     time (one write per group). ``max_bucket_size`` audit counts are
     collected eagerly per group and summed; read them via
     :func:`lsh_hot_bucket_audit` / :func:`lsh_hot_bucket_counts` on the
-    returned frame exactly as for the one-shot form.
+    returned frame exactly as for the one-shot form — and exactly as
+    there, read the audit off the frame THIS function returned, before
+    any transformation of your own: the eager tag is a plain Python
+    attribute that downstream transformations (an ``orderBy``, a
+    ``filter``) silently drop.
+
+    ``n_band_groups``: an int (must divide ``n_bands``), or ``"auto"``
+    to dial G from the measured scratch model and the scratch volume's
+    free space via :func:`choose_n_band_groups` (costs one ``count()``
+    of ``df`` — negligible next to mining; auto never picks 1, the
+    smallest grouped G stands in when the model says one-shot fits).
 
     ``scratch_dir``: directory for the per-group pair parquet (created
     if missing; default a fresh ``tempfile.mkdtemp``). The returned
     DataFrame READS from it — keep it alive while the frame is in use.
+    It must be a filesystem VISIBLE TO ALL EXECUTORS: fine as a local
+    path in local-mode (this repo's documented single-node target), but
+    on a multi-node cluster pass a shared-FS/object-store URI —
+    executors writing group parquet to their own local disks would make
+    the union read-back incomplete (a warning is logged when a
+    non-local master meets the local default).
+
+    The inter-group scratch release (GC nudge + 2 s settle) is
+    size-gated: inputs under ``_SCRATCH_RELEASE_MIN_BYTES`` (256 MB)
+    skip it entirely — their group scratch is too small to need
+    reclaiming and the fixed settle would dominate the wall.
     """
     import tempfile
 
+    spark = df.sparkSession
+    input_bytes = _plan_input_size_bytes(df)
+    if n_band_groups == "auto":
+        n_docs = df.count()
+        n_band_groups = max(
+            2, choose_n_band_groups(n_docs, n_hashes, n_bands)
+        )
+    elif not isinstance(n_band_groups, int):
+        raise ValueError(
+            f"n_band_groups must be an int or 'auto', got {n_band_groups!r}"
+        )
     if n_bands % n_band_groups:
         raise ValueError(
             f"n_band_groups={n_band_groups} must divide n_bands={n_bands}"
         )
     if n_hashes % n_bands:
         raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
-    spark = df.sparkSession
+    if scratch_dir is None:
+        try:
+            master = spark.sparkContext.master
+        except Exception:  # Connect: no gateway — can't tell; stay quiet
+            master = "local"
+        if not master.startswith("local"):
+            _LOG.warning(
+                "lsh_candidate_pairs_grouped: default scratch_dir is a "
+                "driver-local tempdir but master=%s is not local — "
+                "executors would write group parquet to their own disks "
+                "and the union read-back would be incomplete; pass a "
+                "shared-FS/object-store scratch_dir URI", master,
+            )
     scratch = scratch_dir or tempfile.mkdtemp(prefix="lsh_band_groups_")
     bpg = n_bands // n_band_groups
     n_hot_total = 0
@@ -744,7 +897,7 @@ def lsh_candidate_pairs_grouped(
             n_hot_total += int(row["n_hot"])
             max_seen = max(max_seen, int(row["mx"]))
         del banded, buckets, pairs
-        _release_group_scratch(spark)
+        _release_group_scratch(spark, input_bytes)
     out = (
         spark.read.schema(pair_schema)
         .parquet(*group_paths)

@@ -131,6 +131,30 @@ ORDER BY id_a, id_b
 """
 
 
+_GROUPED_SCRATCH_ROOT: str | None = None
+
+
+def _grouped_scratch_root() -> str:
+    """ONE per-process scratch root for the grouped catalog entry,
+    removed at interpreter exit (r12 ADVICE: a fresh mkdtemp per
+    invocation leaked — the returned frame reads lazily, so nothing
+    could clean it, and repeated sweeps accumulated /tmp scratch).
+    Reuse is safe: the miner writes each group path in overwrite mode,
+    and within one process the knobs are fixed so the layout is
+    identical across invocations."""
+    global _GROUPED_SCRATCH_ROOT
+    if _GROUPED_SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _GROUPED_SCRATCH_ROOT = tempfile.mkdtemp(prefix="lsh_grouped_cat_")
+        atexit.register(
+            shutil.rmtree, _GROUPED_SCRATCH_ROOT, ignore_errors=True
+        )
+    return _GROUPED_SCRATCH_ROOT
+
+
 def lsh_pairs_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME candidate pair set as ``lsh_candidate_pairs``, mined by
     the scratch-bounded band-group executor (r12:
@@ -143,8 +167,6 @@ def lsh_pairs_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-node scratch (~29.4 GB at the 4096x tier, ~2x/octave) is the
     first ceiling a deep single-node run hits; grouped execution trades
     G gram passes for ~1/G peak scratch."""
-    import tempfile
-
     from dnsflow_clickhouse_spark.operators.dedup import (
         lsh_candidate_pairs_grouped,
     )
@@ -153,7 +175,7 @@ def lsh_pairs_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs_grouped(
         d, "doc_id", "text", N_HASHES, N_BANDS, 3,
         n_band_groups=2,
-        scratch_dir=tempfile.mkdtemp(prefix="lsh_grouped_cat_"),
+        scratch_dir=_grouped_scratch_root(),
     ).orderBy("id_a", "id_b")
 
 

@@ -1257,3 +1257,91 @@ def test_lsh_candidate_pairs_grouped_all_groups_empty(spark, tmp_path):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id_a", "id_b"]
+
+
+def test_choose_n_band_groups_model():
+    """The G auto-dial against the calibrated scratch model: one-shot
+    when it fits, smallest fitting divisor otherwise, tightest envelope
+    (n_bands) when nothing fits. free_bytes injected — no statvfs."""
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        choose_n_band_groups,
+    )
+
+    gb = 2**30
+    # tiny corpus, huge volume: the one-shot plan fits outright
+    assert choose_n_band_groups(10_000, 64, 16, free_bytes=100 * gb) == 1
+    # the 16384x tier (81.92M docs x 64 hashes): G=2 models 34.4 GiB,
+    # G=4 models 28.0 GiB, one-shot 110.9 GiB. At round-13's real
+    # volume state (52 GiB free -> budget 34.7) G=2 just fits; a
+    # tighter volume (46 GiB free -> budget 30.7) forces G=4.
+    assert choose_n_band_groups(
+        81_920_000, 64, 16, free_bytes=52 * gb
+    ) == 2
+    assert choose_n_band_groups(
+        81_920_000, 64, 16, free_bytes=46 * gb
+    ) == 4
+    # the 8192x tier with the r12 run's roomier volume: G=2 suffices
+    assert choose_n_band_groups(
+        40_960_000, 64, 16, free_bytes=63 * gb
+    ) == 2
+    # nothing fits: fall back to the tightest envelope the knob offers
+    assert choose_n_band_groups(
+        81_920_000, 64, 16, free_bytes=1 * gb
+    ) == 16
+    # G candidates are divisors of n_bands only (12 -> 2,3,4,6,12)
+    assert choose_n_band_groups(
+        40_960_000, 64, 12, free_bytes=40 * gb
+    ) in (2, 3, 4, 6, 12)
+
+
+def test_release_group_scratch_size_gate(spark, monkeypatch):
+    """Small inputs must skip the GC nudge + settle entirely; unknown
+    (None) sizes are treated as large and keep it."""
+    import time as _time_mod
+
+    from dnsflow_clickhouse_spark.operators import dedup as dd
+
+    slept: list[float] = []
+    monkeypatch.setattr(_time_mod, "sleep", lambda s: slept.append(s))
+    dd._release_group_scratch(spark, 1 << 20)  # 1 MB: gated out
+    assert slept == []
+    dd._release_group_scratch(spark, None)  # unknown: conservative
+    assert slept == [2.0]
+
+
+def test_plan_input_size_bytes(docs):
+    from dnsflow_clickhouse_spark.operators.dedup import (
+        _plan_input_size_bytes,
+    )
+
+    n = _plan_input_size_bytes(docs)
+    assert n is None or (isinstance(n, int) and n >= 0)
+
+
+def test_grouped_auto_dial(docs, tmp_path, monkeypatch):
+    """n_band_groups='auto' consults the model (never picking 1 — the
+    grouped form stands) and still mines the one-shot pair set; a
+    non-int non-'auto' value is rejected."""
+    from dnsflow_clickhouse_spark.operators import dedup as dd
+
+    seen: dict = {}
+
+    def fake_choose(n_docs, n_hashes=64, n_bands=16, **kw):
+        seen["args"] = (n_docs, n_hashes, n_bands)
+        return 1  # model says one-shot fits -> auto clamps to G=2
+
+    monkeypatch.setattr(dd, "choose_n_band_groups", fake_choose)
+    one_shot = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", 8, 4, 3).collect()
+    )
+    out = dd.lsh_candidate_pairs_grouped(
+        docs, "doc_id", "text", 8, 4, 3,
+        n_band_groups="auto", scratch_dir=str(tmp_path / "auto"),
+    )
+    assert sorted((r.id_a, r.id_b) for r in out.collect()) == one_shot
+    assert seen["args"] == (docs.count(), 8, 4)
+    with pytest.raises(ValueError):
+        dd.lsh_candidate_pairs_grouped(
+            docs, "doc_id", "text", 8, 4, 3, n_band_groups="3",
+        )

@@ -36,11 +36,10 @@ import pyspark.sql.functions as F
 from dnsflow_clickhouse_spark.session import get_spark
 
 TIER = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale1024"
-G = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+G_ARG = sys.argv[2] if len(sys.argv) > 2 else "4"
 COMPARE = "--compare" in sys.argv
 
 N_HASHES, N_BANDS, MAX_BUCKET = 64, 16, 100_000
-SCRATCH = f"/tmp/lsh_grouped_scratch_{Path(TIER).name}_g{G}"
 
 spark = get_spark(app_name="lsh-grouped")
 spark.sparkContext.setLogLevel("ERROR")
@@ -90,15 +89,37 @@ def pair_fingerprint(df) -> dict:
 
 
 docs = spark.read.parquet(f"{TIER}/documents.parquet")
-print(json.dumps({"tier": TIER, "n_docs": docs.count(), "g": G}), flush=True)
+n_docs = docs.count()
 
 from dnsflow_clickhouse_spark.operators.dedup import (
+    choose_n_band_groups,
     lsh_candidate_pairs,
     lsh_candidate_pairs_grouped,
     lsh_hot_bucket_audit,
 )
 
-out: dict = {"tier": TIER, "n_band_groups": G,
+# G='auto' (r12 verdict #3): dial the band-group count from the measured
+# scratch model + the scratch volume's live free space; never 1 here —
+# this driver exists to exercise the grouped executor.
+if G_ARG == "auto":
+    import logging
+    logging.getLogger(
+        "dnsflow_clickhouse_spark.operators.dedup"
+    ).setLevel(logging.INFO)
+    logging.basicConfig(level=logging.INFO)
+    G = max(2, choose_n_band_groups(n_docs, N_HASHES, N_BANDS))
+    auto = {"auto_dial": True,
+            "free_gb_at_pick": round(
+                __import__("os").statvfs("/tmp").f_bavail
+                * __import__("os").statvfs("/tmp").f_frsize / 2**30, 1)}
+else:
+    G = int(G_ARG)
+    auto = {"auto_dial": False}
+SCRATCH = f"/tmp/lsh_grouped_scratch_{Path(TIER).name}_g{G}"
+print(json.dumps({"tier": TIER, "n_docs": n_docs, "g": G, **auto}),
+      flush=True)
+
+out: dict = {"tier": TIER, "n_band_groups": G, **auto,
              "knobs": f"{N_HASHES}x{N_BANDS} xxhash64 cap={MAX_BUCKET}"}
 
 # -- grouped mining ---------------------------------------------------------
