@@ -95,3 +95,84 @@ def test_is_reg_floors():
     assert ab_bench._is_reg(10.0, 13.0)
     # tiny absolute delta never convicts
     assert not ab_bench._is_reg(0.1, 0.2)
+
+def test_stratified_sample_spread():
+    """The catalog sample must span the wall distribution: both tails
+    included, only common queries, at most CATALOG_SAMPLE_K names."""
+    prev = {f"q{i}": float(i) for i in range(100)}
+    cur = {f"q{i}": float(i) * 1.2 for i in range(100)}
+    cur["only_cur"] = 5.0
+    s = ab_bench.stratified_sample(cur, prev)
+    assert len(s) == ab_bench.CATALOG_SAMPLE_K
+    assert "q0" in s and "q99" in s  # both tails
+    assert "only_cur" not in s
+    # evenly spread: consecutive sampled ranks differ by ~len/k
+    ranks = sorted(int(n[1:]) for n in s)
+    gaps = [b - a for a, b in zip(ranks, ranks[1:])]
+    assert max(gaps) <= 2 * (100 // ab_bench.CATALOG_SAMPLE_K)
+    # small common sets come back whole
+    assert sorted(ab_bench.stratified_sample(
+        {"a": 1.0, "b": 2.0}, {"a": 1.0, "b": 2.0}
+    )) == ["a", "b"]
+
+
+def test_adjudicate_catalog_not_flagged(tmp_path):
+    """Under the 10% drift bar the totals are recorded and NO re-time
+    runs (time_subset would explode on the fake sf dir)."""
+    repo = _mk_repo(tmp_path)
+    prev = {f"q{i}": 1.0 for i in range(20)}
+    cur = {f"q{i}": 1.05 for i in range(20)}  # +5% drift
+    out = ab_bench._adjudicate_catalog(
+        repo, "deadbeef", cur, prev, "unused-sf-dir"
+    )
+    assert out["verdict"] == "not_flagged"
+    assert out["n_common"] == 20
+    assert out["common_total_prev"] == 20.0
+    assert out["common_total_cur"] == 21.0
+    assert out["drift_ratio"] == 1.05
+    assert "sample" not in out
+
+
+def test_adjudicate_catalog_ambient_and_regression(tmp_path, monkeypatch):
+    """Over the bar: the stratified sample re-times on both trees and
+    the verdict keys on the SAMPLE ratio — ambient when the code trees
+    time alike, regression (after a swapped-order confirm pass) when
+    current code is genuinely slower."""
+    repo = _mk_repo(tmp_path)
+    prev = {f"q{i}": 1.0 + i * 0.1 for i in range(30)}
+    cur = {k: v * 1.3 for k, v in prev.items()}  # +30% artifact drift
+
+    monkeypatch.setattr(ab_bench, "ensure_worktree",
+                        lambda r, c: Path("/nonexistent-prev-tree"))
+    calls: list[tuple] = []
+
+    def fake_time_subset(tree, names, sf_dir, repeat=3):
+        calls.append((str(tree), tuple(names)))
+        return {n: prev[n] for n in names}  # both trees time at prev
+
+    monkeypatch.setattr(ab_bench, "time_subset", fake_time_subset)
+    out = ab_bench._adjudicate_catalog(
+        repo, "deadbeef", cur, prev, "sf-dir"
+    )
+    assert out["verdict"] == "ambient"
+    assert out["sample_ratio"] == 1.0
+    assert out["drift_ratio"] == 1.3
+    assert len(calls) == 2  # one per tree, no confirm pass needed
+    assert "confirm_pass" not in out
+
+    # genuinely slower current code: confirm pass runs, then convicts
+    calls.clear()
+
+    def slow_cur(tree, names, sf_dir, repeat=3):
+        calls.append((str(tree), tuple(names)))
+        slow = str(tree) != "/nonexistent-prev-tree"
+        return {n: prev[n] * (1.4 if slow else 1.0) for n in names}
+
+    monkeypatch.setattr(ab_bench, "time_subset", slow_cur)
+    out = ab_bench._adjudicate_catalog(
+        repo, "deadbeef", cur, prev, "sf-dir"
+    )
+    assert out["verdict"] == "regression"
+    assert out["confirm_pass"] is True
+    assert len(calls) == 4  # initial pair + swapped-order confirm pair
+    assert out["sample_ratio"] == 1.4

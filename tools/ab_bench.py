@@ -28,6 +28,14 @@ cur_code_s, ratio, verdict}`` as the ``ab`` section of the bench line
 (full copy in BENCH_DETAIL.json). Any git/subprocess failure degrades
 to ``verdict: "unadjudicated"`` rows — the bench must never crash on
 the adjudicator's account.
+
+The ``ab.catalog`` subsection (r12 verdict #1) adjudicates the
+HEADLINE total the same way: the common-query totals of both rounds
+are always recorded, and when the current total drifts more than
+``CATALOG_DRIFT_RATIO`` a stratified ~10-query sample — spread across
+the wall distribution, not just the flagged movers, because uniform
+ambient drift lives in the sub-floor mass — re-times on both trees
+back to back and the verdict keys on the sample's total ratio.
 """
 
 from __future__ import annotations
@@ -47,6 +55,13 @@ FLAG_PREV_FLOOR_S = 0.8
 FLAG_DELTA_FLOOR_S = 0.4
 MAX_ADJUDICATED = 8
 CHILD_TIMEOUT_S = 1800
+# catalog-level drift bar (r12 verdict #1): the common-query TOTAL can
+# drift >10% from uniform ambient weather across ~200 sub-floor queries
+# without any per-query mover flagging — exactly the aggregate signal a
+# round could misread as a regression. Over this bar, a stratified
+# sample re-times on both trees side by side.
+CATALOG_DRIFT_RATIO = 1.10
+CATALOG_SAMPLE_K = 10
 
 
 def _git(repo: Path, *args: str) -> str:
@@ -202,6 +217,86 @@ def _is_reg(pc: float, cc: float) -> bool:
     return cc > FLAG_RATIO * pc and cc - pc > FLAG_DELTA_FLOOR_S
 
 
+def stratified_sample(
+    cur: dict[str, float], prev: dict[str, float], k: int = CATALOG_SAMPLE_K
+) -> list[str]:
+    """~k common queries spread across the previous round's wall
+    distribution: the common set sorted by prev min ascending, sampled
+    at k evenly spaced rank positions (both tails always included).
+    Spread-not-just-movers is the point (r12 verdict #1): uniform
+    ambient drift lives in the sub-floor mass the per-query mover rule
+    never re-times, so the sample must cover it — not only the heavy
+    tail."""
+    common = sorted((n for n in cur if n in prev), key=lambda n: prev[n])
+    if len(common) <= k:
+        return common
+    idx = sorted({round(i * (len(common) - 1) / (k - 1)) for i in range(k)})
+    return [common[i] for i in idx]
+
+
+def _adjudicate_catalog(
+    repo: Path,
+    commit: str,
+    cur: dict[str, float],
+    prev_t: dict[str, float],
+    sf_dir: str,
+) -> dict:
+    """Catalog-level drift verdict (r12 verdict #1). Always emits the
+    common-query totals; when the current total exceeds
+    ``CATALOG_DRIFT_RATIO`` x the previous round's, re-times a
+    stratified ~``CATALOG_SAMPLE_K``-query sample on BOTH trees back to
+    back (fresh subprocess each, min-of-3) and verdicts on the sample's
+    total ratio — with a swapped-order confirm pass before calling it a
+    regression, mirroring the per-query protocol."""
+    common = [n for n in cur if n in prev_t]
+    total_prev = round(sum(prev_t[n] for n in common), 3)
+    total_cur = round(sum(cur[n] for n in common), 3)
+    out: dict = {
+        "n_common": len(common),
+        "common_total_prev": total_prev,
+        "common_total_cur": total_cur,
+        "drift_ratio": round(total_cur / total_prev, 3) if total_prev else None,
+    }
+    if not common or total_prev <= 0 or (
+        total_cur <= CATALOG_DRIFT_RATIO * total_prev
+    ):
+        out["verdict"] = "not_flagged"
+        return out
+    sample = stratified_sample(cur, prev_t)
+    out["sample"] = sample
+    wt = ensure_worktree(repo, commit)
+    prev_code = time_subset(wt, sample, sf_dir)
+    cur_code = time_subset(repo, sample, sf_dir)
+    names = [n for n in sample if n in prev_code and n in cur_code]
+    if not names:
+        out["verdict"] = "unadjudicated"
+        return out
+    ps = sum(prev_code[n] for n in names)
+    cs = sum(cur_code[n] for n in names)
+    if ps > 0 and cs > CATALOG_DRIFT_RATIO * ps:
+        # tentative regression: one more pair of passes, order swapped
+        # (current tree first), min across passes per query — one noisy
+        # pair cannot convict the whole catalog
+        cur2 = time_subset(repo, names, sf_dir)
+        prev2 = time_subset(wt, names, sf_dir)
+        for n in names:
+            if n in cur2:
+                cur_code[n] = min(cur_code[n], cur2[n])
+            if n in prev2:
+                prev_code[n] = min(prev_code[n], prev2[n])
+        ps = sum(prev_code[n] for n in names)
+        cs = sum(cur_code[n] for n in names)
+        out["confirm_pass"] = True
+    out["sample_prev_code_s"] = round(ps, 3)
+    out["sample_cur_code_s"] = round(cs, 3)
+    out["sample_ratio"] = round(cs / ps, 3) if ps > 0 else None
+    out["verdict"] = (
+        "regression" if ps > 0 and cs > CATALOG_DRIFT_RATIO * ps
+        else "ambient"
+    )
+    return out
+
+
 def _adjudicate_batch_walls(
     repo: Path, commit: str, batch_walls: dict[str, float], sf_dir: str
 ) -> list[dict]:
@@ -281,7 +376,9 @@ def adjudicate(
                 "re-time on prev-round worktree vs current tree, fresh "
                 "subprocess each, min-of-3; tentative regressions get a "
                 "swapped-order confirm pass and the verdict uses the min "
-                "across passes"
+                "across passes; common-query catalog TOTAL drift "
+                f">{CATALOG_DRIFT_RATIO}x additionally re-times a "
+                f"~{CATALOG_SAMPLE_K}-query stratified sample on both trees"
             ),
             "flagged": [],
         }
@@ -289,6 +386,17 @@ def adjudicate(
             section["batch_walls"] = _adjudicate_batch_walls(
                 repo, commit, batch_walls, sf_dir
             )
+        # catalog-level verdict (r12 verdict #1) — isolated so a
+        # failure here cannot take down the per-query adjudication
+        try:
+            section["catalog"] = _adjudicate_catalog(
+                repo, commit, cur_timings, prev_t, sf_dir
+            )
+        except Exception as exc:
+            section["catalog"] = {
+                "verdict": "unadjudicated",
+                "error": f"{type(exc).__name__}: {exc}"[:200],
+            }
         if not movers:
             return section
         if len(movers) > MAX_ADJUDICATED:
