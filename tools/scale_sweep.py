@@ -100,6 +100,28 @@ def main() -> None:
     except Exception as exc:
         wide_recall = {"error": str(exc)[:200]}
 
+    # r12 verdict #6: the same promotion for the SimHash wide
+    # self-proof — its banding-losslessness bit (banded pairs == exact
+    # Hamming pairs on the capped truth subset) is ASSERTED at 16x each
+    # sweep, so banding quality drift at scale is caught like recall.
+    wide_simhash = None
+    try:
+        fns = QUERY_REGISTRY["simhash_wide_neardups"][0]
+        rowsh = fns(spark, x16).collect()[0].asDict()
+        wide_simhash = {
+            "query": "simhash_wide_neardups",
+            "corpus": str(x16),
+            **{k: int(v) for k, v in rowsh.items()},
+            "lossless_asserted": bool(int(rowsh["lossless"])),
+        }
+        if not wide_simhash["lossless_asserted"]:
+            print(
+                f"SIMHASH LOSSLESS VIOLATION at 16x: {rowsh}",
+                file=sys.stderr,
+            )
+    except Exception as exc:
+        wide_simhash = {"error": str(exc)[:200]}
+
     ratios = sorted(
         v["ratio"] for v in rows.values() if v.get("ratio") is not None
     )
@@ -126,6 +148,7 @@ def main() -> None:
         "total_1x_sec": round(t_1x_total, 1),
         "total_16x_sec": round(t_16x_total, 1),
         "wide_recall_16x": wide_recall,
+        "wide_simhash_16x": wide_simhash,
         "queries": rows,
     }
     # merge into an existing artifact so targeted re-runs (e.g. the two

@@ -306,7 +306,11 @@ def run_soak(spark, sf_dir: str, n_batches: int) -> dict:
             "hours_linear_in_windows": hour_rows[-1]
             <= hour_rows[0] * (n_batches + 1),
         },
-        "load_1m": round(os.getloadavg()[0], 1),
+        # end-of-run reading is the soak's OWN 32-thread work, not
+        # ambient (r12 advisory #3): labeled so the artifact can't be
+        # misread as a loaded run — the idle proof is
+        # ambient_load_1m_at_start, recorded before the first batch.
+        "self_load_1m_at_end": round(os.getloadavg()[0], 1),
     }
 
 
@@ -327,11 +331,35 @@ def main() -> None:
     spark = get_spark(app_name="stream-soak")
     art = run_soak(spark, sf_dir, n)
     art["idle_gate_waited_s"] = idle_waited
-    art["load_1m_at_start"] = load_at_start
+    art["ambient_load_1m_at_start"] = load_at_start
+    # r12 verdict #6: the soak telemetry is ASSERTED, not eyeballed —
+    # named boolean fields with their floors, violations printed to
+    # stderr (the same promotion pattern as the sweep's 16x recall).
+    flat = art["wall_flatness_tail3_over_head3"]
+    bool_bounds = {
+        **{k: v for k, v in art["bounded"].items()},
+        **{k: v for k, v in art["statestore"]["bounds"].items()
+           if isinstance(v, bool)},
+    }
+    art["assertions"] = {
+        "wall_flatness_floor": 1.5,
+        "wall_flatness_le_floor": flat <= 1.5,
+        "state_bounds_all_true": all(bool_bounds.values()),
+        "n_bool_bounds": len(bool_bounds),
+    }
+    for name, ok in [
+        ("wall_flatness_le_floor", art["assertions"]["wall_flatness_le_floor"]),
+        ("state_bounds_all_true", art["assertions"]["state_bounds_all_true"]),
+    ]:
+        if not ok:
+            print(f"SOAK ASSERTION VIOLATION: {name} "
+                  f"(flatness={flat}, bounds={bool_bounds})",
+                  file=sys.stderr)
     out.write_text(json.dumps(art, indent=1, sort_keys=True))
     print(json.dumps({
         **{k: art[k] for k in ("wall_per_batch_mean", "wall_flatness_tail3_over_head3", "bounded")},
         "statestore_bounds": art["statestore"]["bounds"],
+        "assertions": art["assertions"],
     }))
     print(f"wrote {out}")
 
