@@ -91,67 +91,65 @@ for _part in _PARTS:
         )
     _MERGED.update(_part)
 
-# First 50 = driver correctness window for this round (round 12).
+# First 50 = driver correctness window for this round (round 13).
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- queries whose code changed this round (hot-bucket guard
-    # plan-build INFO; perm_offset/band_range identity-default plumbing
-    # under every minhash signature — band-group execution, r11 #1) ---
+    # --- queries whose code changed this round (grouped miner:
+    # size-gated scratch release + G auto-dial under the minhash
+    # signature family) ---
+    "lsh_grouped_candidate_pairs",
     "lsh_candidate_pairs",
     "minhash_band_buckets",
     "minhash_estimate_report",
-    "minhash_wide_recall",
-    # --- new this round: the grouped miner vs the one-shot entry's
-    # IDENTICAL DuckDB oracle (scratch-bounded band groups, G=2) ---
-    "lsh_grouped_candidate_pairs",
     # --- oldest-green-first fill (tools/rotate_window.py over
-    # CORRECTNESS_r01-r11; the wide rows-only self-proofs sort oldest
-    # by construction — declared waivers never hash-match) ---
+    # CORRECTNESS_r01-r12; the wide rows-only self-proofs sort
+    # oldest by construction — declared waivers never hash-match) ---
     "embedding_ann_wide_recall",
     "ivfpq_wide_recall",
+    "minhash_wide_recall",
     "simhash_wide_neardups",
-    "distinct_agg_users",
-    "embedding_ivf_probe2",
-    "embedding_knn",
-    "embedding_lsh_ann",
-    "embedding_lsh_multiprobe",
-    "embedding_mmr_rerank",
-    "embedding_neardup",
-    "embedding_neardup_exact",
-    "flow_report_topk",
-    "grouped_topk_users",
-    "hourly_gapfill",
-    "incremental_dedup_flags",
-    "incremental_report_merge",
-    "item_pagerank",
-    "ks_drift_by_source",
-    "mad_outlier_docs",
-    "masked_lm_samples",
-    "multimodal_frame_index",
-    "pareto_quality_frontier",
-    "per_user_event_sample",
-    "q16_supplier_variety",
-    "q18_big_orders",
-    "q20_stockpile_suppliers",
-    "q21_sole_returner",
-    "q9_product_profit",
-    "qps_per_client",
-    "qps_trend",
-    "range_join_tiers",
-    "response_code_ratio",
-    "running_value_per_user",
-    "storm_span_overlap",
-    "trend_rollup_daily",
-    "user_tag_profiles",
-    "wide_enrichment_report",
-    "abc_customer_classes",
-    "bloom_membership_flags",
-    "bm25_retrieval_topk",
-    "boilerplate_grams",
-    "bpe_merge_training",
-    "bpe_vocab_report",
-    "budget_selection_report",
+    "conversion_lag_report",
+    "cube_day_type",
+    "data_quality_expectations",
+    "day_pivot_counts",
+    "distribution_match_sample",
+    "doc_lm_score",
+    "duplicate_span_report",
+    "embedding_dim_stats",
+    "embedding_l2_knn",
+    "es_weighted_source_sample",
+    "hard_negative_mining",
+    "join_skew_profile",
+    "kmv_corpus_overlap",
+    "label_centroid_margins",
+    "mixture_budget_report",
+    "multiset_ops_events",
+    "oov_rate_by_source",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q22_idle_customers",
+    "quantile_calibrated_lengths",
+    "shard_balance_report",
+    "source_overlap_matrix",
+    "span_scrubbed_docs",
+    "symspell_token_pairs",
+    "temporal_split_report",
+    "truncated_knn_recall",
+    "user_sequence_fingerprints",
+    "vocab_coverage_report",
+    "weighted_median_lengths",
+    "winsorized_length_stats",
+    "attribution_u_shaped",
+    "borda_quality_docs",
+    "cidr_membership_rollup",
+    "cluster_balanced_sample",
+    "cms_heavy_hitters",
+    "collocation_pmi_topk",
+    "column_profile_events",
+    "component_aware_shards",
+    "containment_pairs",
+    "curation_funnel",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]
