@@ -828,9 +828,26 @@ def lsh_candidate_pairs_grouped(
     spark = df.sparkSession
     input_bytes = _plan_input_size_bytes(df)
     if n_band_groups == "auto":
+        import os as _os
+
         n_docs = df.count()
+        # probe free space on the volume the group parquet will land on
+        # (walk up to the nearest existing ancestor — scratch_dir itself
+        # is created later); non-path URIs fall back to the temp volume
+        probe = scratch_dir or tempfile.gettempdir()
+        if "://" in probe:
+            probe = tempfile.gettempdir()
+        while probe and not _os.path.isdir(probe):
+            parent = _os.path.dirname(probe)
+            if parent == probe:
+                break
+            probe = parent
         n_band_groups = max(
-            2, choose_n_band_groups(n_docs, n_hashes, n_bands)
+            2,
+            choose_n_band_groups(
+                n_docs, n_hashes, n_bands,
+                scratch_path=probe or tempfile.gettempdir(),
+            ),
         )
     elif not isinstance(n_band_groups, int):
         raise ValueError(
