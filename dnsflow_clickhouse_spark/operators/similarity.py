@@ -214,6 +214,88 @@ def _pq_dist_table_arrow(books: list[list[list[int]]]):
     return dists
 
 
+def _pq_encode_arrow(books: list[list[list[int]]]):
+    """Arrow kernel for PACKED PQ encoding: ``vec -> array<int>`` of the
+    m subspace codes in one pass (slice, exact int64 squared-L2 argmin
+    per subspace, ties to the LOWEST code — same semantics as running
+    :func:`_argmin_assign_arrow` over the exploded subspace frame, which
+    this replaces). One row per vector instead of m: the encode stage
+    loses its constant fan-out and the ADC join downstream shrinks by
+    the same factor (guide §2.3: shuffle fewer bytes)."""
+    mats = np.asarray(books, dtype=np.int64)  # (m, k, sub)
+    m, _kk, sub = mats.shape
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+        Xs = X.reshape(len(X), m, 1, sub)
+        D = ((Xs - mats[None, :, :, :]) ** 2).sum(axis=3, dtype=np.int64)
+        codes = D.argmin(axis=2).astype(np.int32)  # first min = lowest code
+        return pd.Series([row.tolist() for row in codes])
+
+    return enc
+
+
+def _ivfpq_encode_arrow(cells: list[list[int]], books: list[list[list[int]]]):
+    """Arrow kernel for the FULL IVF-PQ encode in one pass:
+    ``vec -> struct<cid:int, codes:array<int>>`` — nearest coarse cell
+    (exact int64 squared-L2, ties to the lowest cid), residual against
+    that centroid, then the m packed residual subspace codes. Replaces
+    the four-stage chain (cell-argmin kernel -> interpreted ``zip_with``
+    residual -> m-way subspace explode -> per-row code-argmin kernel)
+    with ONE Python boundary crossing and ONE row per vector;
+    bit-identical by the same argmin/first-minimum tie-breaks."""
+    C = np.asarray(cells, dtype=np.int64)  # (n_cells, dim)
+    mats = np.asarray(books, dtype=np.int64)  # (m, k, sub)
+    m, _kk, sub = mats.shape
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("cid", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def enc(v: pd.Series) -> pd.DataFrame:
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame({"cid": pd.Series([], dtype=np.int32), "codes": []})
+        X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2, dtype=np.int64)
+        cid = d.argmin(axis=1)  # first min = lowest cid
+        R = (X - C[cid]).reshape(n, m, 1, sub)
+        D = ((R - mats[None, :, :, :]) ** 2).sum(axis=3, dtype=np.int64)
+        codes = D.argmin(axis=2).astype(np.int32)
+        return pd.DataFrame(
+            {"cid": cid.astype(np.int32), "codes": [row.tolist() for row in codes]}
+        )
+
+    return enc
+
+
+def _adc_sum(dtab: Column, codes: Column, m: int, kk: int) -> Column:
+    """In-row ADC distance: sum over the m subspaces of the query's
+    flattened distance-table entry (``dtab[s*k + codes[s]]``). Pure
+    codegen ``element_at`` arithmetic over the packed shapes — replaces
+    the exploded (s, code) equi-join + groupBy(query, id) SUM, i.e.
+    removes one aggregation Exchange and an m-times join fan-out from
+    every ADC search (guide §2.4). The value is the same sum of the
+    same m int64 lookups."""
+    total = None
+    for s in range(m):
+        term = F.element_at(
+            dtab,
+            (F.lit(s * kk) + F.element_at(codes, s + 1) + F.lit(1)).cast("int"),
+        )
+        total = term if total is None else total + term
+    return total
+
+
 def _cell_probe_arrow(cells: list[list[int]], nprobe: int):
     """Arrow kernel for coarse-cell probing: ``vec -> array<int>`` of
     the ``nprobe`` nearest cell ids by exact int64 squared-L2, ties to
@@ -265,6 +347,34 @@ def _cos6(cos):
     import numpy as np
 
     return np.floor(cos * 1e6 + 0.5) / 1e6
+
+
+def _topk_prune_mask(score: "np.ndarray", k: int, largest: bool = True) -> "np.ndarray":
+    """LOSSLESS per-batch top-k candidate mask for the blocked-GEMM
+    kernels: per row (query), keep every entry whose score ties or
+    beats the row's k-th best — ALL boundary ties kept, so whatever id
+    tie-break the downstream exact window rank applies, every entry of
+    the global top-k is still present (an entry strictly worse than k
+    in-batch scores is strictly worse than k global scores and can
+    never rank <= k). Callers mask invalid entries (self pairs,
+    unprobed cells) to the worst sentinel BEFORE calling and AND the
+    returned mask with their validity mask after.
+
+    This is the guide-§2.3 "aggregate before you shuffle" move: the
+    kernel's output shrinks from |Q| x |C_batch| rows to ~|Q| x k per
+    batch, which is what crosses the Python->JVM boundary and the
+    window exchange — at corpus scale the win is |C| / (batches * k),
+    orders of magnitude."""
+    n = score.shape[1]
+    if k < 1:
+        return np.zeros_like(score, dtype=bool)
+    if k >= n:
+        return np.ones_like(score, dtype=bool)
+    if largest:
+        kth = np.partition(score, n - k, axis=1)[:, n - k]
+        return score >= kth[:, None]
+    kth = np.partition(score, k - 1, axis=1)[:, k - 1]
+    return score <= kth[:, None]
 
 
 def _staged(df: DataFrame, id_col: str, vec_col: str, id_out: str) -> DataFrame:
@@ -354,15 +464,23 @@ def cosine_topk(
             c_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
             c_norms = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat).astype(np.float64))
             cos = _cos6((mat @ c_mat.T) / np.outer(norms, c_norms))
-            qi, cj = np.nonzero(np.ones_like(cos, dtype=bool))
+            # self exclusion + lossless per-batch top-k prune INSIDE the
+            # kernel: only ~k candidates per (query, batch) cross the
+            # Python->JVM boundary and the window exchange, instead of
+            # the full |Q| x |C_batch| score matrix (the final window
+            # rank is unchanged and sees every global-top-k candidate —
+            # see _topk_prune_mask)
+            keep = np.ones_like(cos, dtype=bool)
+            if exclude_self:
+                keep &= ids[:, None] != c_ids[None, :]
+            keep &= _topk_prune_mask(np.where(keep, cos, -np.inf), k)
+            qi, cj = np.nonzero(keep)
             yield pd.DataFrame(
                 {"query_id": ids[qi], "neighbor_id": c_ids[cj], "cosine": cos[qi, cj]}
             )
 
     c = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
     scored = cpu_repartition(c, "id").mapInPandas(block, schema=out_schema)
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     return _rank_topk(scored, k)
 
 
@@ -540,6 +658,9 @@ def ivf_topk(
             keep = (cells[:, :, None] == b_cells[None, None, :]).any(axis=1)
             if exclude_self:
                 keep &= ids[:, None] != b_ids[None, :]
+            # lossless per-batch top-k prune (see _topk_prune_mask):
+            # only ~k candidates per (query, batch) leave the kernel
+            keep &= _topk_prune_mask(np.where(keep, cos, -np.inf), k)
             qi, bj = np.nonzero(keep)
             yield pd.DataFrame(
                 {"query_id": ids[qi], "neighbor_id": b_ids[bj], "cosine": cos[qi, bj]}
@@ -765,21 +886,48 @@ def pq_train_encode(
     corpus is never shuffled (assignment is in-row against codeword
     literals, inherited from kmeans_quantized).
 
-    Returns (codes, codebooks): codes = (id, s, code) — m rows per
-    vector; codebooks[s][c] = quantized codeword ints.
+    r13 shape: codes are PACKED — one row per vector carrying its m
+    codes as an array — and the whole encode is ONE Arrow kernel
+    (:func:`_pq_encode_arrow`) over the quantized vectors: no subspace
+    explode, no per-subspace-row assignment pass, and the downstream
+    ADC join scans m-times fewer index rows (guide §2.3). Training is
+    unchanged math: the same train-cap priority sample collected ONCE
+    (whole vectors, sliced driver-side — identical per-subspace id sets
+    to the old grouped collect, since the priority depends only on the
+    id), then :func:`_lloyd_numpy` per subspace. Books and per-vector
+    codes are bit-identical to the exploded form (same init, same
+    first-minimum tie-breaks), pinned by the unchanged DuckDB oracle of
+    ``embedding_pq_ann``. :func:`grouped_kmeans_quantized` remains the
+    public grouped/exploded reference form.
+
+    Returns (codes, codebooks): codes = (id, codes array<int> length m);
+    codebooks[s][c] = quantized codeword ints.
     """
     sub = dim // m
     if sub * m != dim:  # raise, not assert: must survive `python -O`
         raise ValueError("dim must divide evenly into m subspaces")
     base = df.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col), scale).alias("qv")
+    ).localCheckpoint(eager=False)
+    sample = (
+        base.orderBy(_train_priority(F.col("id")), "id")
+        .limit(TRAIN_CAP)
+        .collect()
     )
-    subs = _subspace_frame(base, "qv", m, sub)
-    # joint training: ONE sample-collect job for ALL m subspaces (Lloyd
-    # iterations replay driver-side — grouped_kmeans_quantized)
-    codes, books = grouped_kmeans_quantized(
-        subs, "id", "g", "q", m, k=k, iters=iters
+    _warn_if_cap_binds(sample, TRAIN_CAP, "grouped codebooks")
+    books = _lloyd_numpy(
+        [
+            (s, r.id, list(r.qv[s * sub : (s + 1) * sub]))
+            for r in sample
+            for s in range(m)
+        ],
+        m,
+        k,
+        iters,
     )
+    codes = base.withColumn(
+        "codes", _pq_encode_arrow(books)(F.col("qv"))
+    ).select("id", "codes")
     return codes, books
 
 
@@ -798,34 +946,33 @@ def pq_adc_topk(
     vector's approximate squared-L2 distance is the sum of its m
     table lookups.
 
-    Execution shape: the distance table (queries x m*k rows, integer
-    exact) broadcasts; the corpus side is the (id, s, code) code table
-    — an equi-join on (s, code) + one map-side-combinable sum per
-    (query, id). The raw embeddings are never touched at query time.
-    The table is built by ONE Arrow kernel returning the flattened m*k
-    distances (:func:`_pq_dist_table_arrow`) — bit-identical to, and
-    plan-wise ~100x smaller than, the per-codeword expression structs
-    it replaces. Output: (query_id, neighbor_id, approx_dist, rnk),
-    self excluded, ties by neighbor_id.
+    Execution shape (r13, packed): the distance table — ONE row per
+    query carrying the flattened m*k distances from
+    :func:`_pq_dist_table_arrow` — broadcasts; the corpus side is the
+    packed (id, codes) index, ONE row per vector. Scoring is a
+    broadcast nested-loop of the tiny query table against the index
+    with the approximate distance computed IN-ROW
+    (:func:`_adc_sum`): the old (s, code) equi-join scanned m rows per
+    vector per query and paid a groupBy(qid, id) aggregation Exchange
+    to re-assemble the sum — both gone, same integers. The raw
+    embeddings are never touched at query time. Output: (query_id,
+    neighbor_id, approx_dist, rnk), self excluded, ties by neighbor_id.
     """
     kk = len(books[0])
+    m = len(books)
     q = queries.select(
         F.col(id_col).alias("qid"), quantize(F.col(vec_col), scale).alias("qv")
     )
     dist_udf = _pq_dist_table_arrow(books)
-    table = q.select(
-        "qid", F.posexplode(dist_udf(F.col("qv"))).alias("idx", "d")
-    ).select(
-        "qid",
-        F.expr(f"idx div {kk}").cast("int").alias("s"),
-        F.pmod(F.col("idx"), F.lit(kk)).cast("int").alias("code"),
-        "d",
-    )
+    table = q.select("qid", dist_udf(F.col("qv")).alias("dtab"))
     scored = (
-        codes.join(F.broadcast(table), ["s", "code"])
+        codes.crossJoin(F.broadcast(table))
         .filter(F.col("qid") != F.col("id"))
-        .groupBy("qid", "id")
-        .agg(F.sum("d").alias("approx_dist"))
+        .select(
+            "qid",
+            "id",
+            _adc_sum(F.col("dtab"), F.col("codes"), m, kk).alias("approx_dist"),
+        )
     )
     w = Window.partitionBy("qid").orderBy("approx_dist", "id")
     return (
@@ -851,14 +998,6 @@ def _centroid_pick(cents: list[list[int]], cid_col: Column) -> Column:
     metadata, no join."""
     nested = F.lit([[int(v) for v in c] for c in cents])
     return F.element_at(nested, (cid_col + 1).cast("int"))
-
-
-def _assign_cells(qdf: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """In-row nearest-centroid assignment against literal centroids
-    (kmeans_quantized's argmin shape, re-applied to any quantized
-    frame): adds ``cid``. Arrow kernel, ties to the lowest cid."""
-    udf = _argmin_assign_arrow([cents])
-    return qdf.withColumn("cid", udf(F.lit(0), F.col("q"))["cid"])
 
 
 def ivfpq_build(
@@ -897,9 +1036,19 @@ def ivfpq_build(
     are bit-identical to the old two-loop build and the unrolled-CTE
     oracle holds unchanged.
 
-    Returns (codes, cells, books): codes = (id, cid, s, code) — m rows
-    per vector, carrying its cell; cells = coarse centroids; books[s] =
-    residual codewords for subspace s.
+    r13 shape: the full-corpus encode is ONE Arrow kernel
+    (:func:`_ivfpq_encode_arrow`) emitting PACKED codes — one row per
+    vector, ``(id, cid, codes array<int>)`` — replacing the four-stage
+    lazy chain (cell-argmin kernel, interpreted ``zip_with`` residual,
+    m-way subspace explode, per-row code-argmin kernel): one Python
+    boundary crossing instead of two, no fan-out, and the ADC join
+    downstream scans m-times fewer index rows. Bit-identical by the
+    same first-minimum tie-breaks, pinned by the unchanged DuckDB
+    oracle of ``embedding_ivfpq_ann``.
+
+    Returns (codes, cells, books): codes = (id, cid, codes array<int>
+    of length m), one row per vector; cells = coarse centroids;
+    books[s] = residual codewords for subspace s.
     """
     sub = dim // m
     if sub * m != dim:  # raise, not assert: must survive `python -O`
@@ -928,21 +1077,11 @@ def ivfpq_build(
         k,
         iters,
     )
-    assigned = _assign_cells(base, cells)
-    resid = assigned.select(
+    enc = _ivfpq_encode_arrow(cells, books)
+    codes = base.withColumn("__e", enc(F.col("q"))).select(
         "id",
-        "cid",
-        F.zip_with(
-            "q", _centroid_pick(cells, F.col("cid")), lambda a, b: a - b
-        ).alias("rv"),
-    )
-    subs = _subspace_frame(resid, "rv", m, sub, extra=("cid",))
-    code_udf = _argmin_assign_arrow(books)
-    codes = subs.withColumn("__a", code_udf(F.col("g"), F.col("q"))).select(
-        "id",
-        "cid",
-        F.col("g").alias("s"),
-        F.col("__a.cid").alias("code"),
+        F.col("__e.cid").alias("cid"),
+        F.col("__e.codes").alias("codes"),
     )
     return codes, cells, books
 
@@ -964,12 +1103,17 @@ def ivfpq_topk(
     cell builds the m*k residual distance table against that cell's
     residual frame of reference via :func:`_pq_dist_table_arrow`; a
     database vector's approximate distance is the sum of its m code
-    lookups. The table (queries x nprobe x m*k integer rows)
-    broadcasts; scoring is one (cid, s, code) equi-join + a
-    map-side-combinable sum — raw embeddings are never touched at
-    query time. Output: (query_id, neighbor_id, approx_dist, rnk),
-    self excluded, ties by neighbor_id."""
+    lookups. r13 packed shape: the table is ONE row per (query, probed
+    cell) carrying the flattened m*k distances; it broadcasts and
+    scoring is a single ``cid`` equi-join against the packed index
+    (one row per vector) with the distance computed IN-ROW
+    (:func:`_adc_sum`) — the old (cid, s, code) join scanned m rows
+    per candidate and paid a groupBy(qid, id) aggregation Exchange to
+    re-assemble the sum, both now gone, same integers. Raw embeddings
+    are never touched at query time. Output: (query_id, neighbor_id,
+    approx_dist, rnk), self excluded, ties by neighbor_id."""
     kk = len(books[0])
+    m = len(books)
     q = queries.select(
         F.col(id_col).alias("qid"), quantize(F.col(vec_col), scale).alias("q")
     )
@@ -984,20 +1128,15 @@ def ivfpq_topk(
         ).alias("rv"),
     )
     dist_udf = _pq_dist_table_arrow(books)
-    dtab = probed.select(
-        "qid", "cid", F.posexplode(dist_udf(F.col("rv"))).alias("idx", "d")
-    ).select(
-        "qid",
-        "cid",
-        F.expr(f"idx div {kk}").cast("int").alias("s"),
-        F.pmod(F.col("idx"), F.lit(kk)).cast("int").alias("code"),
-        "d",
-    )
+    dtab = probed.select("qid", "cid", dist_udf(F.col("rv")).alias("dtab"))
     scored = (
-        codes.join(F.broadcast(dtab), ["cid", "s", "code"])
+        codes.join(F.broadcast(dtab), ["cid"])
         .filter(F.col("qid") != F.col("id"))
-        .groupBy("qid", "id")
-        .agg(F.sum("d").alias("approx_dist"))
+        .select(
+            "qid",
+            "id",
+            _adc_sum(F.col("dtab"), F.col("codes"), m, kk).alias("approx_dist"),
+        )
     )
     w = Window.partitionBy("qid").orderBy("approx_dist", "id")
     return (
@@ -1136,15 +1275,22 @@ def l2_topk(
             c_mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
             c_sq = np.einsum("ij,ij->i", c_mat, c_mat)
             d = qsq[:, None] - 2 * (mat @ c_mat.T) + c_sq[None, :]
-            qi, cj = np.nonzero(np.ones_like(d, dtype=bool))
+            # self exclusion + lossless per-batch top-k prune (smallest
+            # distance wins — see _topk_prune_mask): only ~k candidates
+            # per (query, batch) cross the Python->JVM boundary and the
+            # window exchange
+            keep = np.ones_like(d, dtype=bool)
+            if exclude_self:
+                keep &= ids[:, None] != c_ids[None, :]
+            big = np.iinfo(np.int64).max
+            keep &= _topk_prune_mask(np.where(keep, d, big), k, largest=False)
+            qi, cj = np.nonzero(keep)
             yield pd.DataFrame(
                 {"query_id": ids[qi], "neighbor_id": c_ids[cj], "dist_sq": d[qi, cj]}
             )
 
     c = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
     scored = cpu_repartition(c, "id").mapInPandas(block, schema=out_schema)
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("dist_sq"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -762,15 +762,17 @@ def test_pq_codes_shape_and_determinism(spark):
     df = _pq_blobs(spark)
     codes, books = pq_train_encode(df, "vec_id", "embedding", dim=8, m=2, k=4)
     rows = codes.collect()
-    assert len(rows) == 24 * 2  # m rows per vector
-    assert all(0 <= r.code < 4 and r.s in (0, 1) for r in rows)
+    # r13 packed shape: ONE row per vector carrying its m codes
+    assert len(rows) == 24
+    assert all(len(r.codes) == 2 and all(0 <= c < 4 for c in r.codes) for r in rows)
     assert len(books) == 2 and all(len(b) == 4 for b in books)
     # independent of input partitioning
     codes2, books2 = pq_train_encode(
         df.repartition(7), "vec_id", "embedding", dim=8, m=2, k=4
     )
     assert books == books2
-    assert sorted(map(tuple, rows)) == sorted(map(tuple, codes2.collect()))
+    key = lambda r: (r.id, tuple(r.codes))
+    assert sorted(map(key, rows)) == sorted(map(key, codes2.collect()))
 
 
 def test_pq_adc_ranks_same_blob_first(spark):
@@ -894,6 +896,37 @@ def test_grouped_kmeans_matches_per_subspace_kmeans(spark):
         assert joint == solo, f"subspace {s} assignments diverge"
 
 
+def test_pq_packed_codes_match_grouped_reference(spark):
+    """The r13 packed one-kernel encode must stay bit-identical to the
+    exploded reference path (grouped_kmeans_quantized over the subspace
+    frame): same books, same per-(vector, subspace) code. This is the
+    equivalence the unchanged DuckDB oracles rely on."""
+    import pyspark.sql.functions as F
+
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        _subspace_frame,
+        grouped_kmeans_quantized,
+        pq_train_encode,
+        quantize,
+    )
+
+    df = _pq_blobs(spark)
+    codes, books = pq_train_encode(df, "vec_id", "embedding", dim=8, m=2, k=4)
+    base = df.select(
+        F.col("vec_id").alias("id"), quantize(F.col("embedding")).alias("qv")
+    )
+    subs = _subspace_frame(base, "qv", 2, 4)
+    ref_codes, ref_books = grouped_kmeans_quantized(
+        subs, "id", "g", "q", 2, k=4, iters=2
+    )
+    assert books == ref_books
+    ref: dict = {}
+    for r in ref_codes.collect():
+        ref.setdefault(r.id, [0, 0])[r.s] = r.code
+    got = {r.id: list(r.codes) for r in codes.collect()}
+    assert got == ref
+
+
 def test_ivfpq_same_blob_ranking_and_probe_pruning(spark):
     from dnsflow_clickhouse_spark.operators.similarity import (
         ivfpq_build,
@@ -904,8 +937,11 @@ def test_ivfpq_same_blob_ranking_and_probe_pruning(spark):
     codes, cells, books = ivfpq_build(
         df, "vec_id", "embedding", dim=8, n_cells=2, m=2, k=4
     )
-    # every vector carries its cell and m codes
-    assert codes.count() == 24 * 2
+    # every vector carries its cell and m packed codes (r13: one row
+    # per vector, codes as array<int> of length m)
+    crows = codes.collect()
+    assert len(crows) == 24
+    assert all(len(r.codes) == 2 and all(0 <= c < 4 for c in r.codes) for r in crows)
     out = ivfpq_topk(
         codes, cells, books, df.filter(F.col("vec_id").isin(0, 100)),
         "vec_id", "embedding", 5, nprobe=1,
