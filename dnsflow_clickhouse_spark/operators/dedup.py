@@ -142,6 +142,56 @@ def _flatten_batch(arrs) -> tuple[list[str], list[int]]:
     return flat, offsets
 
 
+def _winnow_select_arrow(w: int):
+    """Fused Arrow kernel for winnowing: ordered gram strings -> the
+    doc's DISTINCT selected fingerprints, packed one per int64 as
+    ``fp_pos * POLY_MOD + fp_hash`` (both nonnegative; fp_pos is the
+    1-based gram position, fp_hash < POLY_MOD, so the pack is exact
+    below ~9.2e9 grams per document — guarded). Selection rule is the
+    winnowing paper's: per full w-window the minimal hash, ties to the
+    RIGHTMOST position, computed here as a vectorized reversed-window
+    argmin (first minimum of the reversed window IS the rightmost
+    minimum). Replaces the exploded-grams Window pass: hashing AND
+    selection happen in ONE Python boundary crossing on the id-mapped
+    frame, so the 3M-row posexplode -> window sort -> distinct chain
+    (two Exchanges at sf0.1, and a corpus-sized sort at any scale) is
+    gone; what leaves the kernel is only the ~2/(w+1)-dense selection
+    set. Values are bit-identical to the expression form (pinned by
+    tests/test_mlops.py::test_winnow_fingerprints_match_python_reference).
+    """
+    import numpy as np
+
+    from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD, POLY_MULT
+
+    @pandas_udf(ArrayType(LongType()))
+    def sel(arrs: pd.Series) -> pd.Series:
+        flat, offsets = _flatten_batch(arrs)
+        h = _poly_hash_np(flat, 0, POLY_MULT, POLY_MOD)
+        n = len(h)
+        off = np.asarray(offsets, dtype=np.int64)
+        if n < w:  # no doc in the batch has a full window
+            return pd.Series([[] for _ in range(len(arrs))])
+        if int(off[1:].max(initial=0) - off[:-1].min(initial=0)) >= (
+            2**63 - 1
+        ) // POLY_MOD:  # unreachable for real docs
+            raise ValueError("winnowing pack overflow: document too long")
+        # ONE pass over the batch-flattened hash array: windows that
+        # cross a document boundary are masked out afterwards, so no
+        # per-document Python loop runs at all
+        sw = np.lib.stride_tricks.sliding_window_view(h, w)
+        j = sw[:, ::-1].argmin(axis=1)  # first min of reversed = rightmost
+        starts = np.arange(n - w + 1, dtype=np.int64)
+        doc_of = np.searchsorted(off, starts, side="right") - 1
+        same_doc = (starts + w - 1) < off[doc_of + 1]
+        pos_u = np.unique((starts + (w - 1 - j))[same_doc])
+        doc_of_pos = np.searchsorted(off, pos_u, side="right") - 1
+        packed = (pos_u - off[doc_of_pos] + 1) * POLY_MOD + h[pos_u]
+        cuts = np.searchsorted(pos_u, off[1:-1])
+        return pd.Series([a.tolist() for a in np.split(packed, cuts)])
+
+    return sel
+
+
 def _segment_reduce(ufunc, values, offsets, empty_fill, axis=0):
     """Per-row reduction of a flat (row-concatenated) array: rows are
     ``values[offsets[i]:offsets[i+1]]``. Empty rows get ``empty_fill``.
@@ -1654,49 +1704,34 @@ def winnow_fingerprints(
     document MinHash (which sees documents as gram SETS and misses
     partial containment of long spans).
 
-    Scale shape: the gram hashes are built by the vectorized Arrow
-    fold (poly_hashes_arrow) on the id-repartitioned corpus and
-    checkpointed (a live HOF array under a Generate re-evaluates per
-    emitted row — the repo's measured 6x trap), then ONE window pass
-    (sliding min over w rows) on the same id partitioning and a
-    distinct. Nothing quadratic; output is ~2/(w+1) of the gram count.
+    Scale shape (r13): hashing AND window selection run in ONE fused
+    Arrow kernel on the id-mapped corpus (:func:`_winnow_select_arrow`
+    — vectorized poly fold + reversed-window argmin, distinct packed
+    selections per doc), checkpointed, then one explode + a native
+    div/mod unpack. The previous shape exploded EVERY gram hash
+    (corpus-gram-sized posexplode), paid a Window sort over them and a
+    distinct — two Exchanges and a corpus-scale sort that the winnowing
+    density (~2/(w+1)) never needed. Nothing quadratic; only the
+    selected fingerprints ever leave the kernel.
 
     Output: id, fp_hash, fp_pos (1-based gram position of the selected
     hash; one row per distinct (hash, pos) selection per doc).
     """
+    from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD
+
     base = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .transform(lambda d: cpu_repartition(d, "id"))
         .select("id", tokens(F.col("__text")).alias("__toks"))
         .select("id", _ordered_grams(F.col("__toks"), k).alias("__grams"))
-        .select("id", poly_hashes_arrow(F.col("__grams")).alias("__hs"))
+        .select("id", _winnow_select_arrow(w)(F.col("__grams")).alias("__sel"))
         .localCheckpoint(eager=False)
     )
-    ex = base.select(
+    return base.select("id", F.explode("__sel").alias("__e")).select(
         "id",
-        F.size("__hs").alias("__ng"),
-        F.posexplode("__hs").alias("__pos0", "__h"),
+        F.pmod(F.col("__e"), F.lit(POLY_MOD)).cast("long").alias("fp_hash"),
+        F.expr(f"__e div {POLY_MOD}").cast("long").alias("fp_pos"),
     )
-    wspec = Window.partitionBy("id").orderBy("__pos0").rowsBetween(0, w - 1)
-    sel = (
-        ex.withColumn(
-            "__m",
-            F.min(
-                F.struct(
-                    F.col("__h").alias("h"), (-F.col("__pos0")).alias("np")
-                )
-            ).over(wspec),
-        )
-        # full windows only: the guarantee needs w hashes in frame
-        .filter(F.col("__pos0") <= F.col("__ng") - w)
-        .select(
-            "id",
-            F.col("__m.h").alias("fp_hash"),
-            (F.lit(1) - F.col("__m.np")).cast("long").alias("fp_pos"),
-        )
-        .distinct()
-    )
-    return sel
 
 
 def winnowed_span_pairs(
