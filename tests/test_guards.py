@@ -100,3 +100,42 @@ def test_train_cap_canary_testdata_below_cap():
             "(see similarity._warn_if_cap_binds). Raise TRAIN_CAP and "
             "re-verify, or shrink the corpus."
         )
+
+
+def test_load_table_schema_memo_correct_and_mtime_invalidated(spark, tmp_path):
+    """The load_table schema memo must (a) return the same schema and
+    rows as a fresh inferred read, and (b) drop its entry when the
+    parquet path's mtime moves (a rebuilt corpus must re-infer, never
+    serve a stale schema). Metadata-only: the scan itself re-reads the
+    parquet bytes on every action either way."""
+    import shutil
+    import time as _time
+
+    from dnsflow_clickhouse_spark.sources import tables as T
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "docs_dir")
+    shutil.copytree(f"{src}/documents.parquet", d) if os.path.isdir(
+        f"{src}/documents.parquet"
+    ) else shutil.copy(f"{src}/documents.parquet", d)
+
+    fresh = spark.read.parquet(d)
+    first = T._read_parquet(spark, d)   # populates the memo
+    second = T._read_parquet(spark, d)  # served from the memo
+    assert first.schema == fresh.schema == second.schema
+    assert second.count() == fresh.count()
+
+    # rewrite the path with a DIFFERENT schema + a moved mtime: the
+    # memo must re-infer, not serve the old schema (derive the new
+    # frame from the ORIGINAL source — overwriting a path while reading
+    # from it deletes the input mid-job)
+    sub = spark.read.parquet(f"{src}/documents.parquet").select("doc_id")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    else:
+        os.remove(d)
+    sub.write.mode("overwrite").parquet(d)
+    now = _time.time() + 5
+    os.utime(d, (now, now))  # force a distinct mtime even on fast FS
+    again = T._read_parquet(spark, d)
+    assert [f.name for f in again.schema.fields] == ["doc_id"]
