@@ -95,18 +95,33 @@ for _part in _PARTS:
 _PRIORITY = [
     # smoke entry
     "q1_pricing_summary",
-    # --- queries whose code changed this round (grouped miner:
-    # size-gated scratch release + G auto-dial under the minhash
-    # signature family) ---
+    # --- queries whose operator code changed this round (r13
+    # optimization): the grouped-miner/minhash family (inherited
+    # size-gated scratch release + G auto-dial), the ANN/PQ family
+    # (in-kernel top-k prune; packed codes + in-row ADC sum), and the
+    # winnowing family (fused hash+selection Arrow kernel) ---
     "lsh_grouped_candidate_pairs",
     "lsh_candidate_pairs",
     "minhash_band_buckets",
     "minhash_estimate_report",
+    "embedding_knn",
+    "embedding_l2_knn",
+    "embedding_ivf_ann",
+    "embedding_ivf_probe2",
+    "truncated_knn_recall",
+    "ann_recall_report",
+    "ann_rrf_fusion",
+    "embedding_mmr_rerank",
+    "hard_negative_mining",
+    "embedding_ann_wide_recall",
+    "ivfpq_wide_recall",
+    "embedding_pq_ann",
+    "embedding_ivfpq_ann",
+    "winnowed_span_pairs",
+    "span_scrubbed_docs",
     # --- oldest-green-first fill (tools/rotate_window.py over
     # CORRECTNESS_r01-r12; the wide rows-only self-proofs sort
     # oldest by construction — declared waivers never hash-match) ---
-    "embedding_ann_wide_recall",
-    "ivfpq_wide_recall",
     "minhash_wide_recall",
     "simhash_wide_neardups",
     "conversion_lag_report",
@@ -117,9 +132,7 @@ _PRIORITY = [
     "doc_lm_score",
     "duplicate_span_report",
     "embedding_dim_stats",
-    "embedding_l2_knn",
     "es_weighted_source_sample",
-    "hard_negative_mining",
     "join_skew_profile",
     "kmv_corpus_overlap",
     "label_centroid_margins",
@@ -132,24 +145,13 @@ _PRIORITY = [
     "quantile_calibrated_lengths",
     "shard_balance_report",
     "source_overlap_matrix",
-    "span_scrubbed_docs",
     "symspell_token_pairs",
     "temporal_split_report",
-    "truncated_knn_recall",
     "user_sequence_fingerprints",
     "vocab_coverage_report",
     "weighted_median_lengths",
     "winsorized_length_stats",
     "attribution_u_shaped",
-    "borda_quality_docs",
-    "cidr_membership_rollup",
-    "cluster_balanced_sample",
-    "cms_heavy_hitters",
-    "collocation_pmi_topk",
-    "column_profile_events",
-    "component_aware_shards",
-    "containment_pairs",
-    "curation_funnel",
 ]
 
 _missing = [n for n in _PRIORITY if n not in _MERGED]
