@@ -48,6 +48,34 @@ def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
     return F.transform(vec, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
 
 
+def _rows_sq_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Exact int64 squared-L2 distance matrix (n, c) between row sets
+    X (n, dim) and C (c, dim) via the expanded form
+    ``||x||^2 - 2 x.c + ||c||^2`` — the same integers as
+    ``((X[:,None,:] - C[None,:,:])**2).sum(axis=2)`` without the
+    (n, c, dim) broadcast intermediate (r13 ADVICE: at the wide params
+    that temporary is ~dim x the output and scales the kernel's memory
+    with the codebook size). Exact because quantized values are
+    ~1e4-1e6 micro-units: every product and sum sits far below 2^63."""
+    x_sq = np.einsum("nd,nd->n", X, X)
+    c_sq = np.einsum("cd,cd->c", C, C)
+    return x_sq[:, None] - 2 * (X @ C.T) + c_sq[None, :]
+
+
+def _subspace_sq_dists(Xs: "np.ndarray", mats: "np.ndarray") -> "np.ndarray":
+    """Exact int64 squared-L2 distances (n, m, k) between per-subspace
+    slices Xs (n, m, sub) and PQ codebooks mats (m, k, sub), expanded
+    form (see :func:`_rows_sq_dists`) — identical integers to
+    ``((Xs[:,:,None,:] - mats[None])**2).sum(axis=3)`` but the peak
+    temporary is the (n, m, k) cross term instead of the (n, m, k, sub)
+    broadcast (sub-fold smaller; ~160 MB per concurrent task at the
+    wide params before, r13 ADVICE)."""
+    x_sq = np.einsum("nms,nms->nm", Xs, Xs)
+    c_sq = np.einsum("mks,mks->mk", mats, mats)
+    cross = np.einsum("nms,mks->nmk", Xs, mats)
+    return x_sq[:, :, None] - 2 * cross + c_sq[None, :, :]
+
+
 # LongType() object (not the "long" DDL string) so the decorator does
 # not need an active SparkContext at import time.
 @pandas_udf(LongType())
@@ -107,7 +135,7 @@ def _argmin_assign_arrow(books: list[list[list[int]]]):
                     [np.asarray(v, dtype=np.int64) for v in q[m]]
                 )
                 cents = mats[int(grp)]
-                d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                d = _rows_sq_dists(mat, cents)
                 best = d.argmin(axis=1)
                 cid[m] = best.astype(np.int32)
                 dist[m] = d[np.arange(d.shape[0]), best]
@@ -207,8 +235,7 @@ def _pq_dist_table_arrow(books: list[list[list[int]]]):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
-        Xs = X.reshape(len(X), m, 1, sub)
-        D = ((Xs - mats[None, :, :, :]) ** 2).sum(axis=3, dtype=np.int64)
+        D = _subspace_sq_dists(X.reshape(len(X), m, sub), mats)
         return pd.Series([row.reshape(-1).tolist() for row in D])
 
     return dists
@@ -231,8 +258,7 @@ def _pq_encode_arrow(books: list[list[list[int]]]):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
-        Xs = X.reshape(len(X), m, 1, sub)
-        D = ((Xs - mats[None, :, :, :]) ** 2).sum(axis=3, dtype=np.int64)
+        D = _subspace_sq_dists(X.reshape(len(X), m, sub), mats)
         codes = D.argmin(axis=2).astype(np.int32)  # first min = lowest code
         return pd.Series([row.tolist() for row in codes])
 
@@ -266,10 +292,9 @@ def _ivfpq_encode_arrow(cells: list[list[int]], books: list[list[list[int]]]):
         if n == 0:
             return pd.DataFrame({"cid": pd.Series([], dtype=np.int32), "codes": []})
         X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2, dtype=np.int64)
+        d = _rows_sq_dists(X, C)
         cid = d.argmin(axis=1)  # first min = lowest cid
-        R = (X - C[cid]).reshape(n, m, 1, sub)
-        D = ((R - mats[None, :, :, :]) ** 2).sum(axis=3, dtype=np.int64)
+        D = _subspace_sq_dists((X - C[cid]).reshape(n, m, sub), mats)
         codes = D.argmin(axis=2).astype(np.int32)
         return pd.DataFrame(
             {"cid": cid.astype(np.int32), "codes": [row.tolist() for row in codes]}
@@ -309,7 +334,7 @@ def _cell_probe_arrow(cells: list[list[int]], nprobe: int):
         if len(v) == 0:
             return pd.Series([], dtype=object)
         X = np.stack([np.asarray(x, dtype=np.int64) for x in v])
-        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2, dtype=np.int64)
+        D = _rows_sq_dists(X, C)
         order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([o.tolist() for o in order])
 
@@ -473,7 +498,15 @@ def cosine_topk(
             keep = np.ones_like(cos, dtype=bool)
             if exclude_self:
                 keep &= ids[:, None] != c_ids[None, :]
-            keep &= _topk_prune_mask(np.where(keep, cos, -np.inf), k)
+            # NaN guard (r13 ADVICE): a zero-norm vector yields NaN
+            # cosines, and np.partition's NaN-as-largest placement makes
+            # the kth value NaN, whose comparison is False everywhere —
+            # silently dropping the row's whole batch. Spark's window
+            # rank orders NaN as the LARGEST double, so the pre-prune
+            # kernel kept (and top-ranked) NaN candidates: substitute
+            # +inf for the mask only, keeping them losslessly.
+            pr = np.where(np.isnan(cos), np.inf, cos)
+            keep &= _topk_prune_mask(np.where(keep, pr, -np.inf), k)
             qi, cj = np.nonzero(keep)
             yield pd.DataFrame(
                 {"query_id": ids[qi], "neighbor_id": c_ids[cj], "cosine": cos[qi, cj]}
@@ -659,8 +692,12 @@ def ivf_topk(
             if exclude_self:
                 keep &= ids[:, None] != b_ids[None, :]
             # lossless per-batch top-k prune (see _topk_prune_mask):
-            # only ~k candidates per (query, batch) leave the kernel
-            keep &= _topk_prune_mask(np.where(keep, cos, -np.inf), k)
+            # only ~k candidates per (query, batch) leave the kernel.
+            # NaN -> +inf for the mask only (r13 ADVICE): mirrors the
+            # window rank's NaN-as-largest ordering instead of letting a
+            # NaN kth silently drop the row (see cosine_topk).
+            pr = np.where(np.isnan(cos), np.inf, cos)
+            keep &= _topk_prune_mask(np.where(keep, pr, -np.inf), k)
             qi, bj = np.nonzero(keep)
             yield pd.DataFrame(
                 {"query_id": ids[qi], "neighbor_id": b_ids[bj], "cosine": cos[qi, bj]}

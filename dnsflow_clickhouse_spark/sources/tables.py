@@ -28,6 +28,16 @@ from dnsflow_clickhouse_spark.schemas import TESTDATA_TABLES
 # the directory mtime moves) and the two reader confs that change what
 # inference returns (TIMESTAMP(NANOS)-as-long, NTZ inference), so a
 # vanilla harness session and our tuned session never share an entry.
+#
+# FLAT-LAYOUT ASSUMPTION (r13 ADVICE): the mtime key is the stat of
+# ``path`` itself, which moves when a file is rewritten or when entries
+# are added/removed in a directory — but NOT when a part file is
+# rewritten in place inside a nested partition subdirectory. The
+# testdata layout this loader serves is single flat parquet files
+# (TESTDATA.md); pointing load_table at a Hive-partitioned dataset
+# would need a directory-listing fingerprint in the key instead. The
+# cache is bounded in practice by (n_tables x n_SFs x conf variants);
+# it never holds data, only StructType objects.
 _SCHEMA_CACHE: dict[tuple, object] = {}
 
 

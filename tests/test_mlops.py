@@ -1381,3 +1381,60 @@ def test_grouped_auto_dial(docs, tmp_path, monkeypatch):
         dd.lsh_candidate_pairs_grouped(
             docs, "doc_id", "text", 8, 4, 3, n_band_groups="3",
         )
+
+
+def test_expanded_sq_dists_match_broadcast_reference():
+    """r14: the expanded-form distance helpers (the r13-ADVICE memory
+    fix — no (n, c, dim)/(n, m, k, sub) broadcast temporaries) must be
+    bit-identical int64 to the squared-difference form every PQ/IVF
+    kernel previously materialized, including argmin tie positions."""
+    import numpy as np
+
+    from dnsflow_clickhouse_spark.operators.similarity import (
+        _rows_sq_dists,
+        _subspace_sq_dists,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randint(-10000, 10001, size=(53, 64)).astype(np.int64)
+    C = rng.randint(-10000, 10001, size=(16, 64)).astype(np.int64)
+    C[3] = C[5]  # force a tie so argmin order is exercised
+    ref = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2, dtype=np.int64)
+    got = _rows_sq_dists(X, C)
+    assert got.dtype == np.int64
+    assert (ref == got).all()
+    assert (ref.argmin(axis=1) == got.argmin(axis=1)).all()
+
+    m, k, sub = 4, 8, 8
+    Xs = rng.randint(-10000, 10001, size=(31, m, sub)).astype(np.int64)
+    mats = rng.randint(-10000, 10001, size=(m, k, sub)).astype(np.int64)
+    mats[1, 2] = mats[1, 6]  # tie inside one subspace
+    ref2 = ((Xs[:, :, None, :] - mats[None, :, :, :]) ** 2).sum(
+        axis=3, dtype=np.int64
+    )
+    got2 = _subspace_sq_dists(Xs, mats)
+    assert got2.dtype == np.int64
+    assert (ref2 == got2).all()
+    assert (ref2.argmin(axis=2) == got2.argmin(axis=2)).all()
+
+
+def test_topk_prune_nan_guard_keeps_nan_rows():
+    """r14 (r13 ADVICE): NaN cosines (zero-norm vectors) must not make
+    the in-kernel prune drop a query's whole batch. The kernels now
+    substitute +inf for the mask — mirroring Spark's NaN-as-largest
+    window ordering, i.e. the exact pre-prune behavior — so NaN entries
+    are kept and finite candidates still prune correctly."""
+    import numpy as np
+
+    from dnsflow_clickhouse_spark.operators.similarity import _topk_prune_mask
+
+    cos = np.array([[np.nan, np.nan, 0.9, 0.8, 0.7]])
+    # the kernel-side substitution under test
+    pr = np.where(np.isnan(cos), np.inf, cos)
+    mask = _topk_prune_mask(np.where(np.ones_like(cos, bool), pr, -np.inf), 2)
+    # without the guard the kth value is NaN and everything is dropped
+    assert mask[0].tolist() == [True, True, False, False, False]
+    # finite-only rows are unaffected
+    cos2 = np.array([[0.1, 0.5, 0.4, 0.2, 0.3]])
+    mask2 = _topk_prune_mask(np.where(np.isnan(cos2), np.inf, cos2), 2)
+    assert mask2[0].tolist() == [False, True, True, False, False]
