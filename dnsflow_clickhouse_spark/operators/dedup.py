@@ -1168,7 +1168,7 @@ def banded_hamming_pairs(
         )
         # barrier: the join below must read these compact columns, not
         # re-run the signature pipeline once per side
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = a.join(
@@ -1239,7 +1239,7 @@ def ngram_jaccard_pairs(
         # live gram pipeline re-evaluates it per emitted gram, and the
         # self-join below must read these compact rows, not re-run the
         # gram pipeline once per side
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .select("id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
     )
     # Candidate pairs via self-equi-join on the shingle: pair generation
@@ -1300,7 +1300,7 @@ def overlap_containment_pairs(
     threshold_ppm = int(round(threshold * 1_000_000))
     grams = (
         staged_grams(df, id_col, text_col, ngram)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .select("id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g"))
     )
     a, b = grams.alias("a"), grams.alias("b")
@@ -1645,13 +1645,18 @@ def prefix_filtered_jaccard_pairs(
             & pos_ok,
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-        # barrier before the repartition: without it the optimizer
-        # collapses the explicit exchange into the distinct's
-        # ENSURE_REQUIREMENTS exchange (same keys), which AQE then
-        # coalesces by byte size — and the verify runs on 2-3 tasks
-        .localCheckpoint(eager=False)
+        # explicit exchange FIRST, dedup second (r14): the repartition
+        # is AQE-coalesce-exempt and hashpartitioning(id_a, id_b)
+        # satisfies the aggregate's clustered-distribution requirement,
+        # so the dropDuplicates runs IN the repartitioned stage — one
+        # exchange where the old distinct -> barrier -> repartition
+        # chain paid two plus a materialization, with the same verify
+        # parallelism (the r13 shape existed only because a TRAILING
+        # repartition collapsed into the distinct's exchange and got
+        # AQE-coalesced onto 2-3 tasks; leading with it is exempt).
         .repartition(n_parts, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=False)
     )
     ga = docs.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
     gb = docs.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
@@ -1956,7 +1961,7 @@ def segment_dedup_keep_first(
         # Generate-input barrier (same reason as ngram_jaccard_pairs):
         # the explode below must read compact rows, not re-run the
         # tokenizer once per emitted segment
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     segs = base.select(
         "id",
@@ -2053,7 +2058,7 @@ def symspell_candidate_pairs(
             F.col(freq_col).cast("long").alias("freq"),
         )
         .withColumn("__vars", _deletion_variants(F.col("term"), max_edit))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     posts = terms.select("term", F.explode("__vars").alias("v")).distinct()
     a, b = posts.alias("a"), posts.alias("b")
@@ -2133,7 +2138,7 @@ def group_overlap_matrix(
             text_col,
             ngram,
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .select(F.col("id").alias("g"), F.explode("grams").alias("gram"))
         .distinct()
     )
@@ -2187,14 +2192,14 @@ def minhash_estimate_pairs(
     exact intersection counts are computed only for docs that appear in
     some candidate pair (then the pair set itself filters candidate×
     candidate gram collisions)."""
-    grams = staged_grams(df, id_col, text_col, ngram).localCheckpoint(eager=True)
+    grams = staged_grams(df, id_col, text_col, ngram).localCheckpoint(eager=False)
     sig = grams.select(
         "id", _minhash_sig_udf(n_hashes)(F.col("grams")).alias("sig")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(
         df, id_col, text_col, n_hashes, n_bands, ngram, sig_df=sig
     )
-    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))
     est = p.join(sa, "id_a").join(sb, "id_b").select(
@@ -2215,7 +2220,7 @@ def minhash_estimate_pairs(
         .union(p.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    pruned = grams.join(cand_ids, "id", "semi").localCheckpoint(eager=True)
+    pruned = grams.join(cand_ids, "id", "semi").localCheckpoint(eager=False)
     ex = (
         pruned.select("id", F.size("grams").alias("ng"), F.explode("grams").alias("g"))
     )

@@ -230,7 +230,15 @@ def pagerank_exact(
         # connected_components)
         e = e.repartition(num_partitions, "__s")
     e = barrier(e)
-    deg = barrier(e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg")))
+    # out-degree attached to the edge rows ONCE via a window count over
+    # the src key the frame is already partitioned on (r14): the loop
+    # body loses its per-iteration deg equi-join — one join per round
+    # instead of two, same integers (count of distinct out-edges)
+    from pyspark.sql import Window as _W
+
+    e_deg = barrier(
+        e.withColumn("__deg", F.count(F.lit(1)).over(_W.partitionBy("__s")))
+    )
     nodes = barrier(
         e.select(F.col("__s").alias("id"))
         .union(e.select(F.col("__d").alias("id")))
@@ -239,8 +247,7 @@ def pagerank_exact(
     ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("long"))
     for _ in range(iterations):
         contrib = (
-            ranks.join(e, ranks.id == e.__s)
-            .join(deg, "__s")
+            ranks.join(e_deg, ranks.id == e_deg.__s)
             .select(
                 F.col("__d").alias("id"),
                 # true integer division (`div`), NOT floor(a / b): `/` is
@@ -454,7 +461,12 @@ def hits_scores(
     )
     auth = None
     for _ in range(iterations):
-        araw = (
+        # each half-step's join+sum is barriered BEFORE the max rescale
+        # (r14): the raw-sum frame is read twice — once to build the
+        # one-row max broadcast and once in the rescale projection —
+        # and without the barrier the join+aggregate executed twice per
+        # half-step (the broadcast build is its own job)
+        araw = barrier(
             hubs.join(e, hubs.id == e.__s)
             .groupBy("__d")
             .agg(F.sum("h").alias("__r"))
@@ -466,7 +478,7 @@ def hits_scores(
                 F.expr("(__r * 1000000) div __m").cast("long").alias("a"),
             )
         )
-        hraw = (
+        hraw = barrier(
             auth.join(e, auth.id == e.__d)
             .groupBy("__s")
             .agg(F.sum("a").alias("__r"))
@@ -581,6 +593,12 @@ def label_propagation(
         fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # materialize the (often expensive) edge pipeline ONCE (r14):
+        # without the barrier the un-truncated plan carries the edge
+        # derivation (an LSH mining pass for lpa_communities) in the
+        # node-set branch AND every round's message join — the same
+        # barrier discipline as connected_components/kcore_peel
+        .localCheckpoint(eager=False)
     )
     nodes = und.select(F.col("a").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label"))

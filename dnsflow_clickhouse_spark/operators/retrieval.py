@@ -154,11 +154,11 @@ def lexical_cosine_rerank(
         # LIVE tokenizer expression re-evaluates it per emitted token,
         # and tf is read four times below (norms + both dot sides) —
         # without the checkpoint each reuse re-runs the whole pipeline
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .select("id", F.explode("__toks").alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     norms = tf.groupBy("id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
@@ -166,7 +166,7 @@ def lexical_cosine_rerank(
     # the candidate generator upstream (LSH signatures) is the
     # expensive lineage; it is read once for dot and once for the
     # final pair frame — pin it
-    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     dot = (
         p.join(tf.select(F.col("id").alias("id_a"), "term", F.col("tf").alias("tf_a")), "id_a")
         .join(

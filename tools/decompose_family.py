@@ -20,10 +20,14 @@ from dnsflow_clickhouse_spark.session import get_spark
 from dnsflow_clickhouse_spark.sources.tables import load_table
 
 
-def _t(label, df, repeat):
+def _t(label, make_df, repeat):
+    """Clock includes DataFrame CONSTRUCTION: the CC-family loops run
+    blocking collects while the plan is being built, so timing only the
+    final write understates them (bench.py clocks fn() + write too)."""
     times = []
     for _ in range(repeat):
         t0 = time.perf_counter()
+        df = make_df() if callable(make_df) else make_df
         df.write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     print(
@@ -60,36 +64,36 @@ def main():
             d, "doc_id", "text", ngram=3, threshold=0.5
         )
 
-    _t("grams_only", staged_grams(d, "doc_id", "text", 3), repeat)
-    _t("pairs", pairs(), repeat)
-    _t("pairs_ordered", pairs().orderBy("id_a", "id_b"), repeat)
-    _t(
-        "pairs_cc",
-        connected_components(pairs(), "id_a", "id_b", num_partitions=8),
-        repeat,
-    )
-    _t(
-        "pairs_clusters",
-        dedup_clusters(pairs(), num_partitions=8).orderBy("comp"),
-        repeat,
-    )
-    _t(
-        "pairs_canonical",
-        canonical_representatives(
-            pairs(), d, id_col="doc_id", quality_col="n_chars",
-            num_partitions=8,
-        ).orderBy("comp"),
-        repeat,
-    )
     from dnsflow_clickhouse_spark.operators.graph import (
         component_census,
         kcore_peel,
     )
 
-    _t("pairs_census", component_census(pairs(), num_partitions=8).orderBy("comp"), repeat)
+    _t("grams_only", lambda: staged_grams(d, "doc_id", "text", 3), repeat)
+    _t("pairs", pairs, repeat)
+    _t("pairs_ordered", lambda: pairs().orderBy("id_a", "id_b"), repeat)
+    _t(
+        "pairs_cc",
+        lambda: connected_components(pairs(), "id_a", "id_b", num_partitions=8),
+        repeat,
+    )
+    _t(
+        "pairs_clusters",
+        lambda: dedup_clusters(pairs(), num_partitions=8).orderBy("comp"),
+        repeat,
+    )
+    _t(
+        "pairs_canonical",
+        lambda: canonical_representatives(
+            pairs(), d, id_col="doc_id", quality_col="n_chars",
+            num_partitions=8,
+        ).orderBy("comp"),
+        repeat,
+    )
+    _t("pairs_census", lambda: component_census(pairs(), num_partitions=8).orderBy("comp"), repeat)
     _t(
         "pairs_kcore",
-        kcore_peel(
+        lambda: kcore_peel(
             pairs().select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
             k=2, rounds=3, num_partitions=8,
         ).orderBy("id"),
