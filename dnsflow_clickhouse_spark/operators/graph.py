@@ -104,13 +104,17 @@ def connected_components(
     # and the localCheckpoint's implicit persist dedupes any multi-
     # reference compute above shuffle boundaries.
     edges = barrier(edges.select(F.col(src), F.col(dst)))
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     if nparts:
-        sym = sym.repartition(nparts, "a")
+        # one exchange, not two (r14): hashpartitioning(a) satisfies the
+        # dedup aggregate's clustered distribution on (a, b) — rows of
+        # equal (a, b) share a — so the explicit (AQE-exempt) repartition
+        # doubles as the distinct's exchange
+        sym = sym.repartition(nparts, "a").dropDuplicates(["a", "b"])
+    else:
+        sym = sym.distinct()
     sym = barrier(sym)
     # seed labels with the NEIGHBOR-min, not the identity: every node
     # appears as `a` in the symmetrized edges, so one aggregate both
@@ -125,7 +129,7 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(labels, sym["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("comp")
         )
@@ -144,18 +148,31 @@ def connected_components(
         # round, so the fixpoint is the same min-reachable-id. The
         # expensive side of the shortcut join reads stepped's own
         # aggregation shuffle, which executes once.
-        l2 = stepped.select(
-            F.col("id").alias("__cid"), F.col("comp").alias("__cc")
-        )
-        labels = barrier(
-            stepped.join(l2, stepped["comp"] == l2["__cid"], "left")
-            .select(
-                "id",
-                F.coalesce(
-                    F.least(F.col("comp"), F.col("__cc")), F.col("comp")
-                ).alias("comp"),
+        #
+        # Engaged from round 2 only (r14): the neighbor-min SEED is
+        # already a full plain round, so a round-1 jump only reaches
+        # farther than the plain step on diameter >= 3 components —
+        # while its join costs two exchanges on EVERY graph, including
+        # the common near-dup case (cliques/short chains) where round 1
+        # is purely the convergence confirm (measured at sf0.1: the
+        # loop exits after round 1, jump or no jump). Deep graphs keep
+        # O(log d) rounds (at most one extra plain round up front); the
+        # fixpoint — and therefore the output — is unchanged either way.
+        if it == 0:
+            labels = barrier(stepped)
+        else:
+            l2 = stepped.select(
+                F.col("id").alias("__cid"), F.col("comp").alias("__cc")
             )
-        )
+            labels = barrier(
+                stepped.join(l2, stepped["comp"] == l2["__cid"], "left")
+                .select(
+                    "id",
+                    F.coalesce(
+                        F.least(F.col("comp"), F.col("__cc")), F.col("comp")
+                    ).alias("comp"),
+                )
+            )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
