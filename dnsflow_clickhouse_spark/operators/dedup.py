@@ -142,7 +142,7 @@ def _flatten_batch(arrs) -> tuple[list[str], list[int]]:
     return flat, offsets
 
 
-def _winnow_select_arrow(w: int):
+def _winnow_select_arrow(w: int, hashes_only: bool = False):
     """Fused Arrow kernel for winnowing: ordered gram strings -> the
     doc's DISTINCT selected fingerprints, packed one per int64 as
     ``fp_pos * POLY_MOD + fp_hash`` (both nonnegative; fp_pos is the
@@ -185,6 +185,18 @@ def _winnow_select_arrow(w: int):
         same_doc = (starts + w - 1) < off[doc_of + 1]
         pos_u = np.unique((starts + (w - 1 - j))[same_doc])
         doc_of_pos = np.searchsorted(off, pos_u, side="right") - 1
+        if hashes_only:
+            # per-doc DISTINCT selected hashes (r14): consumers that key
+            # on (id, hash) alone — the span-pair index — previously
+            # deduped positions with a full (id, fp_hash) distinct
+            # Exchange after the explode; dedup in-kernel instead
+            # (doc_idx * POLY_MOD + hash is exact: hash < POLY_MOD and
+            # doc_idx is batch-bounded) and that shuffle disappears.
+            key = np.unique(doc_of_pos * POLY_MOD + h[pos_u])
+            cuts = np.searchsorted(key // POLY_MOD, np.arange(1, len(arrs)))
+            return pd.Series(
+                [a.tolist() for a in np.split(key % POLY_MOD, cuts)]
+            )
         packed = (pos_u - off[doc_of_pos] + 1) * POLY_MOD + h[pos_u]
         cuts = np.searchsorted(pos_u, off[1:-1])
         return pd.Series([a.tolist() for a in np.split(packed, cuts)])
@@ -1696,7 +1708,12 @@ def _ordered_grams(toks: Column, k: int) -> Column:
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    hashes_only: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every token k-gram in
@@ -1721,6 +1738,13 @@ def winnow_fingerprints(
 
     Output: id, fp_hash, fp_pos (1-based gram position of the selected
     hash; one row per distinct (hash, pos) selection per doc).
+
+    ``hashes_only=True`` returns (id, fp_hash) with per-doc DISTINCT
+    hashes deduped INSIDE the kernel (r14) — the shape span-pair mining
+    keys on — so the (id, fp_hash) distinct aggregate (one Exchange
+    over the fingerprint table) disappears from that path. Same
+    selected hash set: positions are dropped after selection, never
+    before, so the winnowing guarantee is untouched.
     """
     from dnsflow_clickhouse_spark.functions.textfn import POLY_MOD
 
@@ -1729,9 +1753,17 @@ def winnow_fingerprints(
         .transform(lambda d: cpu_repartition(d, "id"))
         .select("id", tokens(F.col("__text")).alias("__toks"))
         .select("id", _ordered_grams(F.col("__toks"), k).alias("__grams"))
-        .select("id", _winnow_select_arrow(w)(F.col("__grams")).alias("__sel"))
+        .select(
+            "id",
+            _winnow_select_arrow(w, hashes_only=hashes_only)(
+                F.col("__grams")
+            ).alias("__sel"),
+        )
         .localCheckpoint(eager=False)
     )
+    if hashes_only:
+        # __sel is already array<long> of the distinct hashes
+        return base.select("id", F.explode("__sel").alias("fp_hash"))
     return base.select("id", F.explode("__sel").alias("__e")).select(
         "id",
         F.pmod(F.col("__e"), F.lit(POLY_MOD)).cast("long").alias("fp_hash"),
@@ -1761,11 +1793,9 @@ def winnowed_span_pairs(
     filter (one hash agg) -> hash-keyed self-join (bounded by max_df
     per key) -> pair count HAVING. Output: doc_a, doc_b, n_shared.
     """
-    fph = (
-        winnow_fingerprints(df, id_col, text_col, k, w)
-        .select("id", "fp_hash")
-        .distinct()
-    )
+    # hashes_only: per-doc distinct hashes come straight from the
+    # winnowing kernel (r14) — no (id, fp_hash) distinct Exchange here
+    fph = winnow_fingerprints(df, id_col, text_col, k, w, hashes_only=True)
     ok = (
         fph.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("__df"))

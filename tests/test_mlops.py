@@ -1438,3 +1438,22 @@ def test_topk_prune_nan_guard_keeps_nan_rows():
     cos2 = np.array([[0.1, 0.5, 0.4, 0.2, 0.3]])
     mask2 = _topk_prune_mask(np.where(np.isnan(cos2), np.inf, cos2), 2)
     assert mask2[0].tolist() == [False, True, True, False, False]
+
+
+def test_winnow_hashes_only_matches_distinct_fingerprints(docs):
+    """r14: the hashes_only kernel path must return exactly the
+    (id, fp_hash) distinct projection of the positional fingerprint
+    table — same selections, positions dropped after selection."""
+    from dnsflow_clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    full = winnow_fingerprints(docs, "doc_id", "text", 3, 4)
+    ref = sorted(
+        set((r.id, r.fp_hash) for r in full.collect())
+    )
+    got = sorted(
+        (r.id, r.fp_hash)
+        for r in winnow_fingerprints(
+            docs, "doc_id", "text", 3, 4, hashes_only=True
+        ).collect()
+    )
+    assert got == ref and len(got) > 0
